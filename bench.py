@@ -1,0 +1,76 @@
+"""Benchmark runner — the driver's per-round perf probe.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion with a cheap terminal action
+(count via write-nothing collect of agg) — we time the full pipeline
+including scan, shuffle, and aggregation, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clean_census_acs_data_spark.session import get_spark  # noqa: E402
+from clean_census_acs_data_spark.queries import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "scan_project_filter",
+    "broadcast_join_dim",
+    "sortmerge_join_fact",
+    "agg_distinct",
+    "rollup_geo",
+    "window_rank",
+    "window_running",
+    "topk_orders",
+    "dedup_exact",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch JIT
+    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        # noop sink: materializes every output column (count() would let
+        # Catalyst prune the projections and under-measure)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

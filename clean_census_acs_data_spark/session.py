@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are chosen for correctness-first local runs but scale: AQE handles
+runtime re-planning (skew joins, partition coalescing) on a real cluster,
+and the same config keys are what a 1000-executor deployment would tune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "clean_census_acs_data_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    - AQE on: runtime shuffle-partition coalescing + skew-join splitting,
+      the 100-TB safety net for uneven keys.
+    - Arrow on: fast pandas/Pandas-UDF boundary (vectorized batches).
+    - UTC session timezone: deterministic date/timestamp semantics
+      regardless of host timezone.
+    - Broadcast threshold left at default (10 MB) — dim tables (region,
+      nation, config mappings) broadcast automatically; we also mark them
+      explicitly with F.broadcast at the call sites.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (the driver harness constructs its own SparkSession and passes
+    it to ``queries()`` callables; these confs keep semantics deterministic
+    there too)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,71 @@
+"""Local mirror of the driver's correctness gate, but *stricter*: exact
+value equality (bit-exact doubles), so any summation-order or rounding
+nondeterminism is caught here before the driver's value-hash sees it.
+
+Runs every QUERIES entry that has an oracle at sf0.001 (fast) against
+DuckDB on the same parquet files.
+"""
+
+from __future__ import annotations
+
+import math
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from clean_census_acs_data_spark.io import TABLES
+from clean_census_acs_data_spark.queries import ORACLES, QUERIES
+
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        # normalize integer-ish (duckdb hugeint→object, nullable ints)
+        if df[c].dtype == object:
+            try:
+                as_num = pd.to_numeric(df[c])
+                if pd.api.types.is_integer_dtype(as_num):
+                    df[c] = as_num.astype("Int64")
+            except (ValueError, TypeError):
+                pass
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+
+
+def assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} != {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NA:
+                ok = y is None or (isinstance(y, float) and math.isnan(y)) or y is pd.NA
+            elif isinstance(x, float):
+                ok = isinstance(y, float) and (x == y)  # bit-exact on purpose
+            else:
+                ok = x == y
+            assert ok, f"{name}: col {c} row {i}: spark={x!r} oracle={y!r}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES.keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF).toPandas()
+    odf = ddb.execute(ORACLES[name]).df()
+    assert_frames_equal(canon(sdf), canon(odf), name)
