@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the query vector, score
+every row with a JVM-side zip_with/aggregate fold (no Python UDF, no
+shuffle except the final top-k heap merge, which TakeOrderedAndProject
+does with k rows per partition).
+
+Scale path: LSH random-hyperplane bucketing — assign every vector an
+h-bit signature (sign of dot with h pseudorandom ±1 hyperplanes), probe
+only the query's bucket. At 100 TB the bucketed table would be written
+partitioned by bucket so a probe is a single-partition scan (partition
+pruning); an IVF variant would replace the hyperplanes with k-means
+centroids but has the same plumbing.
+
+Determinism: embedding elements are quantized to exact 1e-6-grain
+integers, dot products and norms are exact int64 sums
+(order-independent), and cosine is derived with a fixed
+dot/(sqrt(na)*sqrt(nb)) association — bit-identical in any engine.
+Hyperplane signs come from md5 parity so Spark (Python-side constants)
+and the DuckDB oracle (inline SQL md5) derive the same matrix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000
+
+
+def _quant(x: Column) -> Column:
+    return F.round(x.cast("double") * F.lit(QUANT)).cast("long")
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    prods = F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y))
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def norm2_int(a: Column) -> Column:
+    return dot_int(a, a)
+
+
+def cosine(dot: Column, na2: Column, nb2: Column) -> Column:
+    """dot/(sqrt(na2)*sqrt(nb2)) with fixed association; sqrt is
+    IEEE-correctly-rounded so this is portable."""
+    return dot.cast("double") / (
+        F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the row with ``query_id``.
+
+    The query vector is a 1-row broadcast cross join — idiomatic Spark
+    for a scalar parameter: no collect on the scoring path, the scan
+    side streams once."""
+    q = emb.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec"), norm2_int(F.col(vec_col)).alias("__qn2")
+    )
+    scored = (
+        emb.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine(
+                dot_int(F.col(vec_col), F.col("__qvec")),
+                norm2_int(F.col(vec_col)),
+                F.col("__qn2"),
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_signs(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from md5 parity of "p{p}_j{j}".
+    The DuckDB oracle recomputes the identical values inline with SQL
+    md5 — same strings, same digests, same signs."""
+    out = []
+    for p in range(planes):
+        row = []
+        for j in range(1, dim + 1):
+            first_hex = hashlib.md5(f"p{p}_j{j}".encode()).hexdigest()[0]
+            row.append(1 if int(first_hex, 16) % 2 == 1 else -1)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, signs: list[list[int]]) -> Column:
+    """h-bit random-hyperplane bucket id: bit p set iff the exact
+    integer dot of the quantized vector with hyperplane p is > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(signs):
+        plane = F.array(*[F.lit(s) for s in row])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, s: _quant(x) * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    *,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    Returns (vec_id, cosine, bucket). Recall < 1 by design — the trade
+    is a 2^planes-fold candidate reduction; at scale buckets are
+    partition keys and a probe prunes to one partition."""
+    signs = hyperplane_signs(planes, dim)
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), signs).alias("bucket")
+    )
+    q = bucketed.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec"),
+        norm2_int(F.col(vec_col)).alias("__qn2"),
+        F.col("bucket").alias("__qbucket"),
+    )
+    return (
+        bucketed.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("bucket") == F.col("__qbucket"))
+        .select(
+            F.col(id_col),
+            cosine(
+                dot_int(F.col(vec_col), F.col("__qvec")),
+                norm2_int(F.col(vec_col)),
+                F.col("__qn2"),
+            ).alias("cosine"),
+            "bucket",
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    *,
+    block_col: str = "label",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key.
+    The self-join shuffles on the block key only; at 100 TB the block
+    would be an LSH bucket (above) rather than a label."""
+    d = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("v"),
+        norm2_int(F.col(vec_col)).alias("n2"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            cosine(
+                dot_int(F.col("a.v"), F.col("b.v")), F.col("a.n2"), F.col("b.n2")
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

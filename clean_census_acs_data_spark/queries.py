@@ -747,3 +747,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_uniq.alias("n_unique_tokens"),
         (n_uniq.cast("double") / n_tok.cast("double")).alias("type_token_ratio"),
     )
+
+
+# extension-tier queries register themselves into QUERIES/ORACLES on import
+from clean_census_acs_data_spark import queries_ext  # noqa: E402,F401
