@@ -1,0 +1,117 @@
+"""As-of join and bounded range join — operators Spark lacks natively,
+built as compositions of existing DataFrame ops (no UDFs).
+
+as-of join (``last value at or before t``): the scalable technique is
+NOT a range self-join (which explodes) but union→sort→carry-forward:
+
+    1. tag right rows 0, left rows 1; union by name
+    2. one shuffle: partition by the equality key, sort by (ts, tag)
+    3. last(right_payload, ignorenulls=True) over an unbounded-preceding
+       window carries the most recent right row onto every left row
+    4. keep tag==1
+
+One shuffle + one sort, O(n) state — survives any scale and any key
+skew AQE can handle. Right rows sort before left at equal ts (tag 0<1),
+giving `>=` as-of semantics.
+
+range join (``count right rows in (t-Δ, t)``): bucketize time into
+Δ-width buckets; each left row probes buckets {b-1, b}; the join is an
+equi-join on (key, bucket) — never an unbounded inequality join — then
+an exact filter. Shuffle is O(left·2 + right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] = (),
+) -> DataFrame:
+    """Left as-of join: every left row gains the right row with the
+    greatest right_ts <= left_ts for the same key (NULLs if none).
+    Right payload columns come back prefixed ``asof_``; the matched
+    right timestamp is ``asof_ts``."""
+    payload = list(right_payload)
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.struct(F.col(right_ts).alias("asof_ts"), *[F.col(c).alias(f"asof_{c}") for c in payload]).alias(
+            "__rp"
+        ),
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lp"),
+    )
+    r = r.withColumn("__lp", F.lit(None).cast(l.schema["__lp"].dataType))
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
+    out = carried.where(F.col("__tag") == 1).select("__lp.*", "__match.*")
+    return out
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_us: int = 3_600_000_000,
+    out_col: str = "n_in_range",
+) -> DataFrame:
+    """For each left row, count right rows with the same key and
+    right_ts strictly inside (left_ts - window, left_ts). Bucketed
+    equi-join: right rows land in bucket floor(us/window); each left row
+    probes its own and the previous bucket."""
+    lt = F.unix_micros(F.col(left_ts))
+    rt = F.unix_micros(F.col(right_ts))
+    r = right.select(
+        F.col(key).alias("__k"), rt.alias("__rus"), (rt - (rt % window_us)).alias("__rbucket_us")
+    ).withColumn("__bucket", (F.col("__rbucket_us") / window_us).cast("long"))
+    l = left.withColumn("__lus", lt).withColumn(
+        "__bucket_probe",
+        F.explode(
+            F.array(
+                (F.floor(F.col("__lus") / window_us) - 1).cast("long"),
+                F.floor(F.col("__lus") / window_us).cast("long"),
+            )
+        ),
+    )
+    joined = l.join(
+        r,
+        (l["__bucket_probe"] == r["__bucket"])
+        & (F.col(key) == F.col("__k"))
+        & (F.col("__rus") > F.col("__lus") - F.lit(window_us))
+        & (F.col("__rus") < F.col("__lus")),
+        "left",
+    )
+    group_cols = [c for c in left.columns]
+    counted = (
+        joined.groupBy(*group_cols, "__lus")
+        .agg(F.count("__rus").alias("__n"))
+        # each left row appears twice (two probe buckets) pre-join; the
+        # group-by collapses them, and count("__rus") ignores the NULLs
+        # from unmatched probes
+        .drop("__lus")
+        .withColumnRenamed("__n", out_col)
+    )
+    return counted

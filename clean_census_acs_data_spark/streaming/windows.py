@@ -1,0 +1,130 @@
+"""Windowed aggregation — batch and Structured Streaming forms.
+
+The batch forms (F.window / F.session_window on a static frame) define
+the semantics and are oracle-checkable; the streaming forms run the
+same logical plan through readStream → watermark → writeStream with
+Trigger.AvailableNow, proving the operators work under the streaming
+engine (state store, watermark eviction, append mode).
+
+Scale notes: streaming aggregation state is partitioned by group key
+across executors (spark.sql.shuffle.partitions state partitions);
+watermarks bound state size — without one, tumbling windows accumulate
+forever. The memory sink here is a test harness; production sinks are
+kafka/delta/parquet via the same writeStream.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.functions import cents
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("value_cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    w = F.window("ts", width, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("value_cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "6 hours") -> DataFrame:
+    w = F.session_window("ts", gap)
+    return (
+        events.groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents("value")).alias("value_cents"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming runners
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (ts: nanos-long → µs
+    timestamp, same conversion as the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "append") -> DataFrame:
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+def streaming_tumbling(
+    spark: SparkSession, sf_dir: str, *, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling windows with watermark under the streaming engine.
+    Append mode emits only windows the watermark has passed; with
+    AvailableNow the final watermark is max(ts) - delay, so trailing
+    windows stay in (discarded) state — that's watermark semantics, not
+    data loss."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return _run_to_memory(tumbling_agg(ev, width))
+
+
+def streaming_session(
+    spark: SparkSession, sf_dir: str, *, gap: str = "6 hours", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (merging state) with watermark, streaming."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return _run_to_memory(session_agg(ev, gap))
+
+
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, *, watermark: str = "30 minutes"
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type): state for
+    a key is evictable once the watermark passes it — bounded-state
+    streaming dedup."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    return _run_to_memory(deduped.select("event_id", "user_id", "event_type", "ts"))

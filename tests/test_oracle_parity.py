@@ -54,9 +54,15 @@ def assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
     assert len(a) == len(b), f"{name}: row count {len(a)} != {len(b)}"
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
+        def _null(v):
+            if isinstance(v, (list, tuple, dict)):
+                return False
+            res = pd.isna(v)
+            return bool(res) if not hasattr(res, "__len__") else False
+
         for i, (x, y) in enumerate(zip(av, bv)):
-            if x is None or (isinstance(x, float) and math.isnan(x)) or x is pd.NA:
-                ok = y is None or (isinstance(y, float) and math.isnan(y)) or y is pd.NA
+            if _null(x):
+                ok = _null(y)
             elif isinstance(x, float):
                 ok = isinstance(y, float) and (x == y)  # bit-exact on purpose
             else:
