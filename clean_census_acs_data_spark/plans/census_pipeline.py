@@ -1,0 +1,83 @@
+"""End-to-end census ETL plan: the reference's main() re-expressed as a
+composable Spark pipeline (SURVEY.md §3.1 → §3.4).
+
+    request_specs → fetch (mapInPandas, parallel) → dead-letter split
+      → wire decode → normalize columns → mapping rename → align
+      → union-by-name (implicit: decode emits one aligned frame)
+      → cast_clean typed tier → layout write
+
+vs the reference: zero driver-side pandas concat (the 85k-tract
+national frame never materializes on the driver), fetch parallelism
+instead of serial sleep, dead-letter table instead of fallback loops,
+and the Redshift DISTSTYLE/SORTKEY layout becomes
+repartition + sortWithinPartitions before a parquet/CSV write
+(Test_census_tract.py:231-237 → free row-group skipping on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clean_census_acs_data_spark.sources import census as C
+from clean_census_acs_data_spark.sources import rest as R
+from clean_census_acs_data_spark.sources.audit import append_audit
+from clean_census_acs_data_spark import transforms as T
+
+
+def run_census_pipeline(
+    spark: SparkSession,
+    *,
+    table_name: str = "dp02",
+    year: int = 2023,
+    fetcher: R.FetchFn | None = None,
+    audit_path: str | None = None,
+    cast_measures: bool = True,
+    chunk_size: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (clean_df, dead_letter_df) for one logical table.
+
+    ``fetcher`` injects the HTTP layer (tests use a deterministic
+    fake; production uses the stdlib fetcher + api key)."""
+    cfg = C.DATASETS[table_name]
+    specs = C.request_specs(spark, year=year, chunk_size=chunk_size).where(
+        f"table_name = '{table_name}'"
+    )
+    responses = R.fetch_responses(specs, fetcher=fetcher).cache()
+    if audit_path:
+        append_audit(responses, audit_path)
+    ok, dead = R.split_dead_letters(responses)
+
+    expected = ["NAME"] + list(dict.fromkeys(cfg["variables"]))
+    decoded = R.decode_wire(ok, expected)
+
+    mapping = C.load_mapping_dict(spark)
+    out = T.normalize_columns(decoded)
+    out = T.apply_mapping(out, mapping)
+    labels = [mapping.get(v, v) for v in expected]
+    out = T.align_schema(out, ["TABLE_NAME"] + labels)
+
+    if cast_measures:
+        # typed tier: measures → long, blanks + ACS sentinels → NULL
+        measure_labels = [mapping[v] for v in cfg["variables"] if v in mapping]
+        out = T.cast_clean(out, {c: "long" for c in measure_labels})
+    return out, dead
+
+
+def write_warehouse_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_cols: tuple[str, ...] = ("STATE_FIPS", "COUNTY", "TRACT"),
+    num_files: int = 8,
+    fmt: str = "parquet",
+) -> None:
+    """The DISTSTYLE EVEN + SORTKEY(state_fips, county, tract) analog
+    (Test_census_tract.py:236-237): round-robin repartition for even
+    file sizes, sortWithinPartitions so parquet row-group min/max stats
+    give data skipping on the sort keys."""
+    present = [c for c in sort_cols if c in df.columns]
+    writer = df.repartition(num_files).sortWithinPartitions(*present).write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    else:
+        writer.parquet(path)

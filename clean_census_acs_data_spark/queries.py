@@ -752,3 +752,4 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension-tier queries register themselves into QUERIES/ORACLES on import
 from clean_census_acs_data_spark import queries_ext  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_windows  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_census  # noqa: E402,F401

@@ -1,0 +1,25 @@
+"""Reference-parity pipeline as a driver-contract entry (rows-only:
+the input is the deterministic offline Census-API fake, not the sf
+parquet tables, so no DuckDB oracle applies)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clean_census_acs_data_spark.plans.census_pipeline import run_census_pipeline
+from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.sources.fake_census import fake_census_fetcher
+
+
+@register("census_pipeline_e2e")  # rows-only check
+def census_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship ETL end-to-end on Spark: request-spec
+    DataFrame → parallel mapInPandas fetch (deterministic offline fake,
+    incl. retry/dead-letter/audit paths) → wire decode → normalize →
+    mapping rename → align → typed cast tier. Deterministic output;
+    sf_dir is unused (the census source is external, not a TPC-H
+    table)."""
+    clean, _dead = run_census_pipeline(
+        spark, table_name="dp02", fetcher=fake_census_fetcher, cast_measures=True
+    )
+    return clean
