@@ -712,12 +712,13 @@ def json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as a deterministic group-by (keep lowest doc_id per
     identical text) rather than dropDuplicates, whose surviving row is
-    nondeterministic. At 100 TB: group on sha2(text) instead of raw text
-    to shrink shuffle keys — see operators.dedup.exact_dedup."""
+    nondeterministic. Groups on (sha2(text), text) so at 100 TB the
+    shuffle hash keys are 32 bytes, not document bodies
+    (operators.dedup.exact_dedup)."""
+    from clean_census_acs_data_spark.operators.dedup import exact_dedup
+
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
-    ).select("doc_id", "n_copies")
+    return exact_dedup(d, text_col="text", id_col="doc_id").select("doc_id", "n_copies")
 
 
 @register(
@@ -753,3 +754,4 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from clean_census_acs_data_spark import queries_ext  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_windows  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_census  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_multimodal  # noqa: E402,F401

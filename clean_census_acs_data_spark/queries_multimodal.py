@@ -1,0 +1,33 @@
+"""Multimodal feature-extraction query. The oracle recomputes the
+byte-level features in SQL (documents are pure-ASCII so char ops equal
+byte ops), proving the mapInPandas binary path end-to-end."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.operators.multimodal import extract_features, synthesize_media
+from clean_census_acs_data_spark.queries import register
+
+_MM_ORACLE = """
+SELECT doc_id AS asset_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> ascii(substring(text, i, 1)))) % 997 AS BIGINT) AS checksum_mod,
+       CAST(length(text) % 16 + 1 AS INTEGER) AS n_frames
+FROM documents
+"""
+
+
+@register("multimodal_features", oracle=_MM_ORACLE)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column (synthesized utf-8 payloads + modality
+    metadata) → Arrow-batched mapInPandas feature extraction. The
+    decode step is a documented stub (no codecs in this env); byte-level
+    features prove schema/batching/binary round-trip. Stateless per-batch
+    Python: scales linearly, AQE can split skew."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)

@@ -1,0 +1,135 @@
+"""Physical-plan shape tests — the scale discipline, codified.
+
+Correctness tests prove the engine right at sf0.01; these prove the
+*plans* are the ones that survive 100 TB: filters/projections reach the
+parquet scan, dim joins broadcast, top-k never global-sorts, aggregates
+shuffle once after partial aggregation, and nothing degenerates into a
+cartesian/nested-loop join."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from clean_census_acs_data_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def count_nodes(formatted_plan: str, node: str) -> int:
+    """Count physical operators by their tree lines ('+- Node (id)'),
+    not raw substring hits (formatted mode repeats each node in the
+    detail section)."""
+    return len(re.findall(rf"\(\d+\) {re.escape(node)}\b", formatted_plan))
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """Plans with AQE disabled: deterministic node counts and visible
+    whole-stage-codegen markers (AQE's isFinalPlan=false hides them at
+    explain time; at runtime AQE is on and only improves these plans)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    out = {}
+    for name in QUERIES:
+        if name.startswith("streaming"):
+            continue
+        df = QUERIES[name](spark, SF)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")  # queries re-enable it
+        out[name] = plan(df)
+        out[name + "/simple"] = plan(df, "simple")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return out
+
+
+def test_filters_and_projection_pushed_to_scan(plans):
+    p = plans["scan_project_filter"]
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(l_shipdate)" in p or "GreaterThanOrEqual(l_shipdate" in p
+    # column pruning: the scan must not read unneeded columns like l_tax
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_tax" not in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_dim_joins_broadcast(plans):
+    p = plans["broadcast_join_dim"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fact_join_sort_merge(plans):
+    assert "SortMergeJoin" in plans["sortmerge_join_fact"]
+
+
+def test_semi_anti_strategies(plans):
+    assert "LeftSemi" in plans["semi_join"]
+    assert "LeftAnti" in plans["anti_join"]
+
+
+def test_topk_uses_heap_not_global_sort(plans):
+    p = plans["topk_orders"]
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q1_single_shuffle_partial_agg(plans):
+    p = plans["q1_pricing_summary"]
+    assert count_nodes(p, "Exchange") == 1  # partial agg → one shuffle → final agg
+    assert count_nodes(p, "HashAggregate") == 2
+
+
+def test_window_topk_group_limit(plans):
+    # Spark pushes rn <= 3 into WindowGroupLimit: per-key state is k rows
+    assert "WindowGroupLimit" in plans["window_rank"]
+
+
+def test_no_degenerate_joins_anywhere(plans):
+    # deliberate exceptions: similarity queries cross-join a broadcast
+    # 1-row query vector; the census request universe is a 4×17 config
+    # cross (metadata, not data)
+    allowed_cross = {"similarity_topk", "similarity_lsh_topk", "embedding_cosine_neardup", "census_pipeline_e2e"}
+    for name, p in plans.items():
+        base = name.split("/")[0]
+        if base in allowed_cross:
+            continue
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_asof_is_join_free(plans):
+    """The as-of implementation must be the union-sort-carry plan, not a
+    range join: no join operators at all."""
+    p = plans["asof_join_last_click"]
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" in p
+    assert "Union" in p
+
+
+def test_exact_dedup_groups_on_hash(plans):
+    assert "sha2" in plans["dedup_exact"]
+
+
+def test_census_pipeline_no_python_in_decode(plans):
+    """Wire decode must be JVM json expressions; Python appears only in
+    the fetch (MapInPandas over the cached responses)."""
+    p = plans["census_pipeline_e2e"]
+    assert count_nodes(p, "MapInPandas") >= 1
+    assert "from_json" in p
+    # decode/normalize/rename/align are projections — no Python eval ops
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_whole_stage_codegen_active(plans):
+    """Hot-path queries must run inside whole-stage codegen spans
+    (the '*(n)' markers in simple explain)."""
+    for name in ["q1_pricing_summary", "scan_project_filter", "broadcast_join_dim"]:
+        assert "*(1)" in plans[name + "/simple"], name

@@ -1,0 +1,184 @@
+"""Structured Streaming behavior tests (SURVEY.md §5.2 item 5):
+watermark drops late rows across micro-batches, session windows merge,
+dropDuplicatesWithinWatermark dedups within the watermark horizon.
+
+Uses a file-source stream with maxFilesPerTrigger=1 so AvailableNow
+processes one parquet file per micro-batch — the watermark advances
+between batches, which single-batch runs can't exercise."""
+
+from __future__ import annotations
+
+import time
+import uuid
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+TS = datetime  # alias
+
+
+_BATCH_SEQ = {}
+
+
+def _write_batch(spark, path, rows, schema="event_id long, ts timestamp, user_id long, event_type string, value double"):
+    """Write one parquet file per call with strictly increasing mtimes —
+    the file stream source orders micro-batches by modification time,
+    and same-millisecond writes would make batch order nondeterministic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    seq = _BATCH_SEQ.get(path, 0)
+    _BATCH_SEQ[path] = seq + 1
+    names = [f.split()[0] for f in schema.split(", ")]
+    cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    table = pa.table(
+        {
+            "event_id": pa.array(cols["event_id"], pa.int64()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+            "user_id": pa.array(cols["user_id"], pa.int64()),
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            "value": pa.array(cols["value"], pa.float64()),
+        }
+    )
+    fp = os.path.join(path, f"b{seq}.parquet")
+    pq.write_table(table, fp)
+    t = 1_700_000_000 + seq * 3600
+    os.utime(fp, (t, t))
+
+
+def _run_stream(spark, path, build_agg, schema):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    name = f"s_{uuid.uuid4().hex[:10]}"
+    q = (
+        build_agg(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Batch 0 advances the watermark to 12:00−10min; the 09:00 window
+    is then emitted+evicted during batch 1. A 09:00 event arriving in
+    batch 2 — after eviction — is dropped. (Empirically verified Spark
+    nuance: a late row landing in the SAME batch where its window is
+    being closed still merges; the drop guarantee starts once the state
+    is evicted, i.e. the following batch.)"""
+    path = str(tmp_path / "stream")
+    _write_batch(
+        spark,
+        path,
+        [
+            (1, TS(2024, 1, 1, 9, 30), 1, "click", 1.0),
+            (2, TS(2024, 1, 1, 12, 0), 1, "click", 1.0),  # watermark → 11:50
+        ],
+    )
+    _write_batch(
+        spark,
+        path,
+        [
+            (4, TS(2024, 1, 1, 11, 58), 1, "click", 1.0),  # on time
+            (5, TS(2024, 1, 1, 15, 0), 1, "click", 1.0),  # watermark → 14:50
+        ],
+    )
+    _write_batch(
+        spark,
+        path,
+        [
+            (3, TS(2024, 1, 1, 9, 0), 1, "click", 1.0),  # LATE: state evicted → dropped
+        ],
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    out = {r["ws"]: r["n"] for r in _run_stream(spark, path, agg, schema).collect()}
+    # 09:00 window: only the batch-0 event; the late batch-2 event dropped
+    assert out[TS(2024, 1, 1, 9, 0)] == 1
+    # on-time 11:00 window counted; 12:00 emitted once watermark passed
+    assert out[TS(2024, 1, 1, 11, 0)] == 1
+    assert out[TS(2024, 1, 1, 12, 0)] == 1
+    # 15:00 window still open at end-of-stream → withheld by append mode
+    assert TS(2024, 1, 1, 15, 0) not in out
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """Two events 10 min apart (gap 30 min) merge into one session even
+    when they arrive in different micro-batches; a third event 2 h later
+    starts a new session."""
+    path = str(tmp_path / "stream")
+    _write_batch(spark, path, [(1, TS(2024, 1, 1, 9, 0), 7, "click", 1.0)])
+    _write_batch(
+        spark,
+        path,
+        [
+            (2, TS(2024, 1, 1, 9, 10), 7, "click", 1.0),
+            (3, TS(2024, 1, 1, 11, 10), 7, "click", 1.0),
+            (4, TS(2024, 1, 1, 23, 0), 7, "click", 1.0),  # closes earlier sessions via watermark
+        ],
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def agg(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ss"), F.col("w.end").alias("se"), "n")
+        )
+
+    rows = {(r["ss"], r["se"]): r["n"] for r in _run_stream(spark, path, agg, schema).collect()}
+    # merged session: 9:00–9:40 (= 9:10 + 30min gap), 2 events
+    assert rows[(TS(2024, 1, 1, 9, 0), TS(2024, 1, 1, 9, 40))] == 2
+    # separate session at 11:10
+    assert rows[(TS(2024, 1, 1, 11, 10), TS(2024, 1, 1, 11, 40))] == 1
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Same event_id re-delivered within the watermark horizon is
+    dropped; the state for old keys is evictable after the watermark
+    passes (bounded state — the 100-TB property)."""
+    path = str(tmp_path / "stream")
+    _write_batch(
+        spark,
+        path,
+        [
+            (1, TS(2024, 1, 1, 9, 0), 1, "click", 1.0),
+            (2, TS(2024, 1, 1, 9, 1), 1, "click", 1.0),
+        ],
+    )
+    _write_batch(
+        spark,
+        path,
+        [
+            (1, TS(2024, 1, 1, 9, 2), 1, "click", 1.0),  # duplicate id, within watermark
+            (3, TS(2024, 1, 1, 9, 3), 1, "click", 1.0),
+        ],
+    )
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def agg(stream):
+        return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ).select("event_id", "ts")
+
+    ids = sorted(r["event_id"] for r in _run_stream(spark, path, agg, schema).collect())
+    assert ids == [1, 2, 3]
