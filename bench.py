@@ -23,6 +23,7 @@ from clean_census_acs_data_spark.session import get_spark  # noqa: E402
 from clean_census_acs_data_spark.queries import QUERIES  # noqa: E402
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "scan_project_filter",
     "broadcast_join_dim",
@@ -32,8 +33,23 @@ HEADLINE = [
     "window_rank",
     "window_running",
     "topk_orders",
+    "salted_agg_skew",
+    # event-time / temporal
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "asof_join_last_click",
+    "range_join_recent_clicks",
+    # training-data pipeline tier
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_stats",
+    "text_quality_score",
+    "token_frequencies",
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "multimodal_features",
 ]
 
 

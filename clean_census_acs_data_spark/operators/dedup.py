@@ -41,17 +41,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(toks: Column, num_hashes: int = 8, shingle_n: int = 3) -> list[Column]:
-    """MinHash signature: per hash-function i, the lexicographic min of
-    md5(i || '|' || shingle) over the doc's shingle set. String-min of
-    md5 hex == numeric min of the 128-bit hash — portable to any engine
-    with md5."""
-    sh = F.array_distinct(shingles(toks, shingle_n))
+# Affine minhash family over M31: hash_i(x) = (a_i * x + b_i) mod M.
+# One md5 per shingle (portable base hash), then k cheap integer
+# remixes — 8× less hashing than k independent md5 passes, and every
+# product a_i * (x < 2^31) stays far inside int64.
+MINHASH_M = 2_147_483_647
+MINHASH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121)
+MINHASH_B = (3, 1009, 2003, 3001, 4001, 5003, 6007, 7001)
+
+
+def minhash_signature_from_hashes(hv: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash signature from a pre-computed array of 31-bit shingle
+    hashes (``md5_long(s) % M``): per function i, min of the affine
+    remix. Computing the base hashes once in a projection keeps the md5
+    work to one pass."""
+    def remix(i: int):
+        # closure factory: a 2-arg lambda would make pyspark pass the
+        # array index as the second argument
+        return lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % F.lit(MINHASH_M)
+
     return [
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))).alias(
-            f"mh{i}"
-        )
-        for i in range(num_hashes)
+        F.array_min(F.transform(hv, remix(i))).alias(f"mh{i}") for i in range(num_hashes)
     ]
 
 
@@ -80,24 +90,29 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     toks = tokens(F.col(text_col))
     sh = F.array_distinct(shingles(toks, shingle_n))
-    sig = docs.select(
-        F.col(id_col).alias("doc"),
-        sh.alias("sh"),
-        *minhash_signature(toks, num_hashes, shingle_n),
-    ).where(F.size("sh") > 0)
+    # shingle table computed once and cached: reused by the two sides of
+    # the candidate self-join and the two verification probes. At 100 TB
+    # this is the materialized signature/shingle stage every LSH dedup
+    # pipeline persists.
+    sh_tbl = (
+        docs.select(F.col(id_col).alias("doc"), sh.alias("sh"))
+        .where(F.size("sh") > 0)
+        .cache()
+    )
+    hv = F.transform(F.col("sh"), lambda s: md5_long(s) % F.lit(MINHASH_M))
+    sig = sh_tbl.select("doc", hv.alias("hv")).select(
+        "doc", *minhash_signature_from_hashes(F.col("hv"), num_hashes)
+    )
 
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws("#", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "band_key"
-            ),
+        F.concat_ws(
+            "#", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         )
         for b in range(bands)
     ]
-    banded = sig.select("doc", "sh", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc", "sh", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key")
-    )
+    # bands carry only (doc, band_id, band_key) — no arrays through the
+    # shuffle
+    banded = sig.select("doc", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"))
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -108,20 +123,18 @@ def minhash_lsh_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
+    sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
     union = F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -162,7 +162,14 @@ def simhash16(toks: Column) -> Column:
 
 
 def simhash_bits(toks: Column, bits: int) -> Column:
-    hashes = F.transform(toks, md5_long)
+    return simhash_from_hashes(F.transform(toks, md5_long), bits)
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash from a pre-computed token-hash array column. Project the
+    hash array first (``withColumn("hs", transform(tokens, md5_long))``)
+    so md5 runs once, not once per bit-fold — the 16 aggregate
+    expressions here reference the materialized column."""
     total = F.lit(0).cast("long")
 
     def bit_folder(j: int):

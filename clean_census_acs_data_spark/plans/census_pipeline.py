@@ -81,3 +81,43 @@ def write_warehouse_layout(
         writer.option("header", True).csv(path)
     else:
         writer.parquet(path)
+
+
+def run_zcta_pipeline(
+    spark: SparkSession,
+    *,
+    table_name: str = "dp02",
+    year: int = 2017,
+    fetcher: R.FetchFn | None = None,
+    audit_path: str | None = None,
+    cast_measures: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's second pipeline (test_final_zcta.py): 2017
+    vintage, all ZCTAs in one request per dataset, geography column
+    `zip code tabulation area` probed from the response (its header
+    name contains spaces — kept verbatim through normalization)."""
+    cfg = C.DATASETS[table_name]
+    specs = C.zcta_request_specs(spark, year=year).where(f"table_name = '{table_name}'")
+    responses = R.fetch_responses(
+        specs,
+        fetcher=fetcher,
+        geo_for="zip code tabulation area:*",
+        geo_in_states=False,
+        num_partitions=4,
+    ).cache()
+    if audit_path:
+        append_audit(responses, audit_path)
+    ok, dead = R.split_dead_letters(responses)
+
+    expected = ["NAME"] + list(dict.fromkeys(cfg["variables"]))
+    decoded = R.decode_wire(ok, expected).drop("state_fips")
+
+    mapping = C.load_mapping_dict(spark)
+    out = T.normalize_columns(decoded)
+    out = T.apply_mapping(out, mapping)
+    labels = [mapping.get(v, v) for v in expected]
+    out = T.align_schema(out, ["TABLE_NAME"] + labels)
+    if cast_measures:
+        measure_labels = [mapping[v] for v in cfg["variables"] if v in mapping]
+        out = T.cast_clean(out, {c: "long" for c in measure_labels})
+    return out, dead

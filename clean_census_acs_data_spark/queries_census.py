@@ -23,3 +23,15 @@ def census_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table_name="dp02", fetcher=fake_census_fetcher, cast_measures=True
     )
     return clean
+
+
+@register("census_zcta_pipeline_e2e")  # rows-only check
+def census_zcta_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's second pipeline (test_final_zcta.py): single-shot
+    all-ZCTA fetch, geography column probed from the response. Offline
+    fake; sf_dir unused."""
+    from clean_census_acs_data_spark.plans.census_pipeline import run_zcta_pipeline
+    from clean_census_acs_data_spark.sources.fake_census import fake_zcta_fetcher
+
+    clean, _dead = run_zcta_pipeline(spark, table_name="dp02", fetcher=fake_zcta_fetcher)
+    return clean

@@ -105,3 +105,21 @@ def request_specs(
         .withColumn("year", F.lit(year))
         .select("table_name", "dataset", "year", "get_vars", "chunk_id", "state_chunk")
     )
+
+
+def zcta_request_specs(
+    spark: SparkSession,
+    *,
+    year: int = 2017,
+    datasets: dict[str, dict] | None = None,
+) -> DataFrame:
+    """The ZCTA request universe: ONE single-shot request per dataset
+    (test_final_zcta.py:191-193 — all ZCTAs at once, no chunking)."""
+    datasets = datasets or DATASETS
+    return spark.createDataFrame(
+        [
+            (name, cfg["dataset"], ",".join(["NAME"] + list(dict.fromkeys(cfg["variables"]))), year, 0, "")
+            for name, cfg in datasets.items()
+        ],
+        "table_name string, dataset string, get_vars string, year int, chunk_id int, state_chunk string",
+    ).select("table_name", "dataset", "year", "get_vars", "chunk_id", "state_chunk")

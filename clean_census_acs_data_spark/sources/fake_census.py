@@ -60,3 +60,26 @@ def fake_census_fetcher(url: str, params: dict[str, str]) -> tuple[int, dict[str
                             row.append(str(int(st) * 100 + idx))
                 rows.append(row)
     return 200, {"X-RateLimit-Remaining": "99", "Server": "fake"}, json.dumps([header] + rows)
+
+
+def fake_zcta_fetcher(url: str, params: dict[str, str]) -> tuple[int, dict[str, str], str]:
+    """Offline fake of the ZCTA endpoint: all-ZCTA single response with
+    the space-containing geography column (and no separate `state`
+    column, matching the probe path of test_final_zcta.py:196-198)."""
+    assert "in" not in params, "ZCTA requests carry no in= clause"
+    get_vars = params["get"].split(",")
+    header = get_vars + ["zip code tabulation area"]
+    rows = []
+    for z in range(5):
+        zcta = f"{50000 + z:05d}"
+        row = []
+        for col in header:
+            if col == "NAME":
+                row.append(f"ZCTA5 {zcta}")
+            elif col == "zip code tabulation area":
+                row.append(zcta)
+            else:
+                idx = get_vars.index(col)
+                row.append(str(z * 1000 + idx))
+        rows.append(row)
+    return 200, {"X-RateLimit-Remaining": "98"}, json.dumps([header] + rows)

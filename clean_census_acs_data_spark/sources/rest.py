@@ -85,6 +85,7 @@ def fetch_responses(
     fetcher: FetchFn | None = None,
     api_key: str | None = None,
     geo_for: str = "tract:*",
+    geo_in_states: bool = True,
     max_attempts: int = 5,
     backoff_base_s: float = 0.01,
     backoff_cap_s: float = 60.0,
@@ -107,11 +108,12 @@ def fetch_responses(
             out = []
             for row in pdf.itertuples(index=False):
                 url = build_census_url(int(row.year), row.dataset, base=base_url)
-                params = {
-                    "get": row.get_vars,
-                    "for": geo_for,
-                    "in": f"state:{row.state_chunk}",
-                }
+                params = {"get": row.get_vars, "for": geo_for}
+                if geo_in_states:
+                    # tract queries scope by state (Test_census_tract.py:
+                    # 162-164); ZCTA queries fetch all at once with no
+                    # `in=` clause (test_final_zcta.py:97-101)
+                    params["in"] = f"state:{row.state_chunk}"
                 if api_key:
                     params["key"] = api_key  # census_get key injection (:115-116)
                 status, headers, body, err = 0, {}, None, None

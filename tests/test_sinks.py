@@ -1,0 +1,62 @@
+"""Sink semantics tests: CSV round-trip with the reference's COPY null
+semantics (EMPTYASNULL BLANKSASNULL, Test_census_tract.py:277), and the
+warehouse layout writer's sort-within-partitions property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark import transforms as T
+
+
+def test_csv_roundtrip_empty_as_null(spark, tmp_path):
+    """CSV loses the empty-string/NULL distinction; the engine's read
+    path (nullValue='' + blank_to_null cleanup) reproduces Redshift
+    COPY EMPTYASNULL BLANKSASNULL."""
+    df = spark.createDataFrame(
+        [("1", "a"), ("2", ""), ("3", "  "), ("4", None)], ["id", "v"]
+    )
+    path = str(tmp_path / "csv")
+    df.write.option("header", True).mode("overwrite").csv(path)
+    back = spark.read.option("header", True).option("nullValue", "").csv(path)
+    cleaned = back.select("id", F.nullif(F.trim(F.col("v")), F.lit("")).alias("v"))
+    got = {r["id"]: r["v"] for r in cleaned.collect()}
+    assert got == {"1": "a", "2": None, "3": None, "4": None}
+
+
+def test_layout_writer_sorts_within_partitions(spark, tmp_path):
+    """Each written file must be internally sorted on the sort keys
+    (the SORTKEY analog → parquet row-group stats enable skipping)."""
+    import glob
+
+    from clean_census_acs_data_spark.plans.census_pipeline import write_warehouse_layout
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("string").alias("STATE_FIPS"),
+        (F.col("id") % 13).cast("string").alias("COUNTY"),
+        F.col("id").cast("string").alias("TRACT"),
+    )
+    out = str(tmp_path / "layout")
+    write_warehouse_layout(df, out, num_files=4)
+    files = [f for f in glob.glob(f"{out}/part-*.parquet")]
+    assert len(files) == 4
+    import pyarrow.parquet as pq
+
+    for f in files:
+        t = pq.read_table(f).to_pydict()
+        keys = list(zip(t["STATE_FIPS"], t["COUNTY"], t["TRACT"]))
+        assert keys == sorted(keys)
+
+
+def test_union_then_write_preserves_all_rows(spark, tmp_path):
+    """pd.concat → unionByName parity under a real write/read cycle."""
+    a = spark.createDataFrame([(1, "x")], ["id", "a_only"])
+    b = spark.createDataFrame([(2, "y")], ["id", "b_only"])
+    u = T.union_all(
+        [T.align_schema(a, ["id", "a_only", "b_only"]), T.align_schema(b, ["id", "a_only", "b_only"])]
+    )
+    path = str(tmp_path / "u")
+    u.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert set(back.columns) == {"id", "a_only", "b_only"}
