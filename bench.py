@@ -34,6 +34,9 @@ HEADLINE = [
     "window_running",
     "topk_orders",
     "salted_agg_skew",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "scalar_subquery_smallqty",
     # event-time / temporal
     "tumbling_window_agg",
     "sliding_window_agg",

@@ -756,3 +756,4 @@ from clean_census_acs_data_spark import queries_windows  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_census  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_multimodal  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_scale  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_breadth  # noqa: E402,F401
