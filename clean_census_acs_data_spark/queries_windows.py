@@ -291,3 +291,17 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark — bounded-state streaming dedup."""
     return W.streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@register("streaming_stateful_sessions")  # rows-only check
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState sessionizer
+    (user-defined state struct + event-time timeouts), replayed over
+    deterministic time-ordered micro-batches. The general form of
+    custom streaming state that built-in session_window can't express
+    (streaming/stateful.py)."""
+    from clean_census_acs_data_spark.streaming.stateful import (
+        sessionize_events_availablenow,
+    )
+
+    return sessionize_events_availablenow(spark, sf_dir)

@@ -182,3 +182,91 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
 
     ids = sorted(r["event_id"] for r in _run_stream(spark, path, agg, schema).collect())
     assert ids == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState custom sessionizer (streaming/stateful.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_session_batch(path, rows):
+    """rows: (user_id, ts, value_cents). One parquet file per call,
+    increasing mtimes (same contract as _write_batch)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    seq = _BATCH_SEQ.get(path, 0)
+    _BATCH_SEQ[path] = seq + 1
+    table = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value_cents": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    fp = os.path.join(path, f"b{seq}.parquet")
+    pq.write_table(table, fp)
+    t = 1_700_000_000 + seq * 3600
+    os.utime(fp, (t, t))
+
+
+def test_stateful_sessionizer_semantics(spark, tmp_path):
+    """In-data gap closes a session immediately; watermark-passed
+    timeout closes a session across batches; trailing sessions stay in
+    state (append semantics)."""
+    from clean_census_acs_data_spark.streaming.stateful import sessionize_with_state
+
+    path = str(tmp_path / "sess")
+    d = lambda h, m=0: TS(2024, 1, 1, h, m)  # noqa: E731
+    # batch0: user1 session A (10:00,10:10) then 12:00 (> 30min gap →
+    # closes A in-batch); user2 starts at 12:00
+    _write_session_batch(path, [(1, d(10), 100), (1, d(10, 10), 50), (1, d(12), 10), (2, d(12), 7)])
+    # batch1: user2 at 14:00 → gap closes user2's 12:00 session in-batch;
+    # watermark advances to 11:50
+    _write_session_batch(path, [(2, d(14), 20)])
+    # batch2: user2 at 16:00 → closes the 14:00 session in-batch; the
+    # now-13:50 watermark fires user1's 12:00 session timeout (12:30)
+    _write_session_batch(path, [(2, d(16), 3)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    import uuid as _uuid
+
+    name = f"s_{_uuid.uuid4().hex[:10]}"
+    q = (
+        sessionize_with_state(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
+        for r in spark.table(name).collect()
+    }
+    assert got == {
+        (1, d(10), d(10, 10), 2, 150),   # closed by in-data gap (batch0)
+        (2, d(12), d(12), 1, 7),          # closed by in-data gap (batch1)
+        (1, d(12), d(12), 1, 10),         # closed by event-time timeout (batch2)
+        (2, d(14), d(14), 1, 20),         # closed by in-data gap (batch2)
+        # user2's 16:00 session remains in state — never emitted
+    }
+
+
+def test_stateful_sessions_query_runs(spark):
+    """The registered rows-only query is deterministic across runs."""
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    a = QUERIES["streaming_stateful_sessions"](spark, "/root/testdata/sf0.001")
+    rows_a = sorted(map(tuple, a.collect()))
+    assert len(rows_a) > 0
+    b = QUERIES["streaming_stateful_sessions"](spark, "/root/testdata/sf0.001")
+    assert rows_a == sorted(map(tuple, b.collect()))
