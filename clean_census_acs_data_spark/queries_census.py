@@ -35,3 +35,32 @@ def census_zcta_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clean, _dead = run_zcta_pipeline(spark, table_name="dp02", fetcher=fake_zcta_fetcher)
     return clean
+
+
+@register("census_rest_datasource")  # rows-only check
+def census_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census REST source as a *registered Python Data Source*
+    (Spark 4 DataSource API): partitions() = the reference's state
+    chunks, executor-side fetch with retry, plan-time schema with
+    NULL-fill alignment (sources/census_datasource.py). Offline fake;
+    sf_dir unused."""
+    from clean_census_acs_data_spark.sources.census_datasource import (
+        register_census_datasource,
+    )
+
+    register_census_datasource(spark)
+    df = (
+        spark.read.format("census_rest")
+        .option("year", 2023)
+        .option("dataset", "acs/acs5/profile")
+        .option("get_vars", "NAME,DP02_0060E,DP02_0061E,DP02_0062E")
+        .option("states", "01,02,04,06,09,12")
+        .option("chunk_size", 3)
+        .option(
+            "fetcher",
+            "clean_census_acs_data_spark.sources.fake_census:fake_census_fetcher",
+        )
+        .option("max_attempts", 2)
+        .load()
+    )
+    return df

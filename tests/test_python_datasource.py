@@ -1,0 +1,81 @@
+"""Python Data Source connector (sources/census_datasource.py):
+partition planning = state chunks, NULL-fill schema alignment,
+dead-letter skip policy, retry exhaustion failure."""
+
+from __future__ import annotations
+
+import pytest
+
+from clean_census_acs_data_spark.sources.census_datasource import (
+    CensusRestDataSource,
+    _chunks,
+    register_census_datasource,
+)
+
+FAKE = "clean_census_acs_data_spark.sources.fake_census:fake_census_fetcher"
+
+
+def _read(spark, **overrides):
+    register_census_datasource(spark)
+    opts = {
+        "year": 2023,
+        "dataset": "acs/acs5/profile",
+        "get_vars": "NAME,DP02_0060E,DP02_0061E,DP02_0062E",
+        "states": "01,02,04,06,09,55,12",
+        "chunk_size": 3,
+        "fetcher": FAKE,
+        "max_attempts": 2,
+        "backoff_base_s": 0.001,
+    }
+    opts.update(overrides)
+    r = spark.read.format("census_rest")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_chunking_matches_reference():
+    # chunk_list(states, 3) semantics (Test_census_tract.py:329-331)
+    assert _chunks(["a", "b", "c", "d", "e"], 3) == [["a", "b", "c"], ["d", "e"]]
+
+
+def test_partitions_are_state_chunks(spark):
+    df = _read(spark)
+    assert df.rdd.getNumPartitions() == 3  # ceil(7 states / chunk_size 3)
+
+
+def test_schema_and_null_fill_alignment(spark):
+    df = _read(spark)
+    assert df.columns == [
+        "NAME", "DP02_0060E", "DP02_0061E", "DP02_0062E",
+        "state", "county", "tract", "state_fips",
+    ]
+    rows = df.collect()
+    # chunk [01,02,04]: fake drops the last requested var → NULL-filled
+    st01 = [r for r in rows if r.state_fips == "01"]
+    assert st01 and all(r.DP02_0062E is None for r in st01)
+    # chunk [06,09,55]: the fake returns an empty body when 09 is in the
+    # chunk (empty-relation guard); chunk [12] carries an extra unmapped
+    # column that the fixed plan-time schema drops
+    assert not [r for r in rows if r.state_fips in ("06", "09", "55")]
+    st12 = [r for r in rows if r.state_fips == "12"]
+    assert st12 and "DPXX_9999E" not in df.columns
+    # all cells are strings (all-string wire tier)
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+
+def test_dead_letter_skip_policy(spark):
+    # state 05 → HTTP 500 every attempt; on_error=skip drops the chunk
+    df = _read(spark, states="05,06", chunk_size=1, on_error="skip")
+    fips = {r.state_fips for r in df.collect()}
+    assert fips == {"06"}
+
+
+def test_retry_exhaustion_fails_task(spark):
+    df = _read(spark, states="05", chunk_size=1)  # default on_error=fail
+    with pytest.raises(Exception, match="HTTP 500|census fetch failed"):
+        df.collect()
+
+
+def test_datasource_name():
+    assert CensusRestDataSource.name() == "census_rest"
