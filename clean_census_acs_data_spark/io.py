@@ -47,6 +47,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's core count before a
+    compute-heavy row-local stage. The local test files are single
+    row-group parquet, which scans as 1-2 input partitions — per-row
+    compute (md5 shingling, dot products, feature extraction) would
+    serialize on 2 of 32 cores. At 100 TB the source has thousands of
+    row groups and this becomes a no-op choice; the shuffle it adds here
+    moves only the raw input rows, far cheaper than the compute it
+    parallelizes. Only used by operators whose per-row cost dominates
+    the scan (never scan/filter/agg queries, which must keep their
+    pushdown-friendly narrow plans)."""
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

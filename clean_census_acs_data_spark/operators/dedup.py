@@ -87,7 +87,12 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    from clean_census_acs_data_spark.io import spread
+
     rows_per_band = num_hashes // bands
+    # parallelize the md5-shingling stage across all cores regardless of
+    # source file layout (single-row-group local files scan as ≤2 splits)
+    docs = spread(docs)
     toks = tokens(F.col(text_col))
     sh = F.array_distinct(shingles(toks, shingle_n))
     # shingle table computed once and cached: reused by the two sides of
@@ -99,6 +104,12 @@ def minhash_lsh_pairs(
         .where(F.size("sh") > 0)
         .cache()
     )
+    # materialize the cache NOW: four downstream subtrees (both sides of
+    # the band self-join, both verification probes) consume sh_tbl inside
+    # one job — with a lazy cache their stages run concurrently and each
+    # recomputes the shingle+md5 pass (~4× the dominant cost). At 100 TB
+    # this stage is persisted to storage, not executor memory.
+    sh_tbl.count()
     hv = F.transform(F.col("sh"), lambda s: md5_long(s) % F.lit(MINHASH_M))
     sig = sh_tbl.select("doc", hv.alias("hv")).select(
         "doc", *minhash_signature_from_hashes(F.col("hv"), num_hashes)

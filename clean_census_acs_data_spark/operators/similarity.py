@@ -65,11 +65,13 @@ def brute_force_topk(
     The query vector is a 1-row broadcast cross join — idiomatic Spark
     for a scalar parameter: no collect on the scoring path, the scan
     side streams once."""
+    from clean_census_acs_data_spark.io import spread
+
     q = emb.where(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("__qvec"), norm2_int(F.col(vec_col)).alias("__qn2")
     )
     scored = (
-        emb.where(F.col(id_col) != query_id)
+        spread(emb.where(F.col(id_col) != query_id))
         .crossJoin(F.broadcast(q))
         .select(
             F.col(id_col),
@@ -128,7 +130,12 @@ def lsh_topk(
     Returns (vec_id, cosine, bucket). Recall < 1 by design — the trade
     is a 2^planes-fold candidate reduction; at scale buckets are
     partition keys and a probe prunes to one partition."""
+    from clean_census_acs_data_spark.io import spread
+
     signs = hyperplane_signs(planes, dim)
+    # the 2^planes sign-dot computation is the per-row hot path — spread
+    # it across cores (see io.spread)
+    emb = spread(emb)
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), signs).alias("bucket")
     )

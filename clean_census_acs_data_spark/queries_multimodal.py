@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.io import load_table, spread
 from clean_census_acs_data_spark.operators.multimodal import extract_features, synthesize_media
 from clean_census_acs_data_spark.queries import register
 
@@ -29,5 +29,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode step is a documented stub (no codecs in this env); byte-level
     features prove schema/batching/binary round-trip. Stateless per-batch
     Python: scales linearly, AQE can split skew."""
+    # no spread() here: mapInPandas spawns one Python worker per
+    # partition, and worker startup dominates at local scale; at 100 TB
+    # the scan's natural partitioning already parallelizes the Python
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
