@@ -1,0 +1,299 @@
+"""Advanced-analytics tier: offset/distribution window functions,
+exact moments (variance/stddev) from integer sums, arg-min/max and
+conditional aggregates, ordered string aggregation, extended date
+arithmetic, exact interpolated percentiles.
+
+Determinism notes per query; the recurring trick is the one from
+queries.py — do all accumulation in exact integer/decimal space and
+spend at most one double division/sqrt at the very end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clean_census_acs_data_spark.functions import cents
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# offset windows: lag / lead / first_value / last_value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_offsets",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey)  OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           CAST(date_diff('day',
+                CAST(LAG(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window pack (lag/lead/first/last + day gap to previous
+    order). Total ordering via the unique orderkey tiebreak makes every
+    offset deterministic. One shuffle on the partition key; offsets are
+    O(1) per row within the sorted frame."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution windows: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4)       OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window pack. percent_rank/cume_dist are single
+    double divisions over exact integer ranks/counts → bit-portable;
+    ntile is pure integer. Unique tiebreak (custkey) keeps rank
+    assignment total."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact moments: variance / stddev from integer power sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s2
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)                      AS mean_cents,
+           CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)    AS var_pop,
+           SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) AS std_pop
+    FROM s
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/stddev computed from exact integer power
+    sums (n, Σx, Σx²) instead of the engines' streaming Welford
+    aggregates (whose intermediate rounding is engine-specific and NOT
+    bit-portable). n·s2 − s1² stays in 128-bit exact space (decimal in
+    Spark, hugeint in DuckDB); one double division + one sqrt at the
+    end. Same single-shuffle partial-agg shape as any groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    dec = "decimal(38,0)"
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c.cast(dec)).alias("s1"),
+        F.sum((c * c).cast(dec)).alias("s2"),
+    )
+    num = (F.col("n").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    den = (F.col("n") * F.col("n")).cast("double")
+    return s.select(
+        "o_orderpriority",
+        "n",
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias("mean_cents"),
+        (num / den).alias("var_pop"),
+        F.sqrt(num / den).alias("std_pop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# arg-max / conditional / boolean aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_argmax_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+             AS biggest_order,
+           arg_min(o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+             AS smallest_order,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           bool_and(o_totalprice > 0)                  AS all_positive,
+           bool_or(o_orderstatus = 'P')                AS any_pending
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max), filtered count, and boolean aggregates.
+    The arg-max comparand is made *unique* (cents·10^7 + orderkey) —
+    plain max_by on a tied value is free to return either row on
+    either engine, so determinism requires a total comparand. All are
+    partial-aggregable: one shuffle of |groups| rows."""
+    o = _t(spark, sf_dir, "orders")
+    comparand = cents("o_totalprice") * F.lit(10_000_000) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", comparand).alias("biggest_order"),
+        F.min_by("o_orderkey", comparand).alias("smallest_order"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_agg_sorted",
+    oracle="""
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS customer_csv,
+           COUNT(*) AS n_sampled
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey % 199 = 0
+    GROUP BY n_name
+    """,
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string_agg: collect_list is unordered in a distributed
+    engine (assembly order = task completion order), so determinism
+    requires an explicit array_sort before joining. The sampled filter
+    bounds the aggregated string; at scale an unbounded string agg is
+    an anti-pattern (collect the top-k instead)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 199 == 0)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("customer_csv"),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# extended date arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP)   AS due_ts,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end_ts,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER)
+                                                               AS days_to_1999,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow_sunday0,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+           CAST(make_date(2000, CAST(MONTH(o_orderdate) AS INTEGER), 1) AS TIMESTAMP)
+                                                               AS anchor_month_ts
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date pack: day offsets, month boundaries, day-of-week
+    (normalized to Sunday=0 on both engines — Spark's dayofweek is
+    1-based, DuckDB's is 0-based), ISO week, date construction. Date
+    results are surfaced as timestamps on both sides: DuckDB's
+    pandas bridge is inconsistent about DATE (object vs datetime64
+    per function), so the comparable type is TIMESTAMP. All codegen'd
+    integer calendar math."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 37 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 90).cast("timestamp").alias("due_ts"),
+        F.last_day(d).cast("timestamp").alias("month_end_ts"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("days_to_1999"),
+        (F.dayofweek(d) - 1).alias("dow_sunday0"),
+        F.weekofyear(d).alias("iso_week"),
+        F.make_date(F.lit(2000), F.month(d), F.lit(1))
+        .cast("timestamp")
+        .alias("anchor_month_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact interpolated percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25) AS p25_cents,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.50) AS p50_cents,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.75) AS p75_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles over integer cents. Both
+    engines use rank = p·(n−1) with linear interpolation between exact
+    integers — the interpolation is one double multiply-add on
+    identical operands, so results are bit-identical. The exact
+    percentile requires a per-group sort (vs percentile_approx's
+    mergeable sketch, see approx_distinct_sketch, which is the 100-TB
+    path)."""
+    o = _t(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(c, 0.25).alias("p25_cents"),
+        F.percentile(c, 0.50).alias("p50_cents"),
+        F.percentile(c, 0.75).alias("p75_cents"),
+    )

@@ -133,3 +133,63 @@ def test_whole_stage_codegen_active(plans):
     (the '*(n)' markers in simple explain)."""
     for name in ["q1_pricing_summary", "scan_project_filter", "broadcast_join_dim"]:
         assert "*(1)" in plans[name + "/simple"], name
+
+
+def test_q3_topk_heap_and_pushdown(plans):
+    p = plans["tpch_q3_shipping_priority"]
+    assert "TakeOrderedAndProject" in p  # top-10, never a global sort
+    assert "PushedFilters: [" in p       # segment/date filters reach scans
+
+
+def test_q5_broadcasts_dims_single_fact_shuffle(plans):
+    p = plans["tpch_q5_local_supplier"]
+    # supplier/nation/region (and the filtered customer side at this SF)
+    # must broadcast; only the fact-fact join may shuffle
+    assert count_nodes(p, "BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_unpivot_single_scan_expand(plans):
+    p = plans["unpivot_measures"]
+    assert count_nodes(p, "Expand") == 1
+    # one scan, not the oracle's UNION ALL double-scan
+    assert count_nodes(p, "Scan parquet") == 1
+
+
+def test_pivot_two_phase_aggregate(plans):
+    # Spark plans pivot as agg on (key, pivot-col) then a pivotfirst
+    # agg on key — two shuffles total, both on |groups|-sized inputs
+    p = plans["pivot_status"]
+    assert count_nodes(p, "Exchange") == 2
+    assert "pivotfirst" in p
+
+
+def test_rowlocal_queries_have_no_shuffle(plans):
+    # pure projections/filters/generators must stay narrow: zero exchanges
+    for name in [
+        "scan_project_filter", "rename_normalize", "cast_clean",
+        "string_scalars", "date_scalars", "json_scalars", "math_scalars",
+        "regexp_scalars", "explode_tokens", "map_prefix_filter",
+        "array_higher_order", "hash_sample", "text_stats",
+        "date_arithmetic",
+    ]:
+        assert count_nodes(plans[name], "Exchange") == 0, name
+
+
+def test_generators_present(plans):
+    assert "Generate" in plans["explode_tokens"]
+    assert "Generate" in plans["map_prefix_filter"]
+
+
+def test_scalar_subquery_reuses_aggregate_shape(plans):
+    p = plans["scalar_subquery_smallqty"]
+    # per-part agg + final 1-row agg: at least two aggregation pairs,
+    # and the join must be on the partkey (no nested loop)
+    assert count_nodes(p, "HashAggregate") >= 3
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_stats_moments_single_shuffle(plans):
+    p = plans["stats_moments"]
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "HashAggregate") == 2
