@@ -267,6 +267,174 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time-series: hourly resample + gap fill + forward fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_forward",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE user_id < 5),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n_events
+      FROM ev GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spine_hours AS (
+      SELECT unnest(generate_series(
+        (SELECT date_trunc('hour', MIN(ts)) FROM ev),
+        (SELECT date_trunc('hour', MAX(ts)) FROM ev),
+        INTERVAL 1 HOUR)) AS h
+    ),
+    spine AS (
+      SELECT u.user_id, s.h
+      FROM (SELECT DISTINCT user_id FROM ev) u, spine_hours s
+    )
+    SELECT spine.user_id, spine.h,
+           COALESCE(hourly.n_events, 0) AS n_events,
+           last_value(hourly.cents IGNORE NULLS) OVER (
+             PARTITION BY spine.user_id ORDER BY spine.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents
+    FROM spine LEFT JOIN hourly
+      ON spine.user_id = hourly.user_id AND spine.h = hourly.h
+    """,
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: bucket events hourly, build the dense
+    user×hour spine (sequence + explode — the hypertable-rollup shape),
+    left-join observations, forward-fill gaps with
+    last(ignorenulls) over an ordered frame. The spine cross join is
+    |users|·|hours| rows *by definition of the output* — at scale the
+    spine generates per-partition (explode of a per-user sequence),
+    never a shuffled cartesian; the only shuffle is the final window by
+    user."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(cents("value")).alias("cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    # per-user spine: explode a per-row sequence — a Generate, not a
+    # shuffled cartesian (each user row expands locally)
+    users = ev.select("user_id").distinct()
+    spine = (
+        users.join(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# data profiling: one pass over all columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+           COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax)
+    FROM lineitem
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null rate, cardinality, range) for a
+    training-data quality report — in ONE scan: unpivot the measured
+    columns to (column_name, value) rows via a single Expand, then one
+    grouped aggregate. The oracle's UNION ALL form scans the table once
+    per column; at 100 TB that difference is the whole game. (For
+    approximate profiling at extreme cardinality swap count_distinct
+    for approx_count_distinct — see approx_distinct_sketch.)"""
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity", "l_discount", "l_tax")
+    tall = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="column_name",
+        valueColumnName="value",
+    )
+    return tall.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL interface: one query text, two engines
+# ---------------------------------------------------------------------------
+
+_SQL_BOTH_ENGINES = """
+WITH rev AS (
+  SELECT n_name,
+         CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS revenue_cents
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, YEAR(o_orderdate)
+)
+SELECT n_name, order_year, revenue_cents, rnk FROM (
+  SELECT n_name, order_year, revenue_cents,
+         RANK() OVER (PARTITION BY order_year
+                      ORDER BY revenue_cents DESC, n_name) AS rnk
+  FROM rev
+)
+WHERE rnk <= 3
+"""
+
+
+@register("sql_interface_rank", oracle=_SQL_BOTH_ENGINES)
+def sql_interface_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the *identical ANSI SQL text* (CTE + 4-way
+    join + agg + window rank) runs via spark.sql() on registered views
+    and via DuckDB as its own oracle — proving dialect-portable SQL
+    parity, not just DataFrame parity. Catalyst plans it exactly like
+    the DataFrame form (broadcast dims, partial agg, single window
+    shuffle)."""
+    from clean_census_acs_data_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_BOTH_ENGINES)
+
+
+# ---------------------------------------------------------------------------
 # exact interpolated percentiles
 # ---------------------------------------------------------------------------
 

@@ -293,6 +293,17 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.streaming_dedup_within_watermark(spark, sf_dir)
 
 
+@register("streaming_interval_join")  # rows-only check
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (views ⋈ same-user clicks within 30
+    minutes) with watermarked, evictable state on both sides — the
+    canonical unbounded-join shape. Batch-verifiable: the inner-join
+    result equals the static join (streaming only changes *when* rows
+    emit, not which rows, for an inner join whose inputs are fully
+    replayed), checked in tests/test_streaming.py."""
+    return W.streaming_interval_join(spark, sf_dir)
+
+
 @register("streaming_stateful_sessions")  # rows-only check
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionizer

@@ -128,3 +128,46 @@ def streaming_dedup_within_watermark(
     ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     return _run_to_memory(deduped.select("event_id", "user_id", "event_type", "ts"))
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    watermark: str = "10 minutes",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each view joined to the same user's
+    clicks within [view_ts, view_ts + within]. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    the state store can evict rows once the watermark passes — the
+    *requirement* for an unbounded stream-stream join (without the
+    time bound, both sides' state grows forever). State is partitioned
+    by the equi-join key (user_id)."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("view_id", "click_id", F.col("v_user").alias("user_id"), "view_ts", "click_ts")
+    return _run_to_memory(joined)

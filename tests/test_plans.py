@@ -95,8 +95,15 @@ def test_window_topk_group_limit(plans):
 def test_no_degenerate_joins_anywhere(plans):
     # deliberate exceptions: similarity queries cross-join a broadcast
     # 1-row query vector; the census request universe is a 4×17 config
-    # cross (metadata, not data)
-    allowed_cross = {"similarity_topk", "similarity_lsh_topk", "embedding_cosine_neardup", "census_pipeline_e2e"}
+    # cross (metadata, not data); gap_fill crosses users with a broadcast
+    # 1-row min/max bounds frame to build the resample spine
+    allowed_cross = {
+        "similarity_topk",
+        "similarity_lsh_topk",
+        "embedding_cosine_neardup",
+        "census_pipeline_e2e",
+        "gap_fill_forward",
+    }
     for name, p in plans.items():
         base = name.split("/")[0]
         if base in allowed_cross:

@@ -270,3 +270,41 @@ def test_stateful_sessions_query_runs(spark):
     assert len(rows_a) > 0
     b = QUERIES["streaming_stateful_sessions"](spark, "/root/testdata/sf0.001")
     assert rows_a == sorted(map(tuple, b.collect()))
+
+
+def test_interval_join_matches_batch(spark):
+    """For an inner interval join over a fully-replayed input, the
+    streaming result set must equal the static-DataFrame join — the
+    watermark affects state eviction timing, never inner-join
+    membership."""
+    from clean_census_acs_data_spark.io import load_table
+    from clean_census_acs_data_spark.streaming.windows import streaming_interval_join
+
+    sf = "/root/testdata/sf0.001"
+    streamed = streaming_interval_join(spark, sf)
+    got = {tuple(r) for r in streamed.collect()}
+
+    ev = load_table(spark, sf, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        tuple(r)
+        for r in views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("view_id", "click_id", F.col("v_user").alias("user_id"), "view_ts", "click_ts")
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
