@@ -46,6 +46,7 @@ HEADLINE = [
     # training-data pipeline tier
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_simhash",
     "text_stats",
     "text_quality_score",
@@ -53,6 +54,14 @@ HEADLINE = [
     "similarity_topk",
     "similarity_lsh_topk",
     "multimodal_features",
+    "stratified_split",
+    "profile_columns",
+    # analytics tier
+    "window_offsets",
+    "percentile_exact",
+    "stats_moments",
+    "gap_fill_forward",
+    "sql_interface_rank",
 ]
 
 

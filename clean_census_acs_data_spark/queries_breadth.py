@@ -452,6 +452,48 @@ def scalar_subquery_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM assigned
+    GROUP BY lang, CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END
+    """,
+)
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content
+    hash — stable across runs, engines, partitioning, and re-ingestion
+    (df.sample() is none of those). Per-language counts verify the
+    split is balanced within strata. Row-local assignment, one
+    aggregation shuffle."""
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+@register(
     "hash_sample",
     oracle="""
     SELECT doc_id, text

@@ -19,6 +19,12 @@ boundary batches whole key groups per micro-batch — no per-row Python.
 Reference lineage: the reference has no streaming at all (SURVEY.md
 §2B); its nearest analog is the sequential chunk loop
 (Test_census_tract.py:342-344) = hand-rolled micro-batching.
+
+API note: Spark 4 also offers transformWithStateInPandas (richer
+state: ValueState/ListState/MapState + timers). Its Python driver
+worker requires google.protobuf, which is unavailable in this
+environment — probed and gated out; applyInPandasWithState expresses
+the same sessionization with a single state struct.
 """
 
 from __future__ import annotations
