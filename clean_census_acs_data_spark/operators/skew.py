@@ -46,3 +46,40 @@ def salted_sum_count(
         *[F.sum(f"__p_{name}").alias(name) for name in sum_exprs],
         F.sum("__p_cnt").alias("n_rows"),
     )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    *,
+    large_key: str,
+    small_key: str,
+    salt_col: Column,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the large side gets a deterministic salt in
+    [0, salt_buckets); the small side is replicated once per salt value
+    (explode of a literal sequence); the join key becomes
+    (key, salt) — a hot key's rows now land on ``salt_buckets``
+    reducers instead of one.
+
+    Semantically identical to ``large.join(small, key, how)`` for
+    inner/left joins (each large row matches exactly the replica
+    carrying its own salt). Cost: small side inflates ×salt_buckets —
+    acceptable precisely when the small side is small; for
+    broadcast-able sides prefer F.broadcast (no shuffle at all), and
+    for sort-merge joins of two large tables prefer AQE skew-join
+    splitting (spark.sql.adaptive.skewJoin). Manual salting is the tool
+    when the hot key is known and AQE's split granularity isn't enough.
+
+    ``salt_col`` must be deterministic (derived from row content, not
+    rand()) so results are reproducible and oracle-checkable."""
+    salted_large = large.withColumn("__salt", (salt_col % salt_buckets).cast("int"))
+    replicas = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    cond = (salted_large[large_key] == replicas[small_key]) & (
+        salted_large["__salt"] == replicas["__salt"]
+    )
+    return salted_large.join(replicas, cond, how).drop(replicas["__salt"]).drop("__salt")

@@ -46,6 +46,45 @@ def salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted equi-join: the (conceptually skewed) lineitem
+    side is salted into 16 deterministic buckets; the filtered orders
+    side is replicated ×16 with an exploded salt column; joining on
+    (key, salt) spreads any hot key across 16 reducers. Result is
+    bit-identical to the plain join the oracle runs — salting changes
+    the physical distribution, never the semantics
+    (operators/skew.py:salted_join)."""
+    from clean_census_acs_data_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        li,
+        o,
+        large_key="l_orderkey",
+        small_key="o_orderkey",
+        salt_col=F.col("l_linenumber") + F.col("l_orderkey"),
+        salt_buckets=16,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+@register(
     "token_frequencies",
     oracle="""
     SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs

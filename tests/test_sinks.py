@@ -60,3 +60,40 @@ def test_union_then_write_preserves_all_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 2
     assert set(back.columns) == {"id", "a_only", "b_only"}
+
+
+def test_permissive_read_quarantines_corrupt_rows(spark, tmp_path):
+    """The reference skips malformed chunks and logs them
+    (Test_census_tract.py:392-394, SURVEY.md §2A row 43). The engine
+    analog: mode=PERMISSIVE parses what it can and quarantines broken
+    rows into _corrupt_record — a dead-letter column, not a dropped
+    chunk and not a failed job (FAILFAST)."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 3, "v": "fine"}\n'
+        '{"id": 4, "v":\n'
+    )
+    df = (
+        spark.read.schema("id LONG, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r.id: r.v for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {1: "ok", 3: "fine"}
+    assert len(bad) == 2  # both malformed lines quarantined, none lost
+
+    # FAILFAST is the opposite policy: same input must raise
+    import pytest as _pytest
+
+    strict = (
+        spark.read.schema("id LONG, v STRING")
+        .option("mode", "FAILFAST")
+        .json(str(p))
+    )
+    with _pytest.raises(Exception, match="Malformed|FAILFAST"):
+        strict.collect()
