@@ -1,0 +1,33 @@
+"""COVERAGE.md stays honest: every backticked query name it mentions
+must exist in the registry, and every registry entry must be mentioned."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from clean_census_acs_data_spark.queries import QUERIES
+
+DOC = Path(__file__).resolve().parent.parent / "COVERAGE.md"
+
+
+def _mentioned() -> set[str]:
+    text = DOC.read_text()
+    names = set(re.findall(r"`([a-z0-9_]+)`", text))
+    return {n for n in names if not n.endswith((".py", ".md", ".json"))}
+
+
+def test_every_mentioned_query_exists():
+    ghosts = {
+        n
+        for n in _mentioned()
+        if n in QUERIES or re.fullmatch(r"[a-z0-9]+(_[a-z0-9]+)+", n)
+    } - set(QUERIES) - {"queries", "oracle_sql", "tests", "test_coverage_doc"}
+    # names that look like query ids (snake_case) must resolve
+    ghosts = {g for g in ghosts if not g.startswith("test_")}
+    assert not ghosts, f"COVERAGE.md mentions unknown queries: {sorted(ghosts)}"
+
+
+def test_every_query_is_documented():
+    missing = set(QUERIES) - _mentioned()
+    assert not missing, f"queries absent from COVERAGE.md: {sorted(missing)}"

@@ -97,3 +97,32 @@ def test_permissive_read_quarantines_corrupt_rows(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="Malformed|FAILFAST"):
         strict.collect()
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    """Hive-style partitionBy write → reading with a partition predicate
+    must prune directories at plan time (PartitionFilters), the Spark
+    form of the reference's source-side `in=state:...` pushdown
+    (SURVEY.md §2A row 16): at 100 TB this is the difference between
+    scanning one state and scanning the country."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from clean_census_acs_data_spark.io import load_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the predicate must appear as a partition filter, not a data filter
+    pf_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "event_type" in pf_line
+    # and the answer is still right
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert back.count() == n_click
