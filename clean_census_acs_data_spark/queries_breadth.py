@@ -132,6 +132,49 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF (Spark 4 user-defined table function)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_tokenize",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 53 = 0
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, t[u.i] AS token
+    FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)
+    """,
+)
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tokenization as explode_tokens, but through a Python
+    UDTF + LATERAL join — Spark 4's user-defined table function API
+    (SURVEY.md §2B UDF/UDAF/UDTF row). Produces identical results to
+    the built-in explode; kept alongside it deliberately: UDTFs are
+    row-at-a-time Python (the slow path — use them only for generators
+    that built-ins can't express, e.g. calling an external library per
+    row), and having both lets the bench quantify that gap."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")):
+                yield i, t
+
+    spark.udtf.register("udtf_tokenize_fn", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM __udtf_docs d, LATERAL udtf_tokenize_fn(d.text) t
+        WHERE d.doc_id % 53 = 0
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # higher-order array functions
 # ---------------------------------------------------------------------------
 

@@ -308,3 +308,41 @@ def test_interval_join_matches_batch(spark):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """File-sink exactly-once across restarts: run an AvailableNow query
+    to completion, add new input files, rerun with the SAME checkpoint —
+    the sink must contain every input row exactly once (old batches are
+    not reprocessed; new files are). This is the recovery contract that
+    replaces the reference's rerun-everything failure mode."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    d = lambda h: TS(2024, 1, 1, h)  # noqa: E731
+
+    _write_session_batch(src, [(1, d(1), 10), (2, d(2), 20)])
+
+    def run_once():
+        q = (
+            spark.readStream.schema("user_id long, ts timestamp, value_cents long")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert {(r.user_id, r.value_cents) for r in first} == {(1, 10), (2, 20)}
+
+    # new data arrives; restart from the same checkpoint
+    _write_session_batch(src, [(3, d(3), 30)])
+    run_once()
+    rows = spark.read.parquet(sink).collect()
+    got = sorted((r.user_id, r.value_cents) for r in rows)
+    assert got == [(1, 10), (2, 20), (3, 30)]  # no dupes, nothing lost
