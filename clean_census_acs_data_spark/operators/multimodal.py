@@ -118,3 +118,71 @@ def extract_features(
             yield out
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, *, frame_bytes: int = 16, stride: int = 4, checksum_mod: int = 997
+) -> DataFrame:
+    """Frame sampling over opaque payloads: split each payload into
+    fixed-width byte frames, keep every ``stride``-th one — the video
+    frame-sample shape (1 input row → N output rows) as an Arrow-batched
+    generator. A real decoder would replace the byte-windowing with
+    codec frame extraction; schema/batching/fan-out are identical.
+    Stateless per batch → linear scale, AQE splits skew."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, -(-len(b) // frame_bytes))
+                for fi in range(0, n_frames, stride):
+                    fr = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(aid)
+                    idxs.append(fi)
+                    lens.append(len(fr))
+                    sums.append(sum(fr) % checksum_mod)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_payload(
+    media: DataFrame,
+    *,
+    target_bytes: int = 64,
+    resizer: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: transform each payload to a fixed byte budget.
+    A real image resize needs a codec (inject ``resizer``); the default
+    deterministic stand-in truncates — preserving the contract the
+    downstream cares about (bounded payload size, same schema). Binary
+    in, binary out, per-batch Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fn = resizer or (lambda b, n: b[:n])
+            resized = pdf["payload"].map(lambda b: fn(bytes(b), target_bytes))
+            out = pdf.copy()
+            out["payload"] = resized
+            out["byte_len"] = resized.map(len).astype("int64")
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

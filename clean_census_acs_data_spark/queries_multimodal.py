@@ -5,6 +5,7 @@ byte ops), proving the mapInPandas binary path end-to-end."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.io import load_table, spread
 from clean_census_acs_data_spark.operators.multimodal import extract_features, synthesize_media
@@ -34,3 +35,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan's natural partitioning already parallelizes the Python
     media = synthesize_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media)
+
+
+_FRAME_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, text,
+         greatest(CAST(ceil(length(text) / 16.0) AS INTEGER), 1) AS n_frames
+  FROM documents WHERE doc_id % 41 = 0
+)
+SELECT asset_id,
+       CAST(u.fi AS INTEGER) AS frame_idx,
+       CAST(length(substring(text, u.fi * 16 + 1, 16)) AS INTEGER) AS frame_len,
+       CAST(list_sum(list_transform(
+              range(1, length(substring(text, u.fi * 16 + 1, 16)) + 1),
+              i -> ascii(substring(substring(text, u.fi * 16 + 1, 16), i, 1))))
+            % 997 AS BIGINT) AS frame_checksum
+FROM f, UNNEST(range(0, n_frames, 4)) AS u(fi)
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 4th 16-byte frame per asset via the
+    Arrow-batched generator (operators/multimodal.py:sample_frames) —
+    the video frame-extraction shape with a deterministic byte-window
+    stand-in for the codec. The oracle re-derives frames with substring
+    windows (payloads are ASCII here, so byte ops == char ops)."""
+    from clean_census_acs_data_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 41 == 0)
+    return sample_frames(synthesize_media(docs), frame_bytes=16, stride=4)
