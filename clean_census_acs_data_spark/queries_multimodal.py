@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clean_census_acs_data_spark.io import load_table, spread
+from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.operators.multimodal import extract_features, synthesize_media
 from clean_census_acs_data_spark.queries import register
 

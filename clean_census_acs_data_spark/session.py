@@ -59,4 +59,13 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     there too)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # a harness-built session keeps Spark's default 200 shuffle
+    # partitions — 6× the local core count, all fixed-overhead tasks at
+    # test scale. Right-size it to the core budget; AQE still coalesces
+    # below this at runtime. Only override the untouched default so an
+    # explicitly configured session is respected.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
     return spark
