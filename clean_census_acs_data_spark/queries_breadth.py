@@ -490,6 +490,140 @@ def scalar_subquery_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# latest-record-per-key compaction (SCD-1 / CDC upsert shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_by_key",
+    oracle="""
+    SELECT user_id, event_type,
+           arg_max(event_id, ts::VARCHAR || '#' || lpad(event_id::VARCHAR, 12, '0'))
+             AS latest_event_id,
+           MAX(ts) AS latest_ts,
+           COUNT(*) AS n_versions
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction — the CDC/upsert "newest version
+    wins" shape every snapshot pipeline needs. One aggregation with an
+    arg-max on (ts, unique id) rather than a window + filter: a single
+    shuffle of |keys| rows after partial aggregation, vs the window
+    form's full-data shuffle + sort. The comparand string makes the
+    (ts, event_id) ordering total, so ties are deterministic."""
+    e = _t(spark, sf_dir, "events")
+    # lexicographic (ts, zero-padded id) == chronological with unique tiebreak
+    comparand = F.concat_ws(
+        "#",
+        F.col("ts").cast("string"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return e.groupBy("user_id", "event_type").agg(
+        F.max_by("event_id", comparand).alias("latest_event_id"),
+        F.max("ts").alias("latest_ts"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# outer joins + null-safe equality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_join",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    ),
+    urgent AS (
+      SELECT o_custkey, COUNT(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    )
+    SELECT COALESCE(big.o_custkey, urgent.o_custkey) AS custkey,
+           COALESCE(n_big, 0)    AS n_big,
+           COALESCE(n_urgent, 0) AS n_urgent,
+           (big.o_custkey IS NULL)    AS only_urgent,
+           (urgent.o_custkey IS NULL) AS only_big
+    FROM big FULL OUTER JOIN urgent ON big.o_custkey = urgent.o_custkey
+    """,
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated views with COALESCE'd keys and
+    per-side presence flags — the reconciliation shape (which customers
+    appear in exactly one snapshot). Outer joins can't broadcast the
+    nullable side; Spark plans sort-merge with both sides shuffled on
+    the key — at 100 TB pre-bucketing both snapshots by key removes
+    those shuffles (tests/test_bucketing.py)."""
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        o.where(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+        .alias("big")
+    )
+    urgent = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_urgent"))
+        .alias("urgent")
+    )
+    j = big.join(urgent, F.col("big.o_custkey") == F.col("urgent.o_custkey"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("big.o_custkey"), F.col("urgent.o_custkey")).alias("custkey"),
+        F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        F.coalesce("n_urgent", F.lit(0)).alias("n_urgent"),
+        F.col("big.o_custkey").isNull().alias("only_urgent"),
+        F.col("urgent.o_custkey").isNull().alias("only_big"),
+    )
+
+
+@register(
+    "nullsafe_equality",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b, a.seg
+    FROM probe a JOIN probe b
+      ON a.seg IS NOT DISTINCT FROM b.seg
+     AND a.c_custkey + 1 = b.c_custkey
+    """,
+)
+def nullsafe_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) as a join key:
+    NULL matches NULL, so rows with missing segments still pair with
+    their successor when both are NULL — plain = would silently drop
+    them (the classic missing-data join bug). Planned as a normal
+    hash-joinable equality (null-safe keys hash like values)."""
+    c = _t(spark, sf_dir, "customer")
+    probe = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    a, b = probe.alias("a"), probe.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.seg").eqNullSafe(F.col("b.seg"))
+            & (F.col("a.c_custkey") + 1 == F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.seg").alias("seg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic hash sampling (training-pipeline op)
 # ---------------------------------------------------------------------------
 
