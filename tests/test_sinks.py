@@ -126,3 +126,37 @@ def test_partitioned_write_prunes_at_read(spark, tmp_path):
     # and the answer is still right
     n_click = ev.where(F.col("event_type") == "click").count()
     assert back.count() == n_click
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a
+    dynamicpruning expression into the fact scan's PartitionFilters:
+    the fact side is pruned at RUNTIME by the dim filter's result —
+    at 100 TB this means scanning one partition instead of all of
+    them even though the selective predicate is on the other table."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from clean_census_acs_data_spark.io import load_table
+
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    o.withColumn("status", F.col("o_orderstatus")).write.partitionBy(
+        "status"
+    ).mode("overwrite").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")], ["code", "label"]
+    )
+    j = fact.join(dim.where(F.col("label") == "open"), fact.status == dim.code)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        j.groupBy("label").count().explain(mode="formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "dynamicpruning" in pf[0]
+    # and the pruned plan still answers correctly
+    n_open = o.where(F.col("o_orderstatus") == "O").count()
+    got = {(r.label, r["count"]) for r in j.groupBy("label").count().collect()}
+    assert got == {("open", n_open)}
