@@ -267,6 +267,73 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# range-frame window: trailing 7-day sum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS trailing_7d_cents
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, the sum of order value in the
+    trailing 7 days *by event time* (not row count) — rowsBetween can't
+    express this; rangeBetween over epoch seconds can, identically in
+    both engines. Rows sharing a timestamp share a frame, so no
+    tiebreak is needed for determinism (the frame is value-defined)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604_800, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(cents("o_totalprice")).over(w).alias("trailing_7d_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-bucket histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "histogram_prices",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY floor(o_totalprice / 50000)
+    """,
+)
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as groupBy(floor(x/width)) — the
+    distribution-profiling op. Bucketing is a pure projection, so the
+    aggregate is the standard partial→shuffle-of-|buckets|→final shape;
+    at any scale the shuffle carries one row per bucket per task."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(bucket.alias("bucket")).agg(
+        (F.col("bucket") * 50000).cast("double").alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # time-series: hourly resample + gap fill + forward fill
 # ---------------------------------------------------------------------------
 
