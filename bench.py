@@ -58,10 +58,17 @@ HEADLINE = [
     "profile_columns",
     # analytics tier
     "window_offsets",
+    "window_range_frame",
     "percentile_exact",
     "stats_moments",
     "gap_fill_forward",
     "sql_interface_rank",
+    "latest_by_key",
+    "full_outer_join",
+    # JVM generator vs Python UDTF — same logical op, quantifies the
+    # row-at-a-time Python path cost
+    "explode_tokens",
+    "udtf_tokenize",
 ]
 
 
