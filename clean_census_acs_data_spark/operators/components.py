@@ -43,8 +43,19 @@ def connected_components(
         .distinct()
         .cache()
     )
-    labels = adj.select("v").distinct().select("v", F.col("v").alias("label")).cache()
-    labels.count()  # materialize before the loop
+    # localCheckpoint, not cache: every iteration references `labels`
+    # twice (propagation join + convergence diff), so with plain caching
+    # the LOGICAL plan doubles per round — by round ~20 the optimizer
+    # itself OOMs. Checkpointing truncates lineage each round, keeping
+    # the plan O(1) per iteration — the mandatory discipline for any
+    # iterative DataFrame algorithm. (On a cluster with HDFS you may
+    # prefer reliable .checkpoint(); localCheckpoint keeps blocks on
+    # executors, which is fine for a convergence loop that rebuilds
+    # cheaply on failure.)
+    labels = (
+        adj.select("v").distinct().select("v", F.col("v").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iters):
         # min label among neighbors
@@ -53,13 +64,24 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("nlabel"))
         )
+        cand = labels.join(neighbor_min, "v", "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # pointer jumping (path compression): label[v] ← label[label[v]].
+        # Plain neighbor propagation needs diameter rounds — a chain of
+        # 10^4 hops would need 10^4 shuffles at 100 TB; with the jump the
+        # label skips to its label's label each round → O(log diameter).
+        lookup = labels.select(
+            F.col("v").alias("lv"), F.col("label").alias("llabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, "v", "left")
+            cand.join(lookup, cand.label == F.col("lv"), "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("llabel", "label")).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -67,7 +89,6 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -1,0 +1,201 @@
+"""Property/equivalence tests for the custom operators whose logic
+lives outside Catalyst: the stateful sessionizer kernel (pure Python —
+hypothesis over random event streams), salted join vs plain join, and
+connected components vs a union-find reference."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sessionizer kernel (no Spark needed: _sessionize_fn is a pure function)
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the kernel directly."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _reference_sessions(ts_list_us: list[int], gap_us: int):
+    """Plain-Python sessionization: sorted events split where the gap
+    exceeds gap_us; returns [(start, end, n)] for CLOSED sessions and
+    the trailing open one separately."""
+    closed, cur = [], None
+    for t in sorted(ts_list_us):
+        if cur is None:
+            cur = [t, t, 1]
+        elif t - cur[1] <= gap_us:
+            cur[1], cur[2] = t, cur[2] + 1
+        else:
+            closed.append(tuple(cur))
+            cur = [t, t, 1]
+    return closed, tuple(cur) if cur else None
+
+
+@given(
+    ts=st.lists(
+        st.integers(min_value=0, max_value=10**7), min_size=1, max_size=60
+    ),
+    gap_ms=st.sampled_from([60_000, 1_800_000]),
+)
+@settings(max_examples=200, deadline=None)
+def test_sessionizer_kernel_matches_reference(ts, gap_ms):
+    from clean_census_acs_data_spark.streaming.stateful import _sessionize_fn
+
+    # event times in µs spread over ~ hours
+    ts_us = [t * 1000 for t in ts]
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(pd.Series(ts_us), unit="us"),
+            "value_cents": [1] * len(ts_us),
+        }
+    )
+    state = _FakeState()
+    out = list(_sessionize_fn(gap_ms)((7,), [pdf], state))
+    got_closed = []
+    for o in out:
+        for _, r in o.iterrows():
+            got_closed.append(
+                (r.session_start.value // 1000, r.session_end.value // 1000, r.n_events)
+            )
+    want_closed, want_open = _reference_sessions(ts_us, gap_ms * 1000)
+    assert got_closed == [(s, e, n) for s, e, n in want_closed]
+    # trailing session must be held in state, not emitted
+    assert state.exists
+    s0, e0, n0, _cents = state.get
+    assert (s0, e0, n0) == want_open
+
+
+def test_sessionizer_kernel_timeout_emits_and_clears():
+    from clean_census_acs_data_spark.streaming.stateful import _sessionize_fn
+
+    state = _FakeState()
+    state.update((1_000_000, 2_000_000, 3, 42))
+    state.hasTimedOut = True
+    out = list(_sessionize_fn(60_000)((5,), [], state))
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert (row.user_id, row.n_events, row.value_cents) == (5, 3, 42)
+    assert not state.exists  # state cleared after emission
+
+
+# ---------------------------------------------------------------------------
+# salted join ≡ plain join
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("buckets", [1, 4, 16])
+def test_salted_join_equals_plain_join(spark, buckets):
+    from clean_census_acs_data_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = load_table(spark, SF, "orders").where(F.col("o_orderkey") % 51 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderpriority"
+    )
+    salted = salted_join(
+        li,
+        o,
+        large_key="l_orderkey",
+        small_key="o_orderkey",
+        salt_col=F.col("l_linenumber"),
+        salt_buckets=buckets,
+    ).select("l_orderkey", "l_linenumber", "o_orderpriority")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from clean_census_acs_data_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF, "orders").where(F.col("o_orderkey") % 51 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    left = salted_join(
+        li, o, large_key="l_orderkey", small_key="o_orderkey",
+        salt_col=F.col("l_linenumber"), salt_buckets=8, how="left",
+    )
+    assert left.count() == li.count()  # 1:1 on the pk side → row-preserving
+
+
+# ---------------------------------------------------------------------------
+# connected components ≡ union-find
+# ---------------------------------------------------------------------------
+
+
+def test_components_match_union_find(spark):
+    import random
+
+    from clean_census_acs_data_spark.operators.components import connected_components
+
+    rng = random.Random(42)
+    verts = list(range(200))
+    edges = [(rng.choice(verts), rng.choice(verts)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_edges = {v for e in edges for v in e}
+    want = {}
+    for v in in_edges:
+        want[v] = min(u for u in in_edges if find(u) == find(v))
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_components_long_chain_converges(spark):
+    """A 300-node path is the adversarial case for plain label
+    propagation (needs 299 rounds); pointer jumping must close it
+    within the 20-round cap (O(log diameter))."""
+    from clean_census_acs_data_spark.operators.components import connected_components
+
+    edges = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
+    assert got == {v: 0 for v in range(301)}
