@@ -62,6 +62,20 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
+def compact_small_files(
+    spark: SparkSession, path: str, out_path: str, *, target_files: int
+) -> None:
+    """Small-file compaction: rewrite a directory of many tiny parquet
+    files as ``target_files`` larger ones. The perennial ops chore of a
+    streaming/incremental sink — thousands of per-microbatch files make
+    scans pay per-file open cost and wreck split planning. coalesce()
+    (not repartition) merges without a shuffle; at 100 TB run this per
+    partition directory so compaction parallelism stays bounded."""
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(
+        out_path
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

@@ -612,6 +612,38 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_ops_all",
+    oracle="""
+    WITH i AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    e AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n FROM i GROUP BY o_custkey
+    UNION ALL
+    SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n FROM e GROUP BY o_custkey
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
+    = min / difference of per-side counts, which DISTINCT-flavored set
+    ops destroy. Grouped output keeps the driver hash order-free."""
+    o = _t(spark, sf_dir, "orders")
+    open_k = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_k = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    i = open_k.intersectAll(fin_k).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    e = open_k.exceptAll(fin_k).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return i.select(F.lit("intersect_all").alias("op"), "o_custkey", "n").unionByName(
+        e.select(F.lit("except_all").alias("op"), "o_custkey", "n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2C-13 scalar packs (SURVEY.md §2A rows 24-32)
 # ---------------------------------------------------------------------------

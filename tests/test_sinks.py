@@ -160,3 +160,23 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     n_open = o.where(F.col("o_orderstatus") == "O").count()
     got = {(r.label, r["count"]) for r in j.groupBy("label").count().collect()}
     assert got == {("open", n_open)}
+
+
+def test_compact_small_files(spark, tmp_path):
+    """32 tiny files → 4 compacted files, identical content, no shuffle
+    (coalesce)."""
+    import glob
+
+    from clean_census_acs_data_spark.io import compact_small_files, load_table
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compact")
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    o.repartition(32).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+
+    compact_small_files(spark, src, out, target_files=4)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 4
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
