@@ -33,3 +33,40 @@ def append_audit(responses: DataFrame, path: str) -> None:
 
 def read_audit(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_stream_with_audit(
+    stream: DataFrame, *, data_path: str, audit_path: str, checkpoint: str
+):
+    """foreachBatch multi-sink: every micro-batch lands in the data
+    table AND appends one audit row (batch id, row count, written-at) —
+    the streaming form of the reference's log-every-call discipline.
+    foreachBatch is the escape hatch when one stream must feed sinks
+    the streaming engine can't address natively (JDBC, multiple
+    tables): the function runs once per batch with a *batch* DataFrame,
+    so any batch writer works; exactly-once comes from the checkpoint
+    replaying idempotent batch ids."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(data_path)
+            spark = batch_df.sparkSession
+            audit = spark.createDataFrame(
+                [(batch_id, batch_df.count())], "batch_id LONG, n_rows LONG"
+            ).withColumn(
+                "written_at",
+                F.date_format(
+                    F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX"
+                ),
+            )
+            audit.write.mode("append").parquet(audit_path)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -346,3 +346,35 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     got = sorted((r.user_id, r.value_cents) for r in rows)
     assert got == [(1, 10), (2, 20), (3, 30)]  # no dupes, nothing lost
+
+
+def test_foreachbatch_multi_sink_audit(spark, tmp_path):
+    """foreachBatch fans one stream into a data sink plus an audit
+    table — one audit row per micro-batch with its row count, all
+    input rows in the data sink."""
+    from clean_census_acs_data_spark.sources.audit import write_stream_with_audit
+
+    src = str(tmp_path / "src")
+    d = lambda h: TS(2024, 1, 1, h)  # noqa: E731
+    _write_session_batch(src, [(1, d(1), 10), (2, d(1), 20)])
+    _write_session_batch(src, [(3, d(2), 30)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_stream_with_audit(
+        stream,
+        data_path=str(tmp_path / "data"),
+        audit_path=str(tmp_path / "audit"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    data = spark.read.parquet(str(tmp_path / "data"))
+    audit = spark.read.parquet(str(tmp_path / "audit"))
+    assert data.count() == 3
+    assert {r.user_id for r in data.collect()} == {1, 2, 3}
+    arows = sorted((r.batch_id, r.n_rows) for r in audit.collect())
+    assert arows == [(0, 2), (1, 1)]  # one audit row per batch, counts match
