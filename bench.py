@@ -53,6 +53,7 @@ HEADLINE = [
     "token_frequencies",
     "similarity_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
     "multimodal_features",
     "stratified_split",
     "profile_columns",

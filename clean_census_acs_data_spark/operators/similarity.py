@@ -162,6 +162,77 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 5,
+    *,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into inverted
+    lists by nearest centroid, probe only the query's list.
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic stand-in for k-means (whose iterative result is
+    seed/partitioning-dependent and hence not oracle-checkable); the
+    assignment/probe plumbing is identical with trained centroids.
+    Assignment = argmax cosine over the broadcast centroid table with
+    centroid-id tiebreak; at 100 TB the assigned table is written
+    partitioned by centroid so a probe prunes to one inverted list
+    (same storage story as lsh_topk, different geometry: IVF adapts to
+    the data's density, LSH is data-independent).
+
+    Returns (vec_id, cosine, centroid_id) — the query's own row is
+    excluded from candidates."""
+    from pyspark.sql.window import Window
+
+    from clean_census_acs_data_spark.io import spread
+
+    e = spread(emb.select(F.col(id_col), F.col(vec_col)))
+    cent = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(
+            dot_int(F.col(vec_col), F.col("cvec")),
+            norm2_int(F.col(vec_col)),
+            norm2_int(F.col("cvec")),
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+    q = assigned.where(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec"),
+        norm2_int(F.col(vec_col)).alias("__qn2"),
+        F.col("centroid_id").alias("__qcent"),
+    )
+    return (
+        assigned.where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("centroid_id") == F.col("__qcent"))
+        .select(
+            F.col(id_col),
+            cosine(
+                dot_int(F.col(vec_col), F.col("__qvec")),
+                norm2_int(F.col(vec_col)),
+                F.col("__qn2"),
+            ).alias("cosine"),
+            "centroid_id",
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     *,
