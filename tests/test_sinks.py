@@ -180,3 +180,45 @@ def test_compact_small_files(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert a == b
+
+
+def test_nested_schema_pruning(spark, tmp_path):
+    """Nested structs round-trip through parquet, and reading one
+    struct field prunes the rest at the scan (ReadSchema shows only
+    the accessed leaf) — column pruning must reach INSIDE nested
+    types or wide structs at 100 TB read everything."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from clean_census_acs_data_spark.io import load_table
+
+    out = str(tmp_path / "nested")
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("detail"),
+        ).alias("meta"),
+        F.array(F.col("o_orderdate")).alias("dates"),
+    )
+    nested.write.mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).select(
+        "o_orderkey", F.col("meta.detail.priority").alias("priority")
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(mode="formatted")
+    plan = buf.getvalue()
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "priority" in rs
+    assert "custkey" not in rs and "total" not in rs  # siblings pruned
+    # values survive the round trip
+    want = {(r.o_orderkey, r.o_orderpriority) for r in o.collect()}
+    got = {(r.o_orderkey, r.priority) for r in back.collect()}
+    assert got == want
