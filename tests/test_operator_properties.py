@@ -199,3 +199,34 @@ def test_components_long_chain_converges(spark):
     df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.doc_id: r.component_id for r in connected_components(df).collect()}
     assert got == {v: 0 for v in range(301)}
+
+
+# ---------------------------------------------------------------------------
+# ANN variants are honest: scores match brute force on shared ids
+# ---------------------------------------------------------------------------
+
+
+def test_ann_scores_agree_with_brute_force(spark):
+    """LSH and IVF prune candidates (recall < 1 by design) but must
+    never change a score: every (vec_id, cosine) they return has to
+    appear with the identical cosine in the exhaustive scoring."""
+    from clean_census_acs_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        r.vec_id: r.cosine
+        for r in brute_force_topk(emb, query_id=0, k=10**6).collect()
+    }
+    for name, approx in [
+        ("lsh", lsh_topk(emb, query_id=0, k=5)),
+        ("ivf", ivf_topk(emb, query_id=0, k=5)),
+    ]:
+        rows = approx.collect()
+        assert rows, name
+        for r in rows:
+            assert r.vec_id in exact, (name, r.vec_id)
+            assert r.cosine == exact[r.vec_id], (name, r.vec_id)  # bit-equal
