@@ -100,6 +100,7 @@ def test_no_degenerate_joins_anywhere(plans):
     allowed_cross = {
         "similarity_topk",
         "similarity_lsh_topk",
+        "similarity_ivf_topk",  # broadcast 8-row centroid table + 1-row query
         "embedding_cosine_neardup",
         "census_pipeline_e2e",
         "gap_fill_forward",
