@@ -490,6 +490,80 @@ def scalar_subquery_smallqty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# checksum / digest functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "checksum_functions",
+    oracle="""
+    SELECT doc_id,
+           md5(text)    AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(CAST(doc_id AS VARCHAR) || '|' || text) AS keyed_md5
+    FROM documents WHERE doc_id % 43 = 0
+    """,
+)
+def checksum_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest pack (md5/sha-256 + a keyed digest) — content addressing,
+    integrity checks, and the portable hash layer every dedup/sampling
+    op here builds on. (xxhash64 is the faster JVM-side choice in a
+    pure-Spark deployment; md5/sha are what cross-engine contracts can
+    check.)"""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 43 == 0)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))).alias(
+            "keyed_md5"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching: Levenshtein pairs within blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, substring(text, 1, 40) AS prefix
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_distance
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 15
+    """,
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching within a blocking key — the
+    record-linkage primitive for noisy near-duplicates that token-set
+    methods miss (transpositions, typos). Levenshtein is O(m·n) per
+    pair, so the discipline is everything around it: block first
+    (source), compare bounded prefixes (40 chars), and at scale put a
+    cheap filter (length delta, shared-shingle count) before the DP.
+    """
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "source", F.substring("text", 1, 40).alias("prefix")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(dist <= 15)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # latest-record-per-key compaction (SCD-1 / CDC upsert shape)
 # ---------------------------------------------------------------------------
 
