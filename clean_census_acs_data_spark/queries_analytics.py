@@ -275,11 +275,11 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY epoch(o_orderdate)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
-           ) AS trailing_7d_cents
+           ) AS BIGINT) AS trailing_7d_cents
     FROM orders
     """,
 )
@@ -469,8 +469,8 @@ _SQL_BOTH_ENGINES = """
 WITH rev AS (
   SELECT n_name,
          CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
-         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-           AS revenue_cents
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+              AS BIGINT) AS revenue_cents
   FROM lineitem
   JOIN orders   ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey

@@ -39,12 +39,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
-           COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                    FILTER (WHERE o_orderstatus = 'F'), 0) AS cents_f,
-           COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                    FILTER (WHERE o_orderstatus = 'O'), 0) AS cents_o,
-           COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                    FILTER (WHERE o_orderstatus = 'P'), 0) AS cents_p
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS cents_f,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS cents_o,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS cents_p
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -311,8 +311,8 @@ def regexp_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ABS(l_discount - 0.05)                            AS abs_disc_delta,
-           FLOOR(l_extendedprice)                            AS price_floor,
-           CEIL(l_extendedprice)                             AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)            AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT)             AS price_ceil,
            CAST(ROUND(l_tax * 100) AS BIGINT)                AS tax_pct,
            SQRT(l_quantity)                                  AS qty_sqrt,
            CAST(l_orderkey % 7 AS BIGINT)                    AS key_mod7,

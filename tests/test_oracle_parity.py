@@ -31,19 +31,43 @@ def ddb():
     con.close()
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to a comparison kind: i=int, f=float,
+    b=bool, M=datetime, O=everything else."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "b"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "i"
+    if pd.api.types.is_float_dtype(dtype):
+        return "f"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "M"
+    return "O"
+
+
+def assert_dtype_kinds_match(a: pd.DataFrame, b: pd.DataFrame, name: str) -> None:
+    """The driver value-hashes raw dtypes, so a DuckDB HUGEINT (which
+    pandas widens to float64) hashes differently from Spark's int64 even
+    when every value is equal — that was r1's one red row
+    (window_running). Compare dtype *kinds* strictly so a missing
+    CAST(... AS BIGINT) in the oracle SQL fails here, before the driver
+    ever sees it."""
+    for c in a.columns:
+        ka, kb = _kind(a[c].dtype), _kind(b[c].dtype)
+        assert ka == kb, (
+            f"{name}: column {c!r} dtype-kind mismatch spark={a[c].dtype} "
+            f"({ka}) vs oracle={b[c].dtype} ({kb}) — likely a DuckDB "
+            f"HUGEINT/DECIMAL widening; add CAST(... AS BIGINT/DOUBLE) in "
+            f"the oracle SQL or align the Spark-side type. The driver's "
+            f"value-hash will mismatch otherwise."
+        )
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        # normalize integer-ish (duckdb hugeint→object, nullable ints)
-        if df[c].dtype == object:
-            try:
-                as_num = pd.to_numeric(df[c])
-                if pd.api.types.is_integer_dtype(as_num):
-                    df[c] = as_num.astype("Int64")
-            except (ValueError, TypeError):
-                pass
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
@@ -74,4 +98,6 @@ def assert_frames_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF).toPandas()
     odf = ddb.execute(ORACLES[name]).df()
-    assert_frames_equal(canon(sdf), canon(odf), name)
+    ca, cb = canon(sdf), canon(odf)
+    assert_dtype_kinds_match(ca, cb, name)
+    assert_frames_equal(ca, cb, name)
