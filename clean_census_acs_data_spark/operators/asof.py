@@ -84,10 +84,19 @@ def range_count_join(
     probes its own and the previous bucket."""
     lt = F.unix_micros(F.col(left_ts))
     rt = F.unix_micros(F.col(right_ts))
+    # F.floor on both sides: integer % truncates toward zero, so pre-epoch
+    # (negative-µs) timestamps would land in a bucket one higher than the
+    # left probe's floor-bucket and matches would be silently missed
     r = right.select(
-        F.col(key).alias("__k"), rt.alias("__rus"), (rt - (rt % window_us)).alias("__rbucket_us")
-    ).withColumn("__bucket", (F.col("__rbucket_us") / window_us).cast("long"))
-    l = left.withColumn("__lus", lt).withColumn(
+        F.col(key).alias("__k"), rt.alias("__rus"),
+        F.floor(rt / window_us).cast("long").alias("__bucket"),
+    )
+    # unique per-row surrogate BEFORE the explode: grouping on left
+    # columns alone would collapse fully-identical left rows into one
+    # output row with a combined count
+    l = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
+        "__lus", lt
+    ).withColumn(
         "__bucket_probe",
         F.explode(
             F.array(
@@ -106,12 +115,12 @@ def range_count_join(
     )
     group_cols = [c for c in left.columns]
     counted = (
-        joined.groupBy(*group_cols, "__lus")
+        joined.groupBy("__lid", *group_cols)
         .agg(F.count("__rus").alias("__n"))
         # each left row appears twice (two probe buckets) pre-join; the
-        # group-by collapses them, and count("__rus") ignores the NULLs
-        # from unmatched probes
-        .drop("__lus")
+        # group-by on the surrogate collapses exactly those two, and
+        # count("__rus") ignores the NULLs from unmatched probes
+        .drop("__lid")
         .withColumnRenamed("__n", out_col)
     )
     return counted

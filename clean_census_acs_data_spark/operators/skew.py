@@ -33,7 +33,9 @@ def salted_sum_count(
     two-stage aggregation. ``sum_exprs`` maps output name → column to
     sum (exact integer columns for determinism). A ``__cnt`` count
     rides along as ``n_rows``."""
-    salt = (salt_col % salt_buckets).alias("__salt")
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # salt source (e.g. a hash) would yield salts in (-buckets, 0)
+    salt = F.pmod(salt_col, F.lit(salt_buckets)).alias("__salt")
     stage1 = (
         df.withColumn("__salt", salt)
         .groupBy(*group_cols, "__salt")
@@ -75,7 +77,10 @@ def salted_join(
 
     ``salt_col`` must be deterministic (derived from row content, not
     rand()) so results are reproducible and oracle-checkable."""
-    salted_large = large.withColumn("__salt", (salt_col % salt_buckets).cast("int"))
+    # pmod, not %: a negative salt_col (e.g. xxhash64 output) under % gives
+    # salts in (-buckets, 0) that match no replica — rows silently drop
+    # from an inner join
+    salted_large = large.withColumn("__salt", F.pmod(salt_col, F.lit(salt_buckets)).cast("int"))
     replicas = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

@@ -81,10 +81,14 @@ def _sessionize_fn(gap_ms: int):
 
         closed: list[tuple[int, int, int, int]] = []
         cur = state.get if state.exists else None
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values("ts")
+        # Arrow hands the key's micro-batch as multiple chunks with no
+        # ordering guarantee ACROSS chunks: sorting each independently
+        # lets a later chunk carry earlier timestamps past the gap check
+        # (negative gap) and corrupt session bounds. Accumulate all
+        # chunks, sort once, then fold.
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True).sort_values("ts")
             # normalize to ns first: pandas may hand us datetime64[us] or [ns]
             ts_us = (
                 pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000

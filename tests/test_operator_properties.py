@@ -96,6 +96,50 @@ def test_sessionizer_kernel_matches_reference(ts, gap_ms):
     assert (s0, e0, n0) == want_open
 
 
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=10**7), min_size=2, max_size=60),
+    gap_ms=st.sampled_from([60_000, 1_800_000]),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_sessionizer_kernel_chunk_invariant(ts, gap_ms, data):
+    """Arrow delivers a key's micro-batch as multiple chunks with no
+    cross-chunk ordering; the fold must be invariant to how rows are
+    split into chunks (regression: per-chunk sorting let a later chunk
+    with earlier timestamps corrupt session bounds)."""
+    from clean_census_acs_data_spark.streaming.stateful import _sessionize_fn
+
+    ts_us = [t * 1000 for t in ts]
+    # adversarial chunking: shuffle rows, then split at arbitrary points
+    perm = data.draw(st.permutations(ts_us))
+    n_cuts = data.draw(st.integers(min_value=1, max_value=min(4, len(perm) - 1)))
+    cuts = sorted(data.draw(
+        st.lists(st.integers(min_value=1, max_value=len(perm) - 1),
+                 min_size=n_cuts, max_size=n_cuts)
+    ))
+    bounds = [0, *cuts, len(perm)]
+    chunks = []
+    for a, b in zip(bounds, bounds[1:]):
+        part = perm[a:b]
+        chunks.append(pd.DataFrame({
+            "ts": pd.to_datetime(pd.Series(part, dtype="int64"), unit="us"),
+            "value_cents": [1] * len(part),
+        }))
+    state = _FakeState()
+    out = list(_sessionize_fn(gap_ms)((7,), chunks, state))
+    got_closed = []
+    for o in out:
+        for _, r in o.iterrows():
+            got_closed.append(
+                (r.session_start.value // 1000, r.session_end.value // 1000, r.n_events)
+            )
+    want_closed, want_open = _reference_sessions(ts_us, gap_ms * 1000)
+    assert got_closed == [(s, e, n) for s, e, n in want_closed]
+    assert state.exists
+    s0, e0, n0, _cents = state.get
+    assert (s0, e0, n0) == want_open
+
+
 def test_sessionizer_kernel_timeout_emits_and_clears():
     from clean_census_acs_data_spark.streaming.stateful import _sessionize_fn
 
@@ -150,6 +194,90 @@ def test_salted_left_join_keeps_unmatched(spark):
         salt_col=F.col("l_linenumber"), salt_buckets=8, how="left",
     )
     assert left.count() == li.count()  # 1:1 on the pk side → row-preserving
+
+
+def test_salted_join_negative_salt_source(spark):
+    """A hash-derived salt column is negative ~half the time; pmod must
+    map it into [0, buckets) or inner-join rows silently vanish
+    (regression for the % sign bug)."""
+    from clean_census_acs_data_spark.operators.skew import salted_join
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF, "orders").where(F.col("o_orderkey") % 51 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    plain_n = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    salted_n = salted_join(
+        li, o, large_key="l_orderkey", small_key="o_orderkey",
+        salt_col=F.xxhash64("l_orderkey", "l_linenumber"), salt_buckets=8,
+    ).count()
+    assert salted_n == plain_n
+
+
+def test_salted_sum_count_negative_salt_source(spark):
+    from clean_census_acs_data_spark.operators.skew import salted_sum_count
+
+    li = load_table(spark, SF, "lineitem")
+    got = salted_sum_count(
+        li, ["l_returnflag"],
+        salt_col=F.xxhash64("l_orderkey"), salt_buckets=8,
+        sum_exprs={"sum_qty": F.col("l_quantity").cast("long")},
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# range_count_join: duplicate left rows and pre-epoch timestamps
+# ---------------------------------------------------------------------------
+
+
+def test_range_count_join_duplicate_left_rows(spark):
+    """Fully-identical left rows must each produce their own output row
+    with the per-row count (regression: grouping on left columns alone
+    collapsed duplicates and inflated counts)."""
+    import datetime
+
+    from clean_census_acs_data_spark.operators.asof import range_count_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (1, t0), (2, t0)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - datetime.timedelta(minutes=10)),
+         (1, t0 - datetime.timedelta(minutes=20)),
+         (2, t0 - datetime.timedelta(minutes=5))],
+        ["k", "ts"],
+    )
+    out = range_count_join(
+        left, right, key="k", window_us=3_600_000_000, out_col="n"
+    ).collect()
+    assert sorted((r.k, r.n) for r in out) == [(1, 2), (1, 2), (2, 1)]
+
+
+def test_range_count_join_pre_epoch_timestamps(spark):
+    """Negative-µs timestamps: right bucketing must use floor division
+    like the left probe (regression: % truncation toward zero put
+    pre-epoch right rows one bucket too high and matches were missed)."""
+    import datetime
+
+    from clean_census_acs_data_spark.operators.asof import range_count_join
+
+    t0 = datetime.datetime(1969, 12, 31, 23, 30, 0)  # pre-epoch
+    left = spark.createDataFrame([(1, t0)], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, t0 - datetime.timedelta(minutes=10)),
+         (1, t0 - datetime.timedelta(minutes=90))],  # outside window
+        ["k", "ts"],
+    )
+    out = range_count_join(
+        left, right, key="k", window_us=3_600_000_000, out_col="n"
+    ).collect()
+    assert [(r.k, r.n) for r in out] == [(1, 1)]
 
 
 # ---------------------------------------------------------------------------
