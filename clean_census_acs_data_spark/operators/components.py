@@ -31,10 +31,33 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; component id =
     min vertex id reachable. Vertices not in any edge are absent (they
-    are trivially their own component)."""
+    are trivially their own component).
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    *reliable* ``.checkpoint()`` into that directory (HDFS/S3 on a
+    cluster) instead of ``localCheckpoint``. localCheckpoint blocks
+    live on executors, so one lost executor at hour 3 of a 100-TB job
+    kills the query; reliable checkpointing survives executor loss.
+    Local default stays localCheckpoint (no FS round-trip)."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        # Checkpointing (either kind) truncates lineage each round: every
+        # iteration references `labels` twice (propagation join +
+        # convergence diff), so with plain caching the LOGICAL plan
+        # doubles per round — by round ~20 the optimizer itself OOMs.
+        # O(1) plan per iteration is the mandatory discipline for any
+        # iterative DataFrame algorithm.
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # undirected: materialize both directions once; cached because every
     # iteration re-joins against it
     adj = (
@@ -43,18 +66,8 @@ def connected_components(
         .distinct()
         .cache()
     )
-    # localCheckpoint, not cache: every iteration references `labels`
-    # twice (propagation join + convergence diff), so with plain caching
-    # the LOGICAL plan doubles per round — by round ~20 the optimizer
-    # itself OOMs. Checkpointing truncates lineage each round, keeping
-    # the plan O(1) per iteration — the mandatory discipline for any
-    # iterative DataFrame algorithm. (On a cluster with HDFS you may
-    # prefer reliable .checkpoint(); localCheckpoint keeps blocks on
-    # executors, which is fine for a convergence loop that rebuilds
-    # cheaply on failure.)
-    labels = (
+    labels = _truncate(
         adj.select("v").distinct().select("v", F.col("v").alias("label"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iters):
@@ -81,8 +94,8 @@ def connected_components(
                 "v",
                 F.least(F.col("label"), F.coalesce("llabel", "label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _truncate(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "v")

@@ -358,3 +358,23 @@ def test_ann_scores_agree_with_brute_force(spark):
         for r in rows:
             assert r.vec_id in exact, (name, r.vec_id)
             assert r.cosine == exact[r.vec_id], (name, r.vec_id)  # bit-equal
+
+
+def test_components_reliable_checkpoint_dir(spark, tmp_path):
+    """Same result through the reliable .checkpoint() path (the 100-TB
+    durability option, VERDICT r1 #4) as through localCheckpoint."""
+    from clean_census_acs_data_spark.operators.components import connected_components
+
+    edges = [(i, i + 1) for i in range(50)] + [(100, 200), (200, 300)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    want = {v: 0 for v in range(51)} | {100: 100, 200: 100, 300: 100}
+    assert got == want
+    # the checkpoint dir must actually have been used
+    import os
+    assert any(os.scandir(tmp_path / "ckpt"))

@@ -201,3 +201,20 @@ def test_stats_moments_single_shuffle(plans):
     p = plans["stats_moments"]
     assert count_nodes(p, "Exchange") == 1
     assert count_nodes(p, "HashAggregate") == 2
+
+
+def test_spread_noop_when_already_parallel(spark):
+    """spread() must not insert an Exchange when the input already scans
+    as >= n partitions — at 100 TB (thousands of row groups) shuffling
+    all raw document/embedding bytes to even out parallelism would be
+    the bottleneck (VERDICT r1 #3)."""
+    from clean_census_acs_data_spark.io import load_table, spread
+
+    docs = load_table(spark, SF, "documents")
+    wide = docs.repartition(64)  # simulate a many-row-group scan
+    out = spread(wide, 32)
+    assert out is wide  # true no-op: no new plan node at all
+    # and the local case still fans out
+    narrow = docs.coalesce(1)
+    fanned = spread(narrow, 32)
+    assert fanned.rdd.getNumPartitions() == 32
