@@ -33,15 +33,47 @@ def run_census_pipeline(
     audit_path: str | None = None,
     cast_measures: bool = True,
     chunk_size: int = 3,
+    preflight: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_df, dead_letter_df) for one logical table.
 
     ``fetcher`` injects the HTTP layer (tests use a deterministic
-    fake; production uses the stdlib fetcher + api key)."""
+    fake; production uses the stdlib fetcher + api key).
+
+    ``preflight=True`` runs the variables.json availability check
+    (reference filter_available_variables, Test_census_tract.py:125-133)
+    before building request specs: variables the vintage doesn't carry
+    are dropped from the request (so they can't 400 every chunk into
+    the dead-letter table) and surfaced as a diagnostic — logged, and
+    recorded as `variable_unavailable` audit rows when ``audit_path``
+    is set. Dropped variables still appear in the output schema as
+    NULL columns (the reference's reindex semantics)."""
     cfg = C.DATASETS[table_name]
-    specs = C.request_specs(spark, year=year, chunk_size=chunk_size).where(
-        f"table_name = '{table_name}'"
-    )
+    request_cfg = cfg
+    if preflight:
+        if fetcher is None:
+            fetcher = R.default_urllib_fetcher
+        filtered, dropped = C.preflight_datasets(
+            fetcher, year=year, datasets={table_name: cfg}
+        )
+        request_cfg = filtered[table_name]
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "census preflight: %d unavailable variable(s) dropped for "
+                "year=%s: %s", len(dropped), year, dropped,
+            )
+            if audit_path:
+                diag = spark.createDataFrame(
+                    [(t, v, year, "variable_unavailable") for t, v in dropped],
+                    "table_name string, variable string, year int, reason string",
+                )
+                diag.write.mode("append").parquet(audit_path + "_preflight")
+    specs = C.request_specs(
+        spark, year=year, chunk_size=chunk_size,
+        datasets={table_name: request_cfg},
+    ).where(f"table_name = '{table_name}'")
     responses = R.fetch_responses(specs, fetcher=fetcher).cache()
     if audit_path:
         append_audit(responses, audit_path)

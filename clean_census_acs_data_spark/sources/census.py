@@ -67,6 +67,71 @@ def load_mapping_dict(spark: SparkSession) -> dict[str, str]:
     return build_mapping([(r["api_code"], r["label"]) for r in rows])
 
 
+def preflight_available_variables(
+    fetcher,
+    *,
+    year: int,
+    dataset: str,
+    variables: list[str],
+    base_url: str = "https://api.census.gov/data",
+) -> tuple[list[str], list[str]]:
+    """variables.json metadata pre-flight (reference
+    ``filter_available_variables``, Test_census_tract.py:125-133): fetch
+    ``{base}/{year}/{dataset}/variables.json`` and split the configured
+    list into (available, dropped). One metadata-sized driver-side call
+    per dataset path — never a data fetch. Without this, a variable
+    retired in a vintage rollover 400s every chunk of its dataset into
+    the dead-letter table; with it the request never carries the retired
+    variable. Unlike the reference (silent drop), the dropped list is
+    returned so callers can surface a diagnostic."""
+    available = _fetch_available_vars(fetcher, year=year, dataset=dataset, base_url=base_url)
+    keep = [v for v in variables if v in available]
+    dropped = [v for v in variables if v not in available]
+    return keep, dropped
+
+
+def _fetch_available_vars(
+    fetcher, *, year: int, dataset: str, base_url: str
+) -> set[str]:
+    import json as _json
+
+    meta_url = f"{base_url}/{year}/{dataset}/variables.json"
+    status, _hdrs, body = fetcher(meta_url, {})
+    if not (200 <= status < 300):
+        raise RuntimeError(
+            f"variables.json pre-flight failed: HTTP {status} for {meta_url}"
+        )
+    return set(_json.loads(body).get("variables", {}).keys())
+
+
+def preflight_datasets(
+    fetcher,
+    *,
+    year: int,
+    datasets: dict[str, dict] | None = None,
+    base_url: str = "https://api.census.gov/data",
+) -> tuple[dict[str, dict], list[tuple[str, str]]]:
+    """Apply the variables.json pre-flight across a catalog. Returns
+    (filtered catalog, [(table_name, dropped_variable), ...]). The
+    metadata response is fetched once per *distinct* dataset path
+    (dp02/dp03/dp05 share acs/acs5/profile → one call, not three)."""
+    datasets = datasets or DATASETS
+    meta_cache: dict[str, set] = {}
+    filtered: dict[str, dict] = {}
+    dropped_all: list[tuple[str, str]] = []
+    for name, cfg in datasets.items():
+        path = cfg["dataset"]
+        if path not in meta_cache:
+            meta_cache[path] = _fetch_available_vars(
+                fetcher, year=year, dataset=path, base_url=base_url
+            )
+        available = meta_cache[path]
+        keep = [v for v in cfg["variables"] if v in available]
+        dropped_all.extend((name, v) for v in cfg["variables"] if v not in available)
+        filtered[name] = {**cfg, "variables": keep}
+    return filtered, dropped_all
+
+
 def request_specs(
     spark: SparkSession,
     *,

@@ -35,7 +35,14 @@ import json
 import time
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 DEFAULT_STATES = [f"{i:02d}" for i in range(1, 57) if i not in (3, 7, 14, 43, 52)]
@@ -76,10 +83,30 @@ class CensusRestReader(DataSourceReader):
         self.backoff_base_s = float(options.get("backoff_base_s", "0.01"))
         self.on_error = options.get("on_error", "fail")  # fail | skip
 
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Real source pushdown (SURVEY.md §2A rows 16-17): equality/IN
+        predicates on ``state_fips``/``state`` shrink the request
+        universe itself — pruned states are never fetched, the REST
+        analog of parquet partition pruning. Everything else is
+        returned for Spark to evaluate post-scan. Accepted filters are
+        still re-applied by Spark (returning only *unsupported* ones is
+        an optimization contract, but re-evaluation is free here)."""
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, In))
+                and f.attribute in (("state_fips",), ("state",))
+            ):
+                wanted = {f.value} if isinstance(f, EqualTo) else set(f.value)
+                self.states = [s for s in self.states if s in wanted]
+            else:
+                yield f
+
     def partitions(self) -> list[CensusChunkPartition]:
         # the reference's chunk_list(states, 3) → 17 chunks, but as
         # Spark input partitions scheduled concurrently (SURVEY.md §4
-        # "scan parallelism": the single biggest speedup available)
+        # "scan parallelism": the single biggest speedup available).
+        # Called after pushFilters, so a pruned state universe yields
+        # fewer fetch tasks.
         return [CensusChunkPartition(c) for c in _chunks(self.states, self.chunk_size)]
 
     def read(self, partition: CensusChunkPartition) -> Iterator[tuple]:

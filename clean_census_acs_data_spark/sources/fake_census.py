@@ -83,3 +83,28 @@ def fake_zcta_fetcher(url: str, params: dict[str, str]) -> tuple[int, dict[str, 
                 row.append(str(z * 1000 + idx))
         rows.append(row)
     return 200, {"X-RateLimit-Remaining": "98"}, json.dumps([header] + rows)
+
+
+# A variable "retired" from the fake vintage: present in the dp02
+# config (Test_census_tract.py:289) but absent from variables.json —
+# the exact shape of a vintage rollover.
+RETIRED_VARIABLE = "DP02_0068E"
+
+
+def fake_metadata_fetcher(url: str, params: dict[str, str]) -> tuple[int, dict[str, str], str]:
+    """Offline fake of the variables.json metadata endpoint (reference
+    filter_available_variables, Test_census_tract.py:125-133): serves
+    every configured variable except RETIRED_VARIABLE, then delegates
+    data requests to fake_census_fetcher."""
+    if url.endswith("/variables.json"):
+        from clean_census_acs_data_spark.sources.census import DATASETS
+
+        all_vars = {v for cfg in DATASETS.values() for v in cfg["variables"]}
+        all_vars.discard(RETIRED_VARIABLE)
+        all_vars |= {"NAME"}
+        return (
+            200,
+            {"X-RateLimit-Remaining": "97"},
+            json.dumps({"variables": {v: {"label": v} for v in sorted(all_vars)}}),
+        )
+    return fake_census_fetcher(url, params)

@@ -113,3 +113,53 @@ def test_request_specs_shape(spark):
     assert len(chunks) == 17
     all_states = sorted(",".join(r[0] for r in chunks).split(","))
     assert all_states == sorted(C.STATE_FIPS)
+
+
+def test_preflight_drops_retired_variable(spark, tmp_path):
+    """A variable retired from the vintage (absent from variables.json)
+    must be dropped from the request — never fetched, never
+    dead-lettered — and surfaced as a diagnostic; the output schema
+    still carries its label as a NULL column (reindex semantics)."""
+    from clean_census_acs_data_spark.sources.fake_census import (
+        RETIRED_VARIABLE,
+        fake_metadata_fetcher,
+    )
+
+    audit = str(tmp_path / "usage")
+    clean, dead = run_census_pipeline(
+        spark, table_name="dp02", fetcher=fake_metadata_fetcher,
+        audit_path=audit, preflight=True,
+    )
+    # the retired variable never appears in any request's get= param
+    params = [json.loads(r["params"]) for r in read_audit(spark, audit).collect()]
+    assert all(RETIRED_VARIABLE not in p["get"] for p in params)
+    # diagnostic recorded
+    diag = spark.read.parquet(audit + "_preflight").collect()
+    assert [(r.table_name, r.variable, r.reason) for r in diag] == [
+        ("dp02", RETIRED_VARIABLE, "variable_unavailable")
+    ]
+    # no new dead letters beyond the always-failing state-05 chunk
+    assert dead.count() == 1
+    # reindex semantics: the retired variable's label is a NULL column
+    mapping = C.load_mapping_dict(spark)
+    label = mapping[RETIRED_VARIABLE]
+    assert label in clean.columns
+    assert clean.where(F.col(label).isNotNull()).count() == 0
+
+
+def test_preflight_datasets_caches_per_path(spark):
+    """dp02/dp03/dp05 share one dataset path: the metadata endpoint must
+    be hit once per distinct path, not once per logical table."""
+    calls = []
+
+    def counting_fetcher(url, params):
+        calls.append(url)
+        from clean_census_acs_data_spark.sources.fake_census import fake_metadata_fetcher
+        return fake_metadata_fetcher(url, params)
+
+    filtered, dropped = C.preflight_datasets(counting_fetcher, year=2023)
+    assert len(calls) == 2  # acs/acs5/profile + acs/acs5/subject
+    assert ("dp02", "DP02_0068E") in dropped
+    assert "DP02_0068E" not in filtered["dp02"]["variables"]
+    # untouched datasets keep their full lists
+    assert filtered["s0101"]["variables"] == C.DATASETS["s0101"]["variables"]

@@ -79,3 +79,37 @@ def test_retry_exhaustion_fails_task(spark):
 
 def test_datasource_name():
     assert CensusRestDataSource.name() == "census_rest"
+
+
+def test_push_filters_prunes_fetch_partitions():
+    """state_fips equality/IN predicates must shrink the request
+    universe before any fetch is planned (REST partition pruning)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from clean_census_acs_data_spark.sources.census_datasource import CensusRestReader
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField("NAME", StringType()),
+                         StructField("state_fips", StringType())])
+    opts = {"get_vars": "NAME", "states": "01,02,04,06,09", "chunk_size": "2"}
+
+    r = CensusRestReader(schema, dict(opts))
+    rest = list(r.pushFilters([EqualTo(("state_fips",), "04")]))
+    assert rest == []  # accepted
+    assert [p.states for p in r.partitions()] == [["04"]]
+
+    r = CensusRestReader(schema, dict(opts))
+    rest = list(r.pushFilters([In(("state_fips",), ("01", "09")),
+                               GreaterThan(("NAME",), "M")]))
+    # unsupported filter handed back to Spark
+    assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
+    assert [p.states for p in r.partitions()] == [["01", "09"]]
+
+
+def test_push_filters_end_to_end(spark):
+    """A .where(state_fips = ...) on the live read path returns exactly
+    the pruned states' rows (fake fetcher, no network)."""
+    df = _read(spark).where("state_fips = '02'")
+    fips = {r.state_fips for r in df.collect()}
+    assert fips == {"02"}
+    assert df.rdd.getNumPartitions() == 1  # 1 chunk, not ceil(7/3)
