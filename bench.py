@@ -72,6 +72,28 @@ HEADLINE = [
     "udtf_tokenize",
 ]
 
+# Heavier/broader queries benched separately so HEADLINE (and its
+# round-over-round total) stays like-for-like with r1; reported under
+# the "secondary" key, excluded from "value".
+SECONDARY = [
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "embedding_cosine_neardup",
+    "fuzzy_match_levenshtein",
+    "salted_join_skew",
+    "pivot_status",
+    "cube_flags",
+    "grouping_sets_mix",
+    "set_ops_all",
+    "exact_median_disc",
+    "histogram_prices",
+    "string_agg_sorted",
+    "text_fingerprint_winnow",
+    "text_lang_id",
+    "window_distribution",
+    "checksum_functions",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,16 +105,21 @@ def main() -> None:
     # engine, not first-touch JIT
     QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        # noop sink: materializes every output column (count() would let
-        # Catalyst prune the projections and under-measure)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def run(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            if name not in QUERIES:
+                continue
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            # noop sink: materializes every output column (count() would
+            # let Catalyst prune the projections and under-measure)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        return timings
+
+    timings = run(HEADLINE)
+    secondary = run(SECONDARY)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -101,6 +128,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary,
+                "secondary_total": round(sum(secondary.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

