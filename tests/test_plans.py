@@ -103,7 +103,9 @@ def test_no_degenerate_joins_anywhere(plans):
         "similarity_ivf_topk",  # broadcast 8-row centroid table + 1-row query
         "embedding_cosine_neardup",
         "census_pipeline_e2e",
+        "census_preflight_pipeline",
         "gap_fill_forward",
+        "tpch_q22_idle_customers",  # broadcast 1-row scalar-subquery threshold
     }
     for name, p in plans.items():
         base = name.split("/")[0]
