@@ -220,3 +220,63 @@ def test_spread_noop_when_already_parallel(spark):
     narrow = docs.coalesce(1)
     fanned = spread(narrow, 32)
     assert fanned.rdd.getNumPartitions() == 32
+
+
+def test_q4_semi_join_shape(plans):
+    """EXISTS compiles to a semi join (one probe row per order, no
+    fan-out dedup) and the date filter reaches the orders scan."""
+    p = plans["tpch_q4_late_shipped"]
+    assert "LeftSemi" in p or "left_semi" in p
+    assert "PushedFilters: [" in p and "o_orderdate" in p
+
+
+def test_q10_topk_is_heap(plans):
+    p = plans["tpch_q10_returned_topk"]
+    assert "TakeOrderedAndProject" in p
+    assert count_nodes(p, "BroadcastHashJoin") >= 1  # nation broadcast
+    # returnflag filter pushed to the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_q18_aggregates_before_join(plans):
+    """The qty rollup runs on lineitem alone (partial+final aggregate
+    pair) and the HAVING filter on the aggregated sum exists BEFORE the
+    join-back — i.e. the joins consume the already-shrunk grouped set,
+    not the raw fact. The simple-mode tree nests children under their
+    parent joins, so the aggregate pipeline must appear at greater
+    indentation than the first join."""
+    p = plans["tpch_q18_large_orders"]
+    assert count_nodes(p, "HashAggregate") >= 2
+    simple = plans["tpch_q18_large_orders/simple"].splitlines()
+    first_join = next(i for i, ln in enumerate(simple) if "Join" in ln)
+    having = next(
+        i for i, ln in enumerate(simple) if "Filter" in ln and "sum_qty" in ln
+    )
+    aggs = [i for i, ln in enumerate(simple) if "HashAggregate" in ln]
+    # children print below their parent: HAVING filter + aggregate sit
+    # under the join as its (streamed) input, i.e. the join consumes the
+    # aggregated set
+    assert having > first_join
+    assert any(i > having for i in aggs)
+
+
+def test_q19_disjunction_derives_pushdown(plans):
+    """Catalyst must derive per-side residuals from the OR-of-ANDs:
+    the quantity range union reaches the lineitem scan."""
+    p = plans["tpch_q19_disjunctive"]
+    read = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity" in ln for ln in read)
+    assert any("p_brand" in ln or "p_size" in ln for ln in read)
+
+
+def test_sessionize_single_shuffle(plans):
+    """lag-window, running-sum window, and the final group-by all key on
+    user_id: one Exchange total (the partitioning is reused)."""
+    p = plans["sessionize_lag_cumsum"]
+    assert count_nodes(p, "Exchange") == 1
+
+
+def test_funnel_two_aggregates_no_join(plans):
+    p = plans["event_funnel_conversion"]
+    assert count_nodes(p, "SortMergeJoin") == 0
+    assert count_nodes(p, "BroadcastHashJoin") == 0
