@@ -541,3 +541,132 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (upsert + delete) — copy-on-write CDC apply
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+),
+agg AS (
+  SELECT o_custkey,
+         CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS new_bal
+  FROM orders GROUP BY o_custkey
+),
+changes AS (
+  SELECT o_custkey AS k, new_bal AS bal_cents, FALSE AS is_delete
+  FROM agg WHERE o_custkey % 3 = 0 AND o_custkey % 13 <> 0
+  UNION ALL
+  SELECT o_custkey + 10000000, new_bal, FALSE FROM agg WHERE o_custkey % 11 = 0
+  UNION ALL
+  SELECT o_custkey, new_bal, TRUE FROM agg WHERE o_custkey % 13 = 0
+)
+SELECT COALESCE(b.c_custkey, c.k) AS c_custkey,
+       b.c_name AS c_name,
+       CASE WHEN c.k IS NOT NULL THEN c.bal_cents ELSE b.bal_cents END AS bal_cents
+FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.k
+WHERE NOT COALESCE(c.is_delete, FALSE)
+"""
+
+
+@register("merge_upsert_cdc", oracle=_MERGE_ORACLE)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE: a derived change set (updates on custkeys
+    divisible by 3, inserts with shifted keys on 11, deletes on 13)
+    applied to the customer base in ONE full-outer shuffle join with
+    conditional column resolution — the row-level semantics behind
+    Delta/Iceberg MERGE INTO. Base-only columns (c_name) pass through
+    on updates and stay NULL on inserts. With the base bucketed on the
+    key this is a single co-located join at any scale."""
+    from clean_census_acs_data_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", cents("c_acctbal").alias("bal_cents")
+    )
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max(cents("o_totalprice")).alias("new_bal"))
+    )
+    upd = agg.where((F.col("o_custkey") % 3 == 0) & (F.col("o_custkey") % 13 != 0)).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("new_bal").alias("bal_cents"),
+        F.lit(False).alias("is_delete"),
+    )
+    ins = agg.where(F.col("o_custkey") % 11 == 0).select(
+        (F.col("o_custkey") + 10_000_000).alias("c_custkey"),
+        F.col("new_bal").alias("bal_cents"),
+        F.lit(False).alias("is_delete"),
+    )
+    dels = agg.where(F.col("o_custkey") % 13 == 0).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("new_bal").alias("bal_cents"),
+        F.lit(True).alias("is_delete"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    return merge_upsert(c, changes, key="c_custkey", delete_col="is_delete")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history from a change log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_values",
+    oracle="""
+    SELECT user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM events
+    """,
+)
+def scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: every change opens a
+    validity interval closed by the next change's timestamp (LEAD over
+    the key, unique event_id tiebreak); the last change stays open
+    (is_current). One window shuffle — the standard warehouse
+    historization pattern as a single operator."""
+    from clean_census_acs_data_spark.operators.merge import scd2_from_events
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents("value").alias("value_cents")
+    )
+    return scd2_from_events(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        value_cols=("value_cents",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join (rows-only: streaming engine path)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_static_enrich")  # rows-only check
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the
+    static customer dimension. The static side is broadcast to the
+    stream's tasks each micro-batch — no state store involvement at
+    all (unlike stream-stream joins), which is why dimension
+    enrichment should always join static, not stream, sides."""
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+    )
+    return _run_to_memory(ev.join(F.broadcast(dim), "user_id"))
