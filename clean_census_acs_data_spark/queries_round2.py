@@ -670,3 +670,90 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
     )
     return _run_to_memory(ev.join(F.broadcast(dim), "user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering code
+# ---------------------------------------------------------------------------
+
+
+def _morton_oracle() -> str:
+    from clean_census_acs_data_spark.operators.layout import morton_code_sql
+
+    return f"""
+    SELECT p_partkey,
+           {morton_code_sql('p_size', 'p_partkey', bits=10)} AS zcode
+    FROM part
+    """
+
+
+@register("zorder_morton", oracle=_morton_oracle())
+def zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave of (p_size, p_partkey): the
+    clustering key behind two-dimensional row-group skipping (sort by
+    zcode at write time → range predicates on either column prune).
+    Pure shift/mask integer arithmetic inside codegen; the oracle is
+    the SQL-generated twin of the same bit interleave."""
+    from clean_census_acs_data_spark.operators.layout import morton_code
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        morton_code(F.col("p_size"), F.col("p_partkey"), bits=10).alias("zcode"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-integer outlier detection (decimal128 arithmetic)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH stats AS (
+  SELECT o_custkey,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  * CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders JOIN stats USING (o_custkey)
+WHERE n >= 3
+  AND CAST(CAST(n AS HUGEINT) * CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+           - CAST(s1 AS HUGEINT) AS HUGEINT)
+      * CAST(CAST(n AS HUGEINT) * CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+           - CAST(s1 AS HUGEINT) AS HUGEINT)
+      > 4 * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+             - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+"""
+
+
+@register("outlier_orders_exact", oracle=_OUTLIER_ORACLE)
+def outlier_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 2-sigma outlier orders with EXACT integer
+    arithmetic: |x - mean| > 2sigma rewritten as
+    (n*x - S1)^2 > 4*(n*S2 - S1^2) over cents — no floating-point mean
+    or stddev anywhere, so the flagged set is bit-identical in any
+    engine. The squares exceed int64, so the comparison runs in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB): int128 exactness as an
+    engine surface. One partial-agg shuffle for the moments, one join
+    back (AQE broadcasts the aggregated side when small)."""
+    o = _t(spark, sf_dir, "orders").withColumn("price_cents", cents("o_totalprice"))
+    stats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_cents").alias("s1"),
+        F.sum(F.col("price_cents") * F.col("price_cents")).alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    n_d = F.col("n").cast(dec)
+    x_d = F.col("price_cents").cast(dec)
+    s1_d = F.col("s1").cast(dec)
+    s2_d = F.col("s2").cast(dec)
+    dev = n_d * x_d - s1_d
+    cond = (dev * dev) > (F.lit(4).cast(dec) * (n_d * s2_d - s1_d * s1_d))
+    return (
+        o.join(stats, "o_custkey")
+        .where((F.col("n") >= 3) & cond)
+        .select("o_custkey", "o_orderkey", "price_cents")
+    )

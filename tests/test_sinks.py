@@ -303,3 +303,55 @@ def test_s3a_conf_keys():
     assert "spark.hadoop.fs.s3a.endpoint" not in conf
     with_ep = s3a_conf(endpoint="https://minio.local:9000")
     assert with_ep["spark.hadoop.fs.s3a.endpoint"] == "https://minio.local:9000"
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_morton(a: int, b: int, bits: int) -> int:
+    m = (1 << bits) - 1
+    a, b = a & m, b & m
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_code_matches_reference(spark):
+    from clean_census_acs_data_spark.operators.layout import morton_code
+    from pyspark.sql import functions as F
+
+    rows = [(3, 5), (0, 0), (1023, 1), (7, 1024 + 7), (65535, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", morton_code(F.col("a"), F.col("b"), bits=10).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == _py_morton(r.a, r.b, 10), (r.a, r.b)
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    """Rows in each written file must be sorted by the Morton code, so
+    row-group min/max stats are tight on BOTH dimensions."""
+    from clean_census_acs_data_spark.io import load_table
+    from clean_census_acs_data_spark.operators.layout import morton_code, write_zorder_layout
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    out = str(tmp_path / "zpart")
+    write_zorder_layout(part, out, cols=("p_size", "p_partkey"), bits=10, num_files=4)
+    back = spark.read.parquet(out)
+    assert back.count() == part.count()
+    # within every output file, the morton code is non-decreasing
+    z = back.withColumn("f", F.input_file_name()).withColumn(
+        "z", morton_code(F.col("p_size"), F.col("p_partkey"), bits=10)
+    )
+    import collections
+    per_file = collections.defaultdict(list)
+    for r in z.select("f", "z").collect():
+        per_file[r.f].append(r.z)
+    assert len(per_file) == 4
+    for f, vals in per_file.items():
+        assert vals == sorted(vals), f
