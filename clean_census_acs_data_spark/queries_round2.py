@@ -757,3 +757,91 @@ def outlier_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n") >= 3) & cond)
         .select("o_custkey", "o_orderkey", "price_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple, dialect-portable patterns: both engines use the
+# same RE2/ICU-compatible syntax for these (no lookaround, no \b).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+                AS BIGINT) AS len_no_email
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: email/phone patterns replaced with typed
+    placeholder tokens — the mandatory hygiene step before text enters
+    a training corpus. Row-local regexp_replace (JVM, codegen, no
+    shuffle); patterns restricted to the regex subset both engines
+    interpret identically so the oracle is bit-exact."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.length(F.regexp_replace(F.col("text"), _EMAIL_RE, "")).cast("long").alias(
+            "len_no_email"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source quality capping (corpus balancing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cap_docs_per_source",
+    oracle="""
+    SELECT doc_id, source, quality_cents FROM (
+      SELECT doc_id, source, quality_cents,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality_cents DESC, doc_id) AS rn
+      FROM (
+        SELECT doc_id, source,
+               CAST(LENGTH(text) AS BIGINT) * 100
+               - CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS quality_cents
+        FROM documents
+      )
+    ) WHERE rn <= 50
+    """,
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing: keep the top 50 documents per source by a
+    deterministic integer quality score (here a length/whitespace
+    proxy; production plugs in text_quality_score). Window row_number
+    with a unique tiebreak; Spark turns the rn <= k filter into a
+    WindowGroupLimit, so per-source state is k rows at any corpus
+    size — the scale-safe way to cap dominant sources in a training
+    mix."""
+    d = _t(spark, sf_dir, "documents")
+    quality = (
+        F.length("text").cast("long") * 100
+        - F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = d.select("doc_id", "source", quality.alias("quality_cents"))
+    w = W.partitionBy("source").orderBy(F.desc("quality_cents"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .drop("rn")
+    )

@@ -378,3 +378,57 @@ def test_foreachbatch_multi_sink_audit(spark, tmp_path):
     assert {r.user_id for r in data.collect()} == {1, 2, 3}
     arows = sorted((r.batch_id, r.n_rows) for r in audit.collect())
     assert arows == [(0, 2), (1, 1)]  # one audit row per batch, counts match
+
+
+def test_foreachbatch_streaming_cdc_merge(spark, tmp_path):
+    """Streaming CDC apply: each micro-batch of change rows is MERGEd
+    into a parquet base table via foreachBatch (read base → merge_upsert
+    → overwrite). Batch 1 inserts/updates; batch 2 updates one key and
+    deletes another — the final base must reflect both batches applied
+    in order."""
+    from clean_census_acs_data_spark.operators.merge import merge_upsert
+
+    base_path = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "k long, v long"
+    ).write.parquet(base_path)
+
+    src = str(tmp_path / "changes")
+    d = lambda h: TS(2024, 1, 1, h)  # noqa: E731
+    # (user_id=k, ts, value_cents=v); deletes signalled by v < 0
+    _write_session_batch(src, [(2, d(1), 250), (4, d(1), 400)])
+    _write_session_batch(src, [(4, d(2), 450), (1, d(2), -1)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def apply_batch(batch_df, batch_id):
+        changes = batch_df.select(
+            F.col("user_id").alias("k"),
+            F.col("value_cents").alias("v"),
+            (F.col("value_cents") < 0).alias("is_delete"),
+        )
+        s = batch_df.sparkSession
+        base = s.read.parquet(base_path)
+        merged = merge_upsert(base, changes, key="k", delete_col="is_delete")
+        # stage-then-swap: writing over an input path mid-read is unsafe
+        staged = base_path + f"_stage{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+        shutil.rmtree(base_path)
+        shutil.move(staged, base_path)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = {r.k: r.v for r in spark.read.parquet(base_path).collect()}
+    # 1 deleted, 2 updated (batch 1), 3 untouched, 4 inserted then updated
+    assert final == {2: 250, 3: 300, 4: 450}
