@@ -35,16 +35,31 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_payload: list[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row gains the right row with the
-    greatest right_ts <= left_ts for the same key (NULLs if none).
-    Right payload columns come back prefixed ``asof_``; the matched
-    right timestamp is ``asof_ts``."""
+    """Left as-of join: every left row gains one right row for the same
+    key (NULLs if none) — with ``direction="backward"`` the greatest
+    right_ts <= left_ts (most recent at-or-before), with ``"forward"``
+    the smallest right_ts >= left_ts (earliest at-or-after). Right
+    payload columns come back prefixed ``asof_``; the matched right
+    timestamp is ``asof_ts``.
+
+    Same single-shuffle union-sort-carry plan in both directions; only
+    the tag order (which side wins ties) and the carry window flip:
+    backward carries the last right row from the preceding frame,
+    forward the first right row from the following frame."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     payload = list(right_payload)
+    # backward (>=): right rows sort BEFORE left at equal ts so an
+    # equal-ts right row is inside the preceding frame. forward (<=):
+    # right rows sort AFTER left so an equal-ts right row is inside
+    # the following frame.
+    right_tag, left_tag = (0, 1) if direction == "backward" else (1, 0)
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
+        F.lit(right_tag).alias("__tag"),
         F.struct(F.col(right_ts).alias("asof_ts"), *[F.col(c).alias(f"asof_{c}") for c in payload]).alias(
             "__rp"
         ),
@@ -52,19 +67,21 @@ def asof_join(
     l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
+        F.lit(left_tag).alias("__tag"),
         F.lit(None).cast(r.schema["__rp"].dataType).alias("__rp"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lp"),
     )
     r = r.withColumn("__lp", F.lit(None).cast(l.schema["__lp"].dataType))
     u = r.unionByName(l)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
-    out = carried.where(F.col("__tag") == 1).select("__lp.*", "__match.*")
+    base = Window.partitionBy("__k").orderBy("__ts", "__tag")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last("__rp", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first("__rp", ignorenulls=True).over(w)
+    carried = u.withColumn("__match", carry)
+    out = carried.where(F.col("__tag") == left_tag).select("__lp.*", "__match.*")
     return out
 
 

@@ -845,3 +845,49 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 50)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# forward as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_next_click",
+    oracle="""
+    WITH pur AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    cl AS (SELECT user_id, ts, MIN(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts       AS asof_ts,
+           c.click_id AS asof_click_id
+    FROM pur p
+    ASOF LEFT JOIN cl c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def asof_join_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase gains the user's EARLIEST
+    click at or after it (post-purchase behavior attribution). Same
+    join-free union-sort-carry plan as the backward form with the
+    frame flipped to first-over-following; clicks pre-deduped per
+    (user, ts) so tie resolution is deterministic on both engines."""
+    from clean_census_acs_data_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id"],
+        direction="forward",
+    )

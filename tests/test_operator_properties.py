@@ -378,3 +378,51 @@ def test_components_reliable_checkpoint_dir(spark, tmp_path):
     # the checkpoint dir must actually have been used
     import os
     assert any(os.scandir(tmp_path / "ckpt"))
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert ≡ dict-based reference
+# ---------------------------------------------------------------------------
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 30), st.integers(-5, 5), max_size=15),
+    upserts=st.dictionaries(st.integers(0, 40), st.integers(-5, 5), max_size=10),
+    deletes=st.sets(st.integers(0, 40), max_size=6),
+)
+@settings(max_examples=20, deadline=None)
+def test_merge_upsert_matches_dict_semantics(base, upserts, deletes, merge_spark):
+    from clean_census_acs_data_spark.operators.merge import merge_upsert
+    import pyspark.sql.functions as SF
+
+    deletes = deletes - set(upserts)  # change set unique per key
+    want = dict(base)
+    want.update(upserts)
+    for k in deletes:
+        want.pop(k, None)
+
+    spark = merge_spark
+    b = spark.createDataFrame(
+        [(k, v, f"name{k}") for k, v in base.items()] or [(None, None, None)],
+        "k long, v long, name string",
+    ).where(SF.col("k").isNotNull())
+    ch_rows = [(k, v, False) for k, v in upserts.items()] + [
+        (k, 0, True) for k in deletes
+    ]
+    c = spark.createDataFrame(
+        ch_rows or [(None, None, None)], "k long, v long, is_delete boolean"
+    ).where(SF.col("k").isNotNull())
+    got = {
+        r.k: (r.v, r.name)
+        for r in merge_upsert(b, c, key="k", delete_col="is_delete").collect()
+    }
+    assert set(got) == set(want)
+    for k, (v, name) in got.items():
+        assert v == want[k], k
+        # base-only column: survives updates, NULL on fresh inserts
+        assert name == (f"name{k}" if k in base else None), k
+
+
+@pytest.fixture(scope="module")
+def merge_spark(spark):
+    return spark
