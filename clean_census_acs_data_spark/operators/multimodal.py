@@ -186,3 +186,43 @@ def resize_payload(
             yield out
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def arrow_byte_stats(media: DataFrame) -> DataFrame:
+    """Arrow-native byte statistics via ``mapInArrow`` — the zero-copy
+    tier below mapInPandas: RecordBatches arrive as raw Arrow buffers
+    and the whole batch is reduced with numpy over the flattened binary
+    data buffer (one cumsum per batch, O(bytes), no per-row Python and
+    no pandas materialization). The right boundary for byte-level
+    multimodal work (checksums, histograms, magic-number sniffing)
+    where even pandas object arrays are overhead."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            ids = batch.column("asset_id")
+            payload = batch.column("payload")
+            # normalize the slice view: offsets index into the data
+            # buffer relative to arr.offset
+            arr = payload.slice(0, len(payload))
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + len(arr) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            csum = np.concatenate(
+                ([0], np.cumsum(data, dtype=np.int64))
+            )
+            sums = csum[offs[1:]] - csum[offs[:-1]]
+            lens = offs[1:] - offs[:-1]
+            yield pa.record_batch(
+                {
+                    "asset_id": ids,
+                    "byte_len": pa.array(lens, pa.int64()),
+                    "ascii_sum": pa.array(sums, pa.int64()),
+                }
+            )
+
+    return media.select("asset_id", "payload").mapInArrow(
+        run, "asset_id long, byte_len long, ascii_sum long"
+    )

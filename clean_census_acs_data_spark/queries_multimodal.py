@@ -65,3 +65,28 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 41 == 0)
     return sample_frames(synthesize_media(docs), frame_bytes=16, stride=4)
+
+
+_ARROW_STATS_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                     i -> ascii(substring(text, i, 1)))) AS BIGINT) AS ascii_sum
+FROM documents
+"""
+
+
+@register("multimodal_arrow_stats", oracle=_ARROW_STATS_ORACLE)
+def multimodal_arrow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow byte statistics: the binary payload column reduced
+    with numpy directly over Arrow buffers (no pandas boundary, no
+    per-row Python) — one vectorized cumsum per RecordBatch. Oracle
+    recomputes the byte sums character-wise (pure-ASCII fixture, so
+    char ops equal byte ops)."""
+    from clean_census_acs_data_spark.operators.multimodal import (
+        arrow_byte_stats,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return arrow_byte_stats(synthesize_media(docs))

@@ -163,3 +163,25 @@ def test_preflight_datasets_caches_per_path(spark):
     assert "DP02_0068E" not in filtered["dp02"]["variables"]
     # untouched datasets keep their full lists
     assert filtered["s0101"]["variables"] == C.DATASETS["s0101"]["variables"]
+
+
+def test_observation_metrics_without_recompute(spark):
+    """Observability at scale: df.observe() collects row counts /
+    integral sums as a side effect of the ONE action that materializes
+    the pipeline — no second pass over the data (a .count() after the
+    write would rescan everything at 100 TB)."""
+    from pyspark.sql import Observation
+
+    clean, _dead = run_census_pipeline(
+        spark, table_name="dp02", fetcher=fake_census_fetcher
+    )
+    obs = Observation("census_metrics")
+    observed = clean.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.col("TABLE_NAME")).alias("n_tagged"),
+    )
+    n_action = observed.count()  # the single materializing action
+    metrics = obs.get
+    assert metrics["n_rows"] == n_action
+    assert metrics["n_tagged"] == n_action

@@ -113,3 +113,59 @@ def test_push_filters_end_to_end(spark):
     fips = {r.state_fips for r in df.collect()}
     assert fips == {"02"}
     assert df.rdd.getNumPartitions() == 1  # 1 chunk, not ceil(7/3)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (sources/jsonl_sink.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_sink_writes_committed_files(spark, tmp_path):
+    """Two-phase commit: per-partition staged files renamed on commit,
+    _SUCCESS manifest lists them, content is line-JSON of every row."""
+    import json
+    import os
+
+    from clean_census_acs_data_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "dl")
+    df = spark.createDataFrame(
+        [(1, "boom", 500), (2, "slow", 408), (3, "nope", 403)],
+        "id long, error string, status int",
+    ).repartition(2)
+    df.write.format("jsonl_deadletter").option("path", out).mode("append").save()
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 2
+    assert not [f for f in files if f.startswith("._staged")]
+    rows = []
+    for p in parts:
+        with open(os.path.join(out, p), encoding="utf-8") as fh:
+            rows += [json.loads(ln) for ln in fh]
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]
+    with open(os.path.join(out, "_SUCCESS"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    assert sum(e["n_rows"] for e in manifest["files"]) == 3
+
+
+def test_jsonl_sink_roundtrip_dead_letters(spark, tmp_path):
+    """End-to-end: the census dead-letter split exported through the
+    custom sink and read back as JSON."""
+    from clean_census_acs_data_spark.plans.census_pipeline import run_census_pipeline
+    from clean_census_acs_data_spark.sources.fake_census import fake_census_fetcher
+    from clean_census_acs_data_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    _clean, dead = run_census_pipeline(
+        spark, table_name="dp02", fetcher=fake_census_fetcher
+    )
+    out = str(tmp_path / "dead")
+    dead.select("table_name", "state_chunk", "status", "error").write.format(
+        "jsonl_deadletter"
+    ).option("path", out).mode("append").save()
+    back = spark.read.json(out + "/part-*.jsonl")
+    assert back.count() == dead.count() == 1
+    assert back.collect()[0].status == 500
