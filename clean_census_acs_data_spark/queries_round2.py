@@ -891,3 +891,59 @@ def asof_join_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["click_id"],
         direction="forward",
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint gates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+       )) AS n_dup_orderkeys,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_null_custkey,
+      (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_orders,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0 OR l_discount < 0
+          OR l_discount > 1) AS n_bad_lineitems
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: uniqueness, not-null, referential-integrity
+    and domain-range checks as ONE single-row report (the dbt-test /
+    Deequ pattern). Each check is an aggregate or anti-join that
+    partial-aggregates before its shuffle; the orphan check broadcasts
+    the customer key set at dim scale. Run before a merge/publish, fail
+    the pipeline on non-zero counts."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    n_dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_orderkeys"))
+    )
+    n_null = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null_custkey")
+    )
+    n_orphan = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphan_orders"))
+    )
+    n_bad = li.agg(
+        F.count(
+            F.when(
+                (F.col("l_quantity") <= 0)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            )
+        ).alias("n_bad_lineitems")
+    )
+    return n_dup.crossJoin(n_null).crossJoin(n_orphan).crossJoin(n_bad)

@@ -56,3 +56,19 @@ def test_frame_sample_fanout_matches_formula(spark):
         # every sampled frame except possibly the tail is full-width
         for fr in by_asset[aid]:
             assert fr.frame_len == 16 or fr.frame_idx == n_frames - 1
+
+
+def test_arrow_byte_stats_empty_and_sliced(spark):
+    """mapInArrow buffer math must survive empty payloads and sliced
+    arrays (nonzero arr.offset after internal batch slicing)."""
+    from clean_census_acs_data_spark.operators.multimodal import arrow_byte_stats
+
+    rows = [(1, b""), (2, b"AB"), (3, b"\x00\xff"), (4, b"x" * 1000)]
+    media = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: (r.byte_len, r.ascii_sum) for r in arrow_byte_stats(media).collect()}
+    assert got == {
+        1: (0, 0),
+        2: (2, ord("A") + ord("B")),
+        3: (2, 255),
+        4: (1000, 1000 * ord("x")),
+    }

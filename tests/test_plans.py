@@ -106,6 +106,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "census_preflight_pipeline",
         "gap_fill_forward",
         "tpch_q22_idle_customers",  # broadcast 1-row scalar-subquery threshold
+        "dq_constraint_checks",  # cross of four 1-row check reports
     }
     for name, p in plans.items():
         base = name.split("/")[0]
