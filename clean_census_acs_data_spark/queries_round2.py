@@ -431,9 +431,13 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("value").alias("value_cents"),
         F.when(
             F.lag("ts").over(w).isNull()
+            # exact µs comparison: cast("long") truncates to whole
+            # seconds and disagrees with the oracle's INTERVAL compare
+            # for gaps inside (1800s, 1801s) when timestamps carry
+            # sub-second parts (this data: always)
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 30 * 60
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
             ),
             1,
         )
