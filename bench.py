@@ -92,6 +92,24 @@ SECONDARY = [
     "text_lang_id",
     "window_distribution",
     "checksum_functions",
+    # round-2 additions
+    "tpch_q4_late_shipped",
+    "tpch_q10_returned_topk",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "merge_upsert_cdc",
+    "scd2_user_values",
+    "sessionize_lag_cumsum",
+    "event_funnel_conversion",
+    "retention_cohorts",
+    "embedding_centroids",
+    "outlier_orders_exact",
+    "zorder_morton",
+    "text_pii_redaction",
+    "cap_docs_per_source",
+    "multimodal_arrow_stats",
+    "dq_constraint_checks",
+    "asof_join_next_click",
 ]
 
 

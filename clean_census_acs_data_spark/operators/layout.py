@@ -45,9 +45,11 @@ def morton_code_sql(a: str, b: str, *, bits: int = 16) -> str:
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
     m = 1 << bits
-    # wrap inputs to the bit budget, mirroring morton_code's pmod
-    aw = f"(({a}) % {m})"
-    bw = f"(({b}) % {m})"
+    # wrap inputs to the bit budget, mirroring morton_code's pmod —
+    # double-mod so negative inputs wrap into [0, m) like F.pmod does
+    # (plain SQL % keeps the dividend's sign)
+    aw = f"(((({a}) % {m}) + {m}) % {m})"
+    bw = f"(((({b}) % {m}) + {m}) % {m})"
     terms = []
     for i in range(bits):
         terms.append(f"(({aw} // {1 << i}) % 2) * {1 << (2 * i)}")
