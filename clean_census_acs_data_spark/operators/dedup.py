@@ -161,50 +161,121 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard similarity between documents sharing a
     blocking key. The block join bounds pair count; exact verification
-    only inside blocks. ``threshold`` must be > 0 (pairs sharing zero
-    grams are never emitted).
+    only inside blocks.
 
-    Shape: inverted-index co-count, NOT a pair join over gram arrays.
-    A pair join materializes both ~|text| gram arrays per candidate
-    pair (O(pairs·|grams|) array copies through the join — measured 3×
-    slower at sf0.1 and worse with block size); instead we explode to
-    (block, gram, doc) postings, equi-join postings on (block, gram),
-    and count matches per doc pair — |A∩B| arrives as a partial-
-    aggregated count, |A∪B| from the per-doc gram counts carried on
-    the postings. Everything stays in whole-stage codegen, and
-    parallelism is keyed by (block, gram), not by block."""
-    # substring with a column start position needs the expr form
-    d = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(block_col).alias("blk"),
-        F.expr(
-            f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 0)),"
-            f" i -> substring({text_col}, i, {n})))"
-        ).alias("grams"),
-    ).where(F.size("grams") > 0)
-    g = d.select(
-        "doc", "blk", F.size("grams").alias("ng"), F.explode("grams").alias("gram")
+    Shape: heavy/light-split inverted-index co-count — never a pair
+    join over gram arrays (that materializes both ~|text| gram arrays
+    per candidate pair), and never a plain posting co-count (whose
+    join output is Σ_gram p² — a gram present in nearly every block
+    document costs ~n² rows by itself). Split each block's grams at
+    p·2 > n:
+
+    - LIGHT grams (posting ≤ n/2): classic postings co-count — +1 to
+      |A∩B| per shared light gram.
+    - HEAVY grams (posting > n/2): count by COMPLEMENT. For a heavy
+      gram, [g∈A][g∈B] = 1 − [g∉A] − [g∉B] + [g∉A][g∉B], so summing
+      over a block's H heavy grams:
+      inter_heavy = H − hout(A) − hout(B) + |both-absent co-count|,
+      where hout(X) = heavy grams absent from X. The absent postings
+      have size n−p < n/2, so the co-count join is small.
+
+    The both-absent rows and light-present rows are disjoint (a gram
+    is heavy or light per block), so one unioned co-count covers both.
+    Join output is Σ_gram min(p, n−p)² ≤ n²/4 per gram — measured
+    5.5× fewer rows and ~1.7× faster end-to-end at sf0.1 than the
+    plain co-count (111 s → 19 s vs the original array pair join).
+    Every stage is an equi-join or partial aggregation in whole-stage
+    codegen; parallelism is keyed by (block, gram). All block pairs
+    are enumerated via a narrow per-doc-stats self-join, so
+    ``threshold=0`` is supported."""
+    # substring with a column start position needs the expr form. The
+    # explicit length guard matters: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0] (not empty like DuckDB's range(1, 1)), so a
+    # text shorter than n would otherwise yield a phantom ''-gram and
+    # survive the size filter — caught by the brute-force property
+    # test, never by the ≥3-char parquet fixtures.
+    d = (
+        docs.where(F.length(text_col) >= n)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(block_col).alias("blk"),
+            F.expr(
+                f"array_distinct(transform(sequence(1, length({text_col}) - {n - 1}),"
+                f" i -> substring({text_col}, i, {n})))"
+            ).alias("grams"),
+        )
     )
-    a, b = g.alias("a"), g.alias("b")
-    pairs = (
-        a.join(
-            b,
+    g = d.select("doc", "blk", F.explode("grams").alias("gram"))
+    docs_blk = d.select("doc", "blk", F.size("grams").alias("ng"))
+
+    post = g.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("p"))
+    nblk = docs_blk.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    post = post.join(nblk, "blk")
+    heavy_post = post.where(F.col("p") * 2 > F.col("n")).select("blk", "gram")
+    light_post = post.where(F.col("p") * 2 <= F.col("n")).select("blk", "gram")
+    h_blk = heavy_post.groupBy("blk").agg(F.count(F.lit(1)).alias("H"))
+
+    gl = g.join(light_post, ["blk", "gram"], "left_semi")
+    gh = g.join(heavy_post, ["blk", "gram"], "left_semi")
+    # heavy complements: (blk, gram, doc) for docs MISSING the heavy gram
+    cross = docs_blk.select("blk", "doc").join(heavy_post, "blk")
+    comp = cross.join(gh, ["blk", "gram", "doc"], "left_anti")
+    tokens = gl.select("blk", "gram", "doc").unionByName(
+        comp.select("blk", "gram", "doc")
+    )
+    ta, tb = tokens.alias("a"), tokens.alias("b")
+    extra = (
+        ta.join(
+            tb,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .groupBy(
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("xcnt"))
+    )
+
+    h_present = gh.groupBy("doc", "blk").agg(F.count(F.lit(1)).alias("hp"))
+    docstats = (
+        docs_blk.join(h_blk, "blk", "left")
+        .join(h_present, ["doc", "blk"], "left")
+        .select(
+            "doc",
+            "blk",
+            "ng",
+            (
+                F.coalesce(F.col("H"), F.lit(0)) - F.coalesce(F.col("hp"), F.lit(0))
+            ).alias("hout"),
+            F.coalesce(F.col("H"), F.lit(0)).alias("H"),
+        )
+    )
+    pa, pb = docstats.alias("a"), docstats.alias("b")
+    pairs = (
+        pa.join(
+            pb,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
             F.col("a.ng").alias("na"),
             F.col("b.ng").alias("nb"),
+            (F.col("a.H") - F.col("a.hout") - F.col("b.hout")).alias("base"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    full = pairs.join(extra, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "na",
+        "nb",
+        (F.col("base") + F.coalesce(F.col("xcnt"), F.lit(0))).cast("long").alias(
+            "inter"
+        ),
     )
     union = F.col("na").cast("long") + F.col("nb").cast("long") - F.col("inter")
     jac = F.col("inter").cast("double") / union.cast("double")
     return (
-        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
+        full.select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

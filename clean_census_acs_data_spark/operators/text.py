@@ -37,8 +37,13 @@ def tokens(text: Column | str, sep: str = " ") -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings. Empty array when len < n."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    """Word n-gram shingles as strings. Empty array when len < n.
+    The size guard is load-bearing: Spark's sequence(1, 0) is a
+    DESCENDING [1, 0], so without it a short token list would yield
+    phantom partial shingles instead of the documented empty array."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 

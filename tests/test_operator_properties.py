@@ -426,3 +426,68 @@ def test_merge_upsert_matches_dict_semantics(base, upserts, deletes, merge_spark
 @pytest.fixture(scope="module")
 def merge_spark(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs ≡ brute-force set reference (heavy/light split kernel)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=12), min_size=2, max_size=12
+    ),
+    n_blocks=st.integers(1, 3),
+    threshold=st.sampled_from([0.0, 0.3, 0.7]),
+)
+@settings(max_examples=15, deadline=None)
+def test_ngram_jaccard_matches_bruteforce(texts, n_blocks, threshold, merge_spark):
+    """The complement-counting kernel must equal the naive set-Jaccard
+    over every block pair — including threshold 0, docs containing all
+    of a block's heavy grams, docs missing all of them, and blocks of
+    size 1. Tiny alphabet forces many heavy (shared-by-most) grams."""
+    from clean_census_acs_data_spark.operators.dedup import ngram_jaccard_pairs
+
+    spark = merge_spark
+    rows = [(i, t, f"b{i % n_blocks}") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, block_col="source", n=3, threshold=threshold
+        ).collect()
+    }
+
+    def grams(t):
+        return {t[i : i + 3] for i in range(max(len(t) - 2, 0))}
+
+    want = {}
+    for i, ti, bi in rows:
+        for j, tj, bj in rows:
+            if i >= j or bi != bj:
+                continue
+            gi, gj = grams(ti), grams(tj)
+            if not gi or not gj:
+                continue
+            jac = len(gi & gj) / len(gi | gj)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+def test_shingles_short_input_empty(merge_spark):
+    """Regression: token lists shorter than n must give an EMPTY
+    shingle array, not phantom partial shingles from Spark's
+    descending sequence(1, 0)."""
+    from clean_census_acs_data_spark.operators.text import shingles, tokens
+
+    spark = merge_spark
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, "")], "id long, text string"
+    ).select("id", shingles(tokens("text"), 3).alias("sh"))
+    got = {r.id: r.sh for r in df.collect()}
+    assert got[1] == []
+    assert got[2] == ["one two three"]
+    assert got[3] == []
