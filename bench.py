@@ -93,6 +93,17 @@ SECONDARY = [
     "window_distribution",
     "checksum_functions",
     # round-2 additions
+    "tpch_q2_min_price_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_value_concentration",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
     "tpch_q4_late_shipped",
     "tpch_q10_returned_topk",
     "tpch_q18_large_orders",

@@ -107,6 +107,8 @@ def test_no_degenerate_joins_anywhere(plans):
         "gap_fill_forward",
         "tpch_q22_idle_customers",  # broadcast 1-row scalar-subquery threshold
         "dq_constraint_checks",  # cross of four 1-row check reports
+        "tpch_q11_value_concentration",  # broadcast 1-row global-share threshold
+        "tpch_q15_top_supplier",  # broadcast 1-row max-revenue scalar
     }
     for name, p in plans.items():
         base = name.split("/")[0]
@@ -281,3 +283,58 @@ def test_funnel_two_aggregates_no_join(plans):
     p = plans["event_funnel_conversion"]
     assert count_nodes(p, "SortMergeJoin") == 0
     assert count_nodes(p, "BroadcastHashJoin") == 0
+
+
+def test_q6_all_predicates_reach_scan(plans):
+    """Q6 is the pushdown microbenchmark: shipdate range, discount
+    range, and quantity bound must ALL appear in PushedFilters, and the
+    scan must read only the three referenced columns."""
+    p = plans["tpch_q6_forecast_revenue"]
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_tax" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q7_dual_nation_broadcast(plans):
+    """Both nation roles and the supplier dim broadcast: at least 3
+    BroadcastHashJoins, and no shuffle keyed on a nation column."""
+    p = plans["tpch_q7_volume_shipping"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 3
+    exchanges = [ln for ln in p.splitlines() if "hashpartitioning" in ln]
+    assert not any("n_nationkey" in ln or "n1_key" in ln or "n2_key" in ln
+                   for ln in exchanges)
+
+
+def test_q8_snowflake_broadcasts_all_dims(plans):
+    """Five dims (part, supplier, both nation roles, region-pruned
+    nation) broadcast; only the fact path shuffles."""
+    p = plans["tpch_q8_market_share"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 4
+    assert count_nodes(p, "SortMergeJoin") <= 2
+
+
+def test_q13_outer_join_preserved(plans):
+    """The priority exclusion lives in the join condition, so the
+    left-outer join must survive planning (an eliminated outer join
+    would drop zero-order customers)."""
+    p = plans["tpch_q13_order_distribution/simple"]
+    assert "LeftOuter" in p
+    assert count_nodes(plans["tpch_q13_order_distribution"], "HashAggregate") >= 4
+
+
+def test_q21_semi_anti_pair(plans):
+    """The EXISTS/NOT EXISTS pair compiles to one left-semi and one
+    left-anti join — never a fan-out inner join plus dedup."""
+    p = plans["tpch_q21_waiting_suppliers/simple"]
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+
+
+def test_q2_ties_join_back_broadcasts_dims(plans):
+    """Part/supplier dims broadcast around the offers↔best equality
+    join-back; the region restriction resolves as a semi join."""
+    p = plans["tpch_q2_min_price_supplier"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plans["tpch_q2_min_price_supplier/simple"]
