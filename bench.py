@@ -119,6 +119,9 @@ SECONDARY = [
     "text_pii_redaction",
     "cap_docs_per_source",
     "multimodal_arrow_stats",
+    "text_repetition_filter",
+    "decontaminate_ngram_overlap",
+    "embedding_quantize_int8",
     "dq_constraint_checks",
     "asof_join_next_click",
 ]

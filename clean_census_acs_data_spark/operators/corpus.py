@@ -1,0 +1,187 @@
+"""Corpus-hygiene operators for training-data pipelines: intra-document
+repetition metrics (the Gopher-style quality gate), train/eval n-gram
+decontamination, and int8 embedding quantization.
+
+All JVM-side DataFrame ops — no Python UDFs. Each function documents why
+its plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.operators.text import shingles, tokens
+
+
+def _word_grams(text: Column, n: int) -> Column:
+    return shingles(tokens(text), n=n)
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    top_frac_limit: float = 0.20,
+    dup_frac_limit: float = 0.60,
+) -> DataFrame:
+    """Per-document word-n-gram repetition profile — the "repetitive
+    document" filter from large-corpus quality pipelines (fraction of
+    gram occurrences belonging to the single most common gram, and to
+    any gram repeated at least twice).
+
+    Shape: explode grams → count per (doc, gram) → per-doc rollup.
+    Both aggregations key on doc_id (the second reuses the first's
+    partitioning — one wide shuffle of (doc_id, gram) pairs total).
+    Per-doc state after the first agg is |distinct grams per doc|,
+    bounded by doc length, never corpus size — safe at any document
+    count. Docs shorter than n tokens yield no grams and are emitted
+    with zero counts via the final left join back to the id spine
+    (they cannot be judged repetitive).
+    """
+    spine = docs.select(F.col(id_col))
+    grams = docs.select(
+        F.col(id_col), F.explode(_word_grams(F.col(text_col), n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("cnt").alias("top_gram_count"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_gram_occurrences"
+        ),
+    )
+    top_frac = F.col("top_gram_count").cast("double") / F.col("n_grams").cast("double")
+    dup_frac = (
+        F.col("dup_gram_occurrences").cast("double") / F.col("n_grams").cast("double")
+    )
+    return (
+        spine.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct_grams", F.lit(0)).alias("n_distinct_grams"),
+            F.coalesce("top_gram_count", F.lit(0)).alias("top_gram_count"),
+            F.coalesce("dup_gram_occurrences", F.lit(0)).alias(
+                "dup_gram_occurrences"
+            ),
+            F.when(F.col("n_grams") > 0, top_frac).alias("top_gram_frac"),
+            F.when(F.col("n_grams") > 0, dup_frac).alias("dup_gram_frac"),
+            F.when(
+                F.col("n_grams") > 0,
+                (top_frac > F.lit(top_frac_limit)) | (dup_frac > F.lit(dup_frac_limit)),
+            )
+            .otherwise(F.lit(False))
+            .alias("is_repetitive"),
+        )
+    )
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_overlap_frac: float = 0.10,
+) -> DataFrame:
+    """Train/eval contamination audit: for every training document, the
+    fraction of its distinct word n-grams that also occur anywhere in
+    the eval set. Docs above ``max_overlap_frac`` are flagged for
+    removal — the standard benchmark-decontamination pass before
+    training.
+
+    Shape: distinct (doc, gram) pairs on the train side; a distinct
+    gram set on the eval side; inner-join on gram for overlap counts,
+    then a left join back to per-doc totals so zero-overlap docs keep a
+    row. The eval gram set is the small side by construction (eval
+    benchmarks ≪ training corpus) — AQE broadcasts it, so the train
+    side's only wide exchange is the distinct-gram aggregation. Gram
+    equality joins on the md5-derived 60-bit hash, not the string:
+    shuffle keys are 8 bytes regardless of n.
+    """
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    t_grams = (
+        train.select(
+            F.col(id_col), F.explode(_word_grams(F.col(text_col), n)).alias("gram")
+        )
+        .select(id_col, md5_long(F.col("gram")).alias("gram_h"))
+        .distinct()
+    )
+    e_grams = (
+        eval_set.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
+        .select(md5_long(F.col("gram")).alias("gram_h"))
+        .distinct()
+    )
+    totals = t_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams_distinct"))
+    overlaps = (
+        t_grams.join(e_grams, "gram_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_grams_distinct").cast("double")
+    return (
+        totals.join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            "n_grams_distinct",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+            (F.coalesce(frac, F.lit(0.0)) > F.lit(max_overlap_frac)).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column, tall output
+    (one row per vector component): q = round(x / max|x| * 127), plus
+    the per-vector scale in exact micro units for dequantization.
+
+    The scale is a row-local array fold (no shuffle); posexplode is a
+    generator (no shuffle). The whole operator is narrow — at 100 TB it
+    pipelines inside whole-stage codegen behind whatever scan feeds it.
+    Tall form avoids array-ordering hazards in cross-engine comparison;
+    a production sink would re-assemble with collect_list over a
+    position sort or keep Arrow FixedSizeList.
+
+    Zero vectors (scale = 0) quantize to all-zero components rather
+    than NaN: the CASE guards the division.
+    """
+    xs = F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(xs)
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        scale.alias("scale"),
+        F.round(scale * 1_000_000).cast("long").alias("scale_micro"),
+    )
+    q = F.when(
+        F.col("scale") > 0.0,
+        F.round(F.col("x").cast("double") / F.col("scale") * 127).cast("long"),
+    ).otherwise(F.lit(0))
+    return (
+        base.select(
+            id_col,
+            "scale",
+            "scale_micro",
+            F.posexplode(vec_col).alias("pos0", "x"),
+        )
+        .select(
+            id_col,
+            (F.col("pos0") + 1).alias("pos"),
+            q.alias("q8"),
+            "scale_micro",
+        )
+    )

@@ -1,0 +1,149 @@
+"""Corpus-hygiene query tier: Gopher-style repetition gating,
+train/eval n-gram decontamination, int8 embedding quantization.
+
+Oracles rebuild the same word-gram / hash / quantization pipelines in
+DuckDB list SQL (same md5-derived 60-bit hash, same association order
+in every double expression) so the comparison is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.operators import corpus as C
+from clean_census_acs_data_spark.queries import _t, register
+
+# DuckDB twin of operators.text.md5_long (60-bit integer from md5 hex)
+_H15 = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+# word bigram list in DuckDB list SQL (range() is stop-exclusive)
+_BIGRAMS = """
+list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> concat(t[i], ' ', t[i + 1]))
+"""
+
+_5GRAMS = """
+list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+               i -> concat(t[i], ' ', t[i+1], ' ', t[i+2], ' ', t[i+3], ' ', t[i+4]))
+"""
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_BIGRAMS}) AS gram FROM toks
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct_grams,
+         CAST(MAX(cnt) AS BIGINT) AS top_gram_count,
+         CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_gram_occurrences
+  FROM per_gram GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_distinct_grams, 0) AS n_distinct_grams,
+       COALESCE(top_gram_count, 0) AS top_gram_count,
+       COALESCE(dup_gram_occurrences, 0) AS dup_gram_occurrences,
+       CASE WHEN n_grams > 0
+            THEN CAST(top_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) END
+         AS top_gram_frac,
+       CASE WHEN n_grams > 0
+            THEN CAST(dup_gram_occurrences AS DOUBLE) / CAST(n_grams AS DOUBLE) END
+         AS dup_gram_frac,
+       CASE WHEN n_grams > 0
+            THEN CAST(top_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.20
+              OR CAST(dup_gram_occurrences AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.60
+            ELSE FALSE END AS is_repetitive
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+@register("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: per-doc fraction of word-bigram
+    occurrences in the single most common bigram and in any repeated
+    bigram; docs over 20% / 60% flag as repetitive. Two same-key
+    aggregations (one (doc, gram) shuffle, the rollup reuses the doc_id
+    partitioning); per-doc state is bounded by doc length, so the gate
+    runs at corpus scale as a map-heavy pipeline."""
+    return C.repetition_metrics(_t(spark, sf_dir, "documents"), n=2)
+
+
+_DECONTAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(list_distinct({_5GRAMS})) AS gram FROM toks
+),
+gh AS (
+  SELECT doc_id, {_H15.format(x='gram')} AS gram_h FROM g
+),
+train AS (SELECT DISTINCT doc_id, gram_h FROM gh WHERE doc_id % 17 <> 0),
+eval_g AS (SELECT DISTINCT gram_h FROM gh WHERE doc_id % 17 = 0),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_grams_distinct FROM train GROUP BY doc_id
+),
+ovl AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM train JOIN eval_g USING (gram_h) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       n_grams_distinct,
+       COALESCE(n_overlap, 0) AS n_overlap,
+       COALESCE(CAST(n_overlap AS DOUBLE) / CAST(n_grams_distinct AS DOUBLE), 0.0)
+         AS overlap_frac,
+       COALESCE(CAST(n_overlap AS DOUBLE) / CAST(n_grams_distinct AS DOUBLE), 0.0)
+         > 0.10 AS is_contaminated
+FROM totals t LEFT JOIN ovl USING (doc_id)
+"""
+
+
+@register("decontaminate_ngram_overlap", oracle=_DECONTAM_ORACLE)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every training document's distinct
+    word-5-grams checked against the eval split's gram set (eval =
+    doc_id ≡ 0 mod 17 here; production passes the benchmark corpus).
+    Grams join on 60-bit md5 hashes — 8-byte shuffle keys; the eval
+    side is small by construction so AQE broadcasts it and the train
+    side shuffles once (its distinct). Docs over 10% overlap flag for
+    removal."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    return C.ngram_decontaminate(train, eval_set, n=5)
+
+
+_QUANTIZE_ORACLE = """
+WITH base AS (
+  SELECT vec_id,
+         embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       generate_subscripts(embedding, 1) AS pos,
+       CASE WHEN scale > 0.0
+            THEN CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) / scale * 127) AS BIGINT)
+            ELSE 0 END AS q8,
+       CAST(ROUND(scale * 1000000) AS BIGINT) AS scale_micro
+FROM base
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (q = round(x/max|x|·127)),
+    tall form with the per-vector scale in exact micros — the storage/
+    bandwidth reduction step before ANN indexing. Entirely narrow
+    (array fold + generator, zero shuffles): pipelines inside codegen
+    behind the scan at any scale."""
+    return C.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))

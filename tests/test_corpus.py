@@ -1,0 +1,96 @@
+"""Behavior tests for corpus-hygiene operators: the edge cases the
+parquet fixtures don't exercise (docs shorter than n tokens, zero
+vectors, empty eval sets, exact flag thresholds)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clean_census_acs_data_spark.operators.corpus import (
+    ngram_decontaminate,
+    quantize_embeddings_int8,
+    repetition_metrics,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_short_doc_yields_zero_row(spark):
+    out = repetition_metrics(_docs(spark, [(1, "single")]), n=2).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_grams"] == 0
+    assert r["top_gram_frac"] is None
+    assert r["is_repetitive"] is False
+
+
+def test_repetition_flags_loops_not_prose(spark):
+    loop = " ".join(["spam ham"] * 20)          # one bigram dominates
+    prose = "a b c d e f g h i j k l m n o p"   # all bigrams unique
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_metrics(
+            _docs(spark, [(1, loop), (2, prose)]), n=2
+        ).collect()
+    }
+    assert out[1]["is_repetitive"] is True
+    assert out[1]["top_gram_frac"] > 0.4
+    assert out[2]["is_repetitive"] is False
+    assert out[2]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_dup_frac_counts_all_repeats(spark):
+    # "x y" ×2 and "y x" ×2 among 4 grams: every occurrence is a repeat
+    out = repetition_metrics(_docs(spark, [(1, "x y x y x")]), n=2).collect()[0]
+    assert out["n_grams"] == 4
+    assert out["n_distinct_grams"] == 2
+    assert out["dup_gram_frac"] == 1.0
+
+
+def test_decontaminate_flags_only_overlapping(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words nothing shared here at all"),
+        ],
+    )
+    ev = _docs(spark, [(100, "the quick brown fox jumps elsewhere")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_decontaminate(train, ev, n=5).collect()
+    }
+    assert out[1]["n_overlap"] == 1  # "the quick brown fox jumps"
+    assert out[1]["overlap_frac"] == pytest.approx(1 / 5)
+    assert out[1]["is_contaminated"]
+    assert out[2]["n_overlap"] == 0
+    assert out[2]["overlap_frac"] == 0.0
+    assert not out[2]["is_contaminated"]
+
+
+def test_decontaminate_empty_eval_keeps_all_rows(spark):
+    train = _docs(spark, [(1, "a b c d e f")])
+    ev = _docs(spark, []).limit(0)
+    out = ngram_decontaminate(train, ev, n=5).collect()
+    assert len(out) == 1 and out[0]["n_overlap"] == 0
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_range_and_scale(spark):
+    out = quantize_embeddings_int8(_emb(spark, [(1, [0.5, -1.0, 0.25])])).collect()
+    by_pos = {r["pos"]: r for r in out}
+    assert by_pos[1]["q8"] == 64   # round(0.5/1.0*127) = round(63.5) → 64
+    assert by_pos[2]["q8"] == -127
+    assert by_pos[3]["q8"] == 32   # round(31.75) → 32
+    assert all(r["scale_micro"] == 1_000_000 for r in out)
+
+
+def test_quantize_zero_vector_is_all_zero(spark):
+    out = quantize_embeddings_int8(_emb(spark, [(1, [0.0, 0.0])])).collect()
+    assert [r["q8"] for r in out] == [0, 0]
+    assert all(r["scale_micro"] == 0 for r in out)
