@@ -122,6 +122,8 @@ SECONDARY = [
     "text_repetition_filter",
     "decontaminate_ngram_overlap",
     "embedding_quantize_int8",
+    "corpus_mix_sample",
+    "pack_sequences",
     "dq_constraint_checks",
     "asof_join_next_click",
 ]

@@ -185,3 +185,110 @@ def quantize_embeddings_int8(
             "scale_micro",
         )
     )
+
+
+def corpus_mix_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing: sample each source at a rate
+    ∝ count^(α−1) (α < 1 upweights small sources — the multilingual/
+    domain rebalancing rule), scaled so the expected overall keep rate
+    is ``target_frac``. Selection is a deterministic md5 gate on the
+    doc id, so the drawn corpus is reproducible across runs, engines,
+    and partitionings.
+
+    Shape: per-source counts (partial-agg shuffle of |sources| rows) →
+    rate table broadcast back onto the corpus → row-local hash gate.
+    Nothing wide touches document bodies; at 100 TB the only full pass
+    is the final gate, which pipelines behind the scan. Rates cap at
+    1.0 (a source can't be oversampled without replacement); capping is
+    applied before normalization ensures expected-rate correctness for
+    the uncapped sources.
+    """
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_src"))
+    # weight per source: n^alpha; expected kept = Σ n_src · r_src with
+    # r_src = min(1, k · n^(alpha-1)); solve k for the uncapped case
+    # k = target_frac · Σn / Σ n^alpha (single broadcastable scalar)
+    tot = counts.agg(
+        F.sum("n_src").alias("tot_n"),
+        F.sum(F.pow(F.col("n_src").cast("double"), F.lit(alpha))).alias("tot_w"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_src",
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac)
+                * F.col("tot_n").cast("double")
+                / F.col("tot_w")
+                * F.pow(F.col("n_src").cast("double"), F.lit(alpha - 1.0)),
+            ).alias("rate"),
+        )
+    )
+    gate = (md5_long(F.col(id_col).cast("string")) % 1_000_000).cast("double")
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(gate < F.col("rate") * 1_000_000.0)
+        .select(id_col, source_col, "n_src", "rate")
+    )
+
+
+def pack_sequences_greedy(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    window_tokens: int = 512,
+) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed-size
+    token windows by running-token-count within each group (the
+    deterministic streaming analog of greedy concat-and-split packing:
+    bin = floor(cumulative tokens before this doc / window)).
+
+    One window shuffle keyed on the group column; state per group is
+    the running sum — O(1). Emits (doc, bin, offset) so a downstream
+    writer can concatenate bin-mates in (bin, offset) order. Documents
+    longer than the window still get a bin (they'd be split by the
+    tokenizer downstream); token counts are whitespace-based here —
+    production swaps in token_counts()['n_bpe_tokens'].
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        docs.select(F.col(id_col), F.col(group_col), n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", cum.cast("long"))
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            "cum_tokens",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(window_tokens)
+            )
+            .cast("long")
+            .alias("bin_id"),
+            (
+                (F.col("cum_tokens") - F.col("n_tokens"))
+                % F.lit(window_tokens)
+            )
+            .cast("long")
+            .alias("bin_offset"),
+        )
+    )

@@ -147,3 +147,71 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array fold + generator, zero shuffles): pipelines inside codegen
     behind the scan at any scale."""
     return C.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
+_MIX_ORACLE = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_src) AS BIGINT) AS tot_n,
+         SUM(POW(CAST(n_src AS DOUBLE), 0.5)) AS tot_w
+  FROM counts
+),
+rates AS (
+  SELECT source, n_src,
+         LEAST(1.0,
+               0.5 * CAST(tot_n AS DOUBLE) / tot_w
+                   * POW(CAST(n_src AS DOUBLE), -0.5)) AS rate
+  FROM counts, tot
+)
+SELECT doc_id, source, n_src, rate
+FROM documents JOIN rates USING (source)
+WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000000 AS DOUBLE) < rate * 1000000.0
+"""
+
+
+@register("corpus_mix_sample", oracle=_MIX_ORACLE)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (α = 0.5, 50% target):
+    per-source keep rates ∝ count^(α−1) upweight small sources, gated
+    by a deterministic md5 hash on the doc id — the reproducible
+    multilingual-rebalancing draw. Rates derive from a |sources|-row
+    aggregate broadcast back over the corpus; the only full-data pass
+    is the row-local gate."""
+    return C.corpus_mix_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, target_frac=0.5
+    )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+       (cum_tokens - n_tokens) % 512 AS bin_offset
+FROM c
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents assigned to fixed 512-token training
+    windows by running token count within their source (bin = floor of
+    the preceding cumulative count / window). One window shuffle on the
+    group key with O(1) state — the deterministic streaming analog of
+    greedy concat-and-split packing."""
+    return C.pack_sequences_greedy(
+        _t(spark, sf_dir, "documents"), window_tokens=512
+    )

@@ -94,3 +94,38 @@ def test_quantize_zero_vector_is_all_zero(spark):
     out = quantize_embeddings_int8(_emb(spark, [(1, [0.0, 0.0])])).collect()
     assert [r["q8"] for r in out] == [0, 0]
     assert all(r["scale_micro"] == 0 for r in out)
+
+
+def test_mix_sample_rate_caps_and_upweights_small(spark):
+    from clean_census_acs_data_spark.operators.corpus import corpus_mix_sample
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus_mix_sample(docs, alpha=0.5, target_frac=0.5)
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    # small sources sample at a strictly higher rate; capped at 1.0
+    assert rates.get("small", 1.0) <= 1.0
+    if "big" in rates and "small" in rates:
+        assert rates["small"] > rates["big"]
+    # deterministic: same draw twice
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in corpus_mix_sample(docs, alpha=0.5, target_frac=0.5).collect())
+    assert a == b
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    from clean_census_acs_data_spark.operators.corpus import pack_sequences_greedy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a " * 299 + "a", "s"),   # 300 tokens
+            (2, "b " * 299 + "b", "s"),   # 300 tokens → starts at 300, bin 0
+            (3, "c " * 99 + "c", "s"),    # 100 tokens → starts at 600, bin 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in
+           pack_sequences_greedy(docs, window_tokens=512).collect()}
+    assert out[1]["bin_id"] == 0 and out[1]["bin_offset"] == 0
+    assert out[2]["bin_id"] == 0 and out[2]["bin_offset"] == 300
+    assert out[3]["bin_id"] == 1 and out[3]["bin_offset"] == 88  # 600-512
