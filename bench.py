@@ -124,6 +124,8 @@ SECONDARY = [
     "embedding_quantize_int8",
     "corpus_mix_sample",
     "pack_sequences",
+    "stats_corr_covar",
+    "mode_per_group",
     "dq_constraint_checks",
     "asof_join_next_click",
 ]

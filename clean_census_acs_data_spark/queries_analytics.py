@@ -532,3 +532,100 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(c, 0.50).alias("p50_cents"),
         F.percentile(c, 0.75).alias("p75_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-moment correlation / covariance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_corr_covar",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE) AS covar_pop,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (SQRT(CAST(n * sx2 - sx * sx AS DOUBLE))
+                * SQRT(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
+    FROM s
+    """,
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and population covariance from exact integer
+    power sums (n, Σx, Σy, Σxy, Σx², Σy²) — the same no-Welford
+    discipline as stats_moments, extended to the cross moment. The
+    squares exceed int64 at scale, so accumulation runs in
+    decimal(38,0) / HUGEINT; two sqrts and one division at the end,
+    identical association both engines. Single partial-agg shuffle of
+    six integers per group at any data size."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    x = F.col("l_quantity").cast("long")
+    y = cents("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sx2"),
+        F.sum((y * y).cast(dec)).alias("sy2"),
+    )
+    n_d = F.col("n").cast(dec)
+    cov_num = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (n_d * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (n_d * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (cov_num / (F.col("n") * F.col("n")).cast("double")).alias("covar_pop"),
+        (cov_num / (F.sqrt(varx) * F.sqrt(vary))).alias("corr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group mode with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a total tiebreak (smallest value
+    wins on count ties) — engines' built-in mode() breaks ties
+    arbitrarily, so it can never be cross-engine deterministic; this
+    count→row_number form is. Two shuffles: (group, value) partial-agg
+    counts, then a WindowGroupLimit keyed on the group keeps one row
+    per group — state O(1), skew-immune at any cardinality."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
+    )
