@@ -126,6 +126,7 @@ SECONDARY = [
     "pack_sequences",
     "stats_corr_covar",
     "mode_per_group",
+    "recursive_hierarchy_walk",
     "dq_constraint_checks",
     "asof_join_next_click",
 ]

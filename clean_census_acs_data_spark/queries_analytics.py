@@ -629,3 +629,36 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"), "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE: hierarchy walk (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, c_custkey AS root, 0 AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, chain.root, chain.depth + 1
+  FROM customer c
+  JOIN chain ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = chain.c_custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT c_custkey, root, CAST(depth AS BIGINT) AS depth FROM chain
+"""
+
+
+@register("recursive_hierarchy_walk", oracle=_RECURSIVE_HIERARCHY)
+def recursive_hierarchy_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE hierarchy flattening (org-chart / BOM walk): every
+    customer resolved to its root and depth in the derived decimal-tree
+    hierarchy (parent = custkey/10). The IDENTICAL SQL text runs on
+    Spark 4's WITH RECURSIVE and as the DuckDB oracle. Each recursion
+    level is one equi-join of the frontier against the child scan —
+    the frontier shrinks geometrically, and depth is bounded by
+    log₁₀(max key), so the unrolled plan stays shallow at any scale."""
+    from clean_census_acs_data_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_HIERARCHY)
