@@ -316,3 +316,43 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return sessionize_events_availablenow(spark, sf_dir)
+
+
+@register("streaming_replay_source")  # rows-only check
+def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python streaming DataSource path: the documents table replayed
+    as micro-batches through the simpleStreamReader replay source
+    (checkpointable row offsets, exactly-once readBetweenOffsets
+    recovery), aggregated per source as it streams. Proves the custom-
+    source API end to end; per-batch correctness and offset semantics
+    in tests/test_replay_stream.py."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from clean_census_acs_data_spark.sources.replay_stream import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)
+    stream = (
+        spark.readStream.format("parquet_replay")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("batch_rows", 200)
+        .load()
+    )
+    agg = stream.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
