@@ -491,3 +491,78 @@ def test_shingles_short_input_empty(merge_spark):
     assert got[1] == []
     assert got[2] == ["one two three"]
     assert got[3] == []
+
+
+# ---------------------------------------------------------------------------
+# corpus kernels vs brute-force Python references
+# ---------------------------------------------------------------------------
+
+
+def _ref_repetition(texts: dict[int, str], n: int = 2):
+    out = {}
+    for doc_id, text in texts.items():
+        toks = text.split(" ")
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)] \
+            if len(toks) >= n else []
+        from collections import Counter
+
+        c = Counter(grams)
+        total = sum(c.values())
+        out[doc_id] = {
+            "n_grams": total,
+            "n_distinct_grams": len(c),
+            "top_gram_count": max(c.values()) if c else 0,
+            "dup_gram_occurrences": sum(v for v in c.values() if v >= 2),
+        }
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=50),
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "ba", "x"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_matches_reference(spark, texts):
+    from clean_census_acs_data_spark.operators.corpus import repetition_metrics
+
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_metrics(docs, n=2).collect()
+    }
+    ref = _ref_repetition(texts)
+    for doc_id, exp in ref.items():
+        for k, v in exp.items():
+            assert got[doc_id][k] == v, (doc_id, k)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=20
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+def test_pack_sequences_matches_reference(spark, lengths, window):
+    from clean_census_acs_data_spark.operators.corpus import pack_sequences_greedy
+
+    rows = [(i, " ".join(["t"] * ln), "s") for i, ln in enumerate(lengths)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences_greedy(docs, window_tokens=window).collect()
+    }
+    cum = 0
+    for i, ln in enumerate(lengths):
+        assert got[i] == (cum // window, cum % window), i
+        cum += ln
