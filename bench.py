@@ -127,6 +127,8 @@ SECONDARY = [
     "stats_corr_covar",
     "mode_per_group",
     "recursive_hierarchy_walk",
+    "text_tfidf",
+    "streaming_replay_source",
     "dq_constraint_checks",
     "asof_join_next_click",
 ]

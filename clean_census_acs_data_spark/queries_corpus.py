@@ -215,3 +215,57 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_sequences_greedy(
         _t(spark, sf_dir, "documents"), window_tokens=512
     )
+
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY doc_id, token
+),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df,
+       CAST(tf AS DOUBLE)
+         * (LN((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0)
+         AS tfidf
+FROM tf JOIN df USING (token), n
+"""
+
+
+@register("text_tfidf", oracle=_TFIDF_ORACLE)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF per (document, term) — the classical sparse
+    retrieval/feature weighting: idf = ln((N+1)/(df+1)) + 1 (sklearn
+    smoothing, no division by zero), weight = tf · idf. Shape: one
+    (doc, token) partial-agg shuffle for tf; df derives from tf's
+    |vocab|-sized output (no second pass over text); the corpus size is
+    a broadcast 1-row scalar and df joins back broadcast-sized. All
+    doubles derive through one ln and one multiply with identical
+    association — bit-exact across engines."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        F.log(
+            (F.col("n_docs").cast("double") + 1.0)
+            / (F.col("df").cast("double") + 1.0)
+        )
+        + 1.0
+    )
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * idf).alias("tfidf"),
+        )
+    )
