@@ -129,6 +129,7 @@ SECONDARY = [
     "recursive_hierarchy_walk",
     "text_tfidf",
     "streaming_replay_source",
+    "pandas_weighted_median",
     "dq_constraint_checks",
     "asof_join_next_click",
 ]

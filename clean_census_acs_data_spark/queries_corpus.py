@@ -8,6 +8,7 @@ in every double expression) so the comparison is bit-exact.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -268,4 +269,59 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
             (F.col("tf").cast("double") * idf).alias("tfidf"),
         )
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, price_cents, wt,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag
+              ORDER BY price_cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM w
+)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN cum * 2 >= tot THEN price_cents END) AS BIGINT)
+         AS weighted_median_cents
+FROM c GROUP BY l_returnflag
+"""
+
+
+@register("pandas_weighted_median", oracle=_WMEDIAN_ORACLE)
+def pandas_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag via a GROUPED-
+    AGGREGATE pandas UDF (the Arrow-batched custom-aggregate API —
+    the escape hatch when an aggregate genuinely isn't expressible in
+    built-ins). Semantics pinned exactly: smallest value whose running
+    weight reaches half the total (lower weighted median, integer
+    compare) — the oracle derives the same rule with a window cumsum.
+    Shuffle is the normal partial-agg-free grouped map: each group's
+    (value, weight) pairs stream to one Arrow batch; fine for bounded
+    groups (3 flags), documented as NOT the path for high-cardinality
+    keys."""
+    from pyspark.sql.functions import pandas_udf
+
+    from clean_census_acs_data_spark.functions import cents
+
+    @pandas_udf("long")
+    def wmedian(price: pd.Series, wt: pd.Series) -> int:
+        df = pd.DataFrame({"p": price, "w": wt}).sort_values("p")
+        cum = df["w"].cumsum()
+        tot = int(df["w"].sum())
+        return int(df.loc[cum * 2 >= tot, "p"].iloc[0])
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        wmedian("price_cents", "wt").alias("weighted_median_cents")
     )
