@@ -130,6 +130,7 @@ SECONDARY = [
     "text_tfidf",
     "streaming_replay_source",
     "pandas_weighted_median",
+    "graph_triangle_summary",
     "dq_constraint_checks",
     "asof_join_next_click",
 ]

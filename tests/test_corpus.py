@@ -129,3 +129,22 @@ def test_pack_sequences_bins_and_offsets(spark):
     assert out[1]["bin_id"] == 0 and out[1]["bin_offset"] == 0
     assert out[2]["bin_id"] == 0 and out[2]["bin_offset"] == 300
     assert out[3]["bin_id"] == 1 and out[3]["bin_offset"] == 88  # 600-512
+
+
+def test_triangle_summary_counts_known_graph(spark):
+    from clean_census_acs_data_spark.operators.graph import graph_summary
+
+    # K4 minus edge (3,4): triangles = (1,2,3), (1,2,4)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "doc_a long, doc_b long"
+    )
+    r = graph_summary(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 5, 2)
+
+
+def test_triangle_summary_empty_graph(spark):
+    from clean_census_acs_data_spark.operators.graph import graph_summary
+
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    r = graph_summary(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (0, 0, 0)
