@@ -6,12 +6,11 @@ Catalyst plans them like any relational query — no iteration, no
 driver-side graph structure.
 
 Edges are canonical undirected pairs (src < dst, deduplicated).
-Triangle counting is the textbook two-hop join-and-close: its shuffle
-volume is Σ_v deg(v)² in the worst case, so at 100 TB the standard
-mitigation applies — orient edges from lower- to higher-degree
-endpoints before joining, which bounds the expansion by O(m^1.5)
-(documented here; at near-dup-graph densities the canonical id
-orientation is already adequate)."""
+Triangle counting uses degree orientation (edges point at the
+higher-(degree, id) endpoint) so the wedge join expands by
+Σ outdeg(v)² = O(m^1.5) instead of the hub-quadratic Σ deg(v)² of the
+naive two-hop join — on the sf0.1 near-dup graph (1.2M edges, max
+degree 1360) that is the difference between ~2M wedges and ~900M."""
 
 from __future__ import annotations
 
@@ -30,23 +29,51 @@ def graph_summary(
     partial-agg or join that shrinks before shuffling):
     - nodes: distinct over the union of both endpoint columns
     - edges: plain count
-    - triangles: e1(a,b) ⋈ e2(b,c) on the shared middle vertex, closed
-      against e3(a,c); a<b<c holds by canonical edge order, so every
-      triangle counts exactly once.
+    - triangles: degree-oriented wedge join closed by a semi join;
+      every triangle counts exactly once at its lowest-(degree, id)
+      vertex. The degree table is dimension-sized and broadcasts.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # consumed by degree count, orientation, wedge join, and closure —
+    # cache once (at 100 TB this is the persisted canonical edge list)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
     n_nodes = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .agg(F.count_distinct("v").alias("n_nodes"))
     )
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+
+    # degree orientation: point every edge at its higher-(degree, id)
+    # endpoint. Out-degrees are then O(sqrt(m)), so the wedge join
+    # expands by Σ outdeg² = O(m^1.5) instead of Σ deg² (hub-quadratic).
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # total order key: degree-major, id-minor (ids < 10^12)
+    okey = (F.col("d") * F.lit(1_000_000_000_000) + F.col("v")).alias("ord")
+    deg = F.broadcast(deg.select("v", okey))
+    oriented = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("ord", "ord_a"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("ord", "ord_b"), "b")
+        .select(
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(F.col("ord_a") < F.col("ord_b"), F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.least("ord_a", "ord_b").alias("ord_u"),
+            F.greatest("ord_a", "ord_b").alias("ord_w"),
+        )
+    )
+    # wedges at the lowest-ordered vertex; closure = the (v, w) edge
+    # exists in the SAME orientation (ord_v < ord_w by construction)
+    e1 = oriented.select(F.col("u"), F.col("w").alias("v"), F.col("ord_w").alias("ord_v"))
+    e2 = oriented.select("u", "w", "ord_w")
+    wedges = e1.join(e2, "u").where(F.col("ord_v") < F.col("ord_w"))
+    closure = oriented.select(F.col("u").alias("v"), "w")
     tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"], "left_semi")
+        wedges.select("v", "w")
+        .join(closure, ["v", "w"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return n_nodes.crossJoin(n_edges).crossJoin(tri)

@@ -338,7 +338,7 @@ def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("parquet_replay")
         .option("path", f"{sf_dir}/documents.parquet")
-        .option("batch_rows", 200)
+        .option("batch_rows", 1000)
         .load()
     )
     agg = stream.groupBy("source").agg(
