@@ -341,3 +341,38 @@ def test_q2_ties_join_back_broadcasts_dims(plans):
     p = plans["tpch_q2_min_price_supplier"]
     assert count_nodes(p, "BroadcastHashJoin") >= 2
     assert "LeftSemi" in plans["tpch_q2_min_price_supplier/simple"]
+
+
+def test_pack_sequences_single_shuffle(plans):
+    """Window cumsum keys once on the group column: one Exchange."""
+    assert count_nodes(plans["pack_sequences"], "Exchange") == 1
+
+
+def test_mode_uses_window_group_limit(plans):
+    """rn = 1 filter must compile to WindowGroupLimit (O(1) state per
+    group), after the counting aggregate pair."""
+    p = plans["mode_per_group"]
+    assert "WindowGroupLimit" in p
+    assert count_nodes(p, "HashAggregate") >= 2
+
+
+def test_quantize_is_narrow(plans):
+    """int8 quantization must be shuffle-free (fold + generator only)."""
+    assert count_nodes(plans["embedding_quantize_int8"], "Exchange") == 0
+
+
+def test_repetition_reuses_doc_partitioning(plans):
+    """(doc, gram) counts then per-doc rollup then spine join — the
+    rollup and join reuse the doc-keyed partitioning, so the wide
+    (doc, gram) explode shuffles exactly once."""
+    p = plans["text_repetition_filter"]
+    exchanges = [ln for ln in p.splitlines() if "hashpartitioning" in ln and "gram" in ln]
+    assert len(exchanges) <= 2  # one per side of the detail listing
+
+
+def test_decontaminate_joins_on_hash_not_string(plans):
+    """The overlap join must key on the 8-byte gram hash, not gram
+    strings."""
+    p = plans["decontaminate_ngram_overlap"]
+    joins = [ln for ln in p.splitlines() if "gram_h" in ln]
+    assert joins, "gram_h key missing from plan"
