@@ -133,6 +133,14 @@ SECONDARY = [
     "graph_triangle_summary",
     "dq_constraint_checks",
     "asof_join_next_click",
+    # round-3 additions
+    "lateral_topk_per_nation",
+    "dedup_incremental_reference",
+    "doc_chunk_sliding",
+    "interval_overlap_join",
+    "bm25_score",
+    "percentile_cont_interp",
+    "hll_partial_merge",
 ]
 
 
