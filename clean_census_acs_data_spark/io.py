@@ -31,19 +31,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one test table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; we read nanos as long (legacy conf) and convert
-    to a microsecond timestamp with integer truncation — exactly DuckDB's
-    ns→µs semantics, so oracles agree.
+    ``events.ts`` has been generated as either parquet TIMESTAMP(NANOS)
+    (which Spark can only read as long via the legacy conf) or native
+    TIMESTAMP(MICROS, isAdjustedToUTC=false → TIMESTAMP_NTZ), depending
+    on driver testdata generation. Guard on the loaded dtype and
+    normalize BOTH to TimestampType (session TZ is pinned UTC, so the
+    NTZ→LTZ cast is the identity on wall-clock values): long → integer
+    ns→µs truncation (DuckDB's semantics, so oracles agree); ntz → cast.
+    Downstream event-time operators (unix_micros, window(), watermarks)
+    all assume TimestampType.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

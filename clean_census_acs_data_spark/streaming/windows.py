@@ -73,8 +73,14 @@ def session_agg(events: DataFrame, gap: str = "6 hours") -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream (ts: nanos-long → µs
-    timestamp, same conversion as the batch loader)."""
+    """events.parquet as a file-source stream. ``ts`` is normalized to
+    TimestampType with the SAME dtype guard as the batch loader
+    (io.load_table): nanos-long testdata gets the integer ns→µs
+    truncation, native timestamp_ntz gets a cast (session TZ is UTC, so
+    the cast is wall-clock identity). Watermarks/windows downstream
+    assume TimestampType."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -82,7 +88,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = raw_schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(agg: DataFrame, mode: str = "append") -> DataFrame:

@@ -111,6 +111,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "tpch_q15_top_supplier",  # broadcast 1-row max-revenue scalar
         "corpus_mix_sample",  # |sources|-row rate table × broadcast 1-row totals
         "text_tfidf",  # broadcast 1-row corpus-size scalar
+        "bm25_score",  # broadcast 1-row (n_docs, avgdl) corpus scalar
         "graph_triangle_summary",  # cross of three 1-row metric frames
     }
     for name, p in plans.items():
