@@ -31,3 +31,21 @@ def test_every_mentioned_query_exists():
 def test_every_query_is_documented():
     missing = set(QUERIES) - _mentioned()
     assert not missing, f"queries absent from COVERAGE.md: {sorted(missing)}"
+
+
+def test_driver_attestation_block_in_sync():
+    """The generated driver-attestation block must match a fresh
+    regeneration from the CORRECTNESS_r*.json files (VERDICT r2 #5)."""
+    import sys
+
+    sys.path.insert(0, str(DOC.parent / "scripts"))
+    import attestation
+
+    text = DOC.read_text()
+    assert attestation.BEGIN in text, "attestation block missing"
+    expected = attestation.render(sorted(QUERIES))
+    start = text.index(attestation.BEGIN)
+    end = text.index(attestation.END) + len(attestation.END)
+    assert text[start:end] == expected, (
+        "COVERAGE.md attestation block stale — run scripts/attestation.py"
+    )

@@ -377,3 +377,22 @@ def test_decontaminate_joins_on_hash_not_string(plans):
     p = plans["decontaminate_ngram_overlap"]
     joins = [ln for ln in p.splitlines() if "gram_h" in ln]
     assert joins, "gram_h key missing from plan"
+
+
+def test_interval_overlap_join_is_time_bucketed(plans):
+    """VERDICT r2 #3: the interval self-join must equi-key on
+    (user_id, time_bucket), not user_id alone — otherwise one skewed
+    user quadratically blows up a single task. The bucket column k must
+    appear in the join keys (visible in the SMJ/SHJ key list and the
+    hashpartitioning of both exchanges), bounding candidate pairs per
+    task by events-per-(user, 5 minutes)."""
+    p = plans["interval_overlap_join"]
+    key_lines = [
+        ln
+        for ln in p.splitlines()
+        if ("hashpartitioning" in ln or "Left keys" in ln)
+    ]
+    assert any("user_id" in ln and "k#" in ln for ln in key_lines), (
+        "join must shuffle on (user_id, bucket k); got:\n"
+        + "\n".join(key_lines)
+    )
