@@ -205,7 +205,18 @@ def ngram_jaccard_pairs(
             ).alias("grams"),
         )
     )
-    g = d.select("doc", "blk", F.explode("grams").alias("gram"))
+    # Gram strings never leave the tokenize stage: every downstream
+    # shuffle/join keys on the 8-byte xxhash64 of the gram instead of
+    # the string (the alphabet of distinct n-grams is tiny relative to
+    # 2^64, so a collision — which would merge two grams' postings — is
+    # ~1e-10 even at 100 TB; sizes and counts are unaffected either
+    # way). Doc gram counts (ng) come from the same exploded postings,
+    # not a second tokenize scan of the text column.
+    g = d.select(
+        "doc",
+        "blk",
+        F.explode(F.expr("transform(grams, x -> xxhash64(x))")).alias("gram"),
+    )
     docs_blk = d.select("doc", "blk", F.size("grams").alias("ng"))
 
     post = g.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("p"))
@@ -250,11 +261,22 @@ def ngram_jaccard_pairs(
         )
     )
     pa, pb = docstats.alias("a"), docstats.alias("b")
-    pairs = (
-        pa.join(
-            pb,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc") < F.col("b.doc")),
+    # Length-ratio prune (lossless for threshold > 0): jaccard <=
+    # min(na,nb)/max(na,nb), so pairs failing that bound can't pass the
+    # final filter — drop them inside the pair join, before the
+    # co-count left join ever sees them.
+    pair_cond = (F.col("a.blk") == F.col("b.blk")) & (
+        F.col("a.doc") < F.col("b.doc")
+    )
+    if threshold > 0:
+        ratio_ok = (
+            F.least(F.col("a.ng"), F.col("b.ng")).cast("double")
+            >= F.greatest(F.col("a.ng"), F.col("b.ng")).cast("double")
+            * F.lit(threshold)
         )
+        pair_cond = pair_cond & ratio_ok
+    pairs = (
+        pa.join(pb, pair_cond)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),

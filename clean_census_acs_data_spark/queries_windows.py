@@ -335,10 +335,18 @@ def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_replay_source(spark)
+    # Size batches off the parquet footer so the run is always ~3
+    # micro-batches at ANY scale factor: per-micro-batch engine
+    # overhead (~2 s each) dominated the wall clock with a fixed
+    # batch_rows (5 batches at sf0.1), while sf0.01 degenerated to a
+    # single batch and never exercised the multi-batch path.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     stream = (
         spark.readStream.format("parquet_replay")
         .option("path", f"{sf_dir}/documents.parquet")
-        .option("batch_rows", 1000)
+        .option("batch_rows", max(1, -(-n_rows // 3)))
         .load()
     )
     agg = stream.groupBy("source").agg(
