@@ -141,6 +141,13 @@ SECONDARY = [
     "bm25_score",
     "percentile_cont_interp",
     "hll_partial_merge",
+    # round-3 tier B
+    "dedup_survivor_selection",
+    "graph_pagerank_int",
+    "lm_unigram_surprisal",
+    "embedding_pq_codes",
+    "bpe_pair_counts",
+    "streaming_stream_stream_join",
 ]
 
 

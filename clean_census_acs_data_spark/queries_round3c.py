@@ -1,0 +1,458 @@
+"""Round-3 growth tier B: the remaining production shapes of a
+training-data pipeline — dedup survivor selection (the step that
+actually emits the cleaned corpus), integer-exact PageRank over the
+near-dup graph (centrality = which duplicate cluster members are
+canonical), unigram-LM surprisal scoring (statistical quality filter),
+product-quantization codes (the ANN compression every 100-TB vector
+store ships), BPE-style adjacent-pair counting (the tokenizer-training
+kernel), and a watermarked stream-stream join (the last Structured
+Streaming join shape the catalog was missing).
+
+Determinism discipline matches queries.py: integer arithmetic end to
+end, one final division at most, identical association and aliases in
+the Spark plan and the DuckDB oracle. Transcendentals (ln) follow the
+BM25 precedent: quantize to integer micro-units immediately after the
+single libm call.
+
+Reference parity note: the reference (pandas ETL, 621 LoC) has no
+analog for any of these; they extend SURVEY.md §2D.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.operators import dedup as D
+from clean_census_acs_data_spark.operators import text as X
+from clean_census_acs_data_spark.queries import _t, register
+from clean_census_acs_data_spark.queries_ext import (
+    _COMPONENTS_ORACLE,
+    _MINHASH_ORACLE,
+    _PLANTED_DOCS,
+    _quant_list,
+)
+
+# ---------------------------------------------------------------------------
+# Dedup survivor selection — components → canonical doc per cluster.
+# The step that turns "pairs + clusters" into the cleaned corpus: keep
+# the longest member (ties → lowest doc_id), flag the rest for drop.
+# ---------------------------------------------------------------------------
+
+_SURVIVOR_ORACLE = f"""
+WITH comp AS (SELECT * FROM ({_COMPONENTS_ORACLE})),
+base AS ({_PLANTED_DOCS}),
+j AS (
+  SELECT comp.doc_id, comp.component_id, length(base.text) AS n_chars
+  FROM comp JOIN base USING (doc_id)
+),
+rk AS (
+  SELECT doc_id, component_id, n_chars,
+         row_number() OVER (
+           PARTITION BY component_id ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM j
+)
+SELECT doc_id, component_id, n_chars, rn = 1 AS is_survivor FROM rk
+"""
+
+
+@register("dedup_survivor_selection", oracle=_SURVIVOR_ORACLE)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection over near-dup clusters: MinHash
+    pairs → connected components → per-component keep the longest text
+    (ties → lowest doc_id). One row per clustered doc with an
+    is_survivor flag — exactly what a 100-TB dedup job writes back
+    (survivors to the corpus, the rest to a tombstone list). The rank
+    is a WindowGroupLimit-friendly row_number per component; component
+    ids are min-label so both engines agree on the partition keys."""
+    from clean_census_acs_data_spark.operators.components import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    )
+    comp = connected_components(pairs)
+    lens = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    j = comp.join(lens, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "component_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PageRank over the near-dup graph. Fixed 3 iterations,
+# damping 0.85 carried as (85, 100) integer fractions with truncating
+# division — bit-identical across engines, no float accumulation order
+# to disagree on.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000
+_PR_BASE = 150_000  # (1 - 0.85) * scale, exact
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.strip()}))",
+        "und AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+        " UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs)",
+        "nodes AS (SELECT DISTINCT a AS v FROM und)",
+        "deg AS (SELECT a AS v, COUNT(*) AS outd FROM und GROUP BY a)",
+        f"r0 AS (SELECT v, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"s{i} AS (SELECT u.b AS v, CAST(SUM(p.r // d.outd) AS BIGINT) AS s"
+            f" FROM und u JOIN r{i - 1} p ON p.v = u.a"
+            f" JOIN deg d ON d.v = u.a GROUP BY u.b)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.v,"
+            f" CAST({_PR_BASE} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN s{i} s ON s.v = n.v)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS doc_id, r AS rank_e6 FROM r{_PR_ITERS}"
+    )
+
+
+@register("graph_pagerank_int", oracle=_pagerank_oracle())
+def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the verified near-dup pair graph, integer-exact:
+    rank carried as millionths (r0 = 1e6), per-iteration contribution
+    r div outdeg, damping as 150000 + (85·Σ) div 100. Three unrolled
+    iterations — each is one equi-join + partial-agg shuffle keyed by
+    the edge target; the degree table joins on the edge source. At
+    100 TB the edge list is the persisted output of the dedup pass and
+    each iteration is a plain shuffle-bounded agg (no driver state);
+    float PageRank would need a merge-order-independent summation to be
+    reproducible — integers sidestep that entirely."""
+    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    # cache the edge list (pairs of longs): nodes/deg and all three
+    # iterations reference it — uncached, every reference re-runs the
+    # whole MinHash verify pipeline (measured 13 s → 6.5 s at sf0.1).
+    # At 100 TB this is the persisted dedup-pass output, same as
+    # operators/graph.py::graph_summary.
+    und = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .cache()
+    )
+    nodes = und.select(F.col("a").alias("v")).distinct()
+    deg = und.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    r = nodes.select("v", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            und.join(r.withColumnRenamed("v", "a"), "a")
+            .join(deg.withColumnRenamed("v", "a"), "a")
+            .select(F.col("b").alias("v"), F.expr("r div outd").alias("c"))
+        )
+        s = contrib.groupBy("v").agg(F.sum("c").cast("long").alias("s"))
+        r = nodes.join(s, "v", "left").select(
+            "v",
+            (
+                F.lit(_PR_BASE)
+                + F.expr("(85 * coalesce(s, 0L)) div 100")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return r.select(F.col("v").alias("doc_id"), F.col("r").alias("rank_e6"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal — the statistical quality filter: score each doc
+# by the average negative log-probability of its tokens under the
+# corpus unigram distribution. High surprisal = rare-token gibberish,
+# low = boilerplate. ln quantized to integer micro-nats per TOKEN TYPE
+# (one libm call per distinct token), then integer tf-weighted sums per
+# doc; the only division producing the output is the final avg.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+su AS (
+  SELECT w, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS s_e6
+  FROM cnt, tot
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS f FROM tok GROUP BY doc_id, w)
+SELECT tf.doc_id,
+       CAST(SUM(tf.f) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.f * su.s_e6) AS DOUBLE) / CAST(SUM(tf.f) AS DOUBLE)
+         AS avg_surprisal_e6
+FROM tf JOIN su USING (w)
+GROUP BY tf.doc_id
+"""
+
+
+@register("lm_unigram_surprisal", oracle=_SURPRISAL_ORACLE)
+def lm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average unigram surprisal in micro-nats. Shape: one
+    token explode feeds both the corpus counts (small: |vocab| rows)
+    and the per-doc tf table; the corpus-total scalar broadcasts back
+    over the vocab (1-row cross join), the surprisal table joins tf on
+    the token, and the per-doc reduction is an integer partial agg. At
+    100 TB the vocab table is the persisted LM — scoring a new batch is
+    one broadcast join, no re-count."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    su = cnt.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("s_e6"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        tf.join(su, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("f") * F.col("s_e6")).cast("double")
+                / F.sum("f").cast("double")
+            ).alias("avg_surprisal_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization codes — the vector-compression step of every
+# large ANN index (IVF-PQ): split each 64-dim embedding into 4 sub-
+# vectors of 16 dims, assign each to the nearest of 8 deterministic
+# codewords (the sub-vectors of vec_id 0..7), emit the 4-byte code.
+# Integer-quantized L2²; argmin resolved as (min distance, then min
+# codeword id) in BOTH engines so ties can't disagree.
+# ---------------------------------------------------------------------------
+
+_PQ_BLOCKS = 4
+_PQ_SUBDIM = 16
+_PQ_K = 8
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
+ev AS (
+  SELECT vec_id, b,
+         list_transform(range(1, {_PQ_SUBDIM} + 1), j -> q[b * {_PQ_SUBDIM} + j]) AS sub
+  FROM e, (SELECT unnest(range(0, {_PQ_BLOCKS})) AS b)
+),
+cent AS (SELECT vec_id AS c, b, sub AS csub FROM ev WHERE vec_id < {_PQ_K}),
+sc AS (
+  SELECT v.vec_id, v.b, cent.c,
+         CAST(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+              j -> (v.sub[j] - cent.csub[j]) * (v.sub[j] - cent.csub[j])))
+           AS BIGINT) AS d
+  FROM ev v JOIN cent ON cent.b = v.b
+),
+md AS (SELECT vec_id, b, MIN(d) AS md FROM sc GROUP BY vec_id, b),
+best AS (
+  SELECT sc.vec_id, sc.b, MIN(sc.c) AS code
+  FROM sc JOIN md ON md.vec_id = sc.vec_id AND md.b = sc.b AND sc.d = md.md
+  GROUP BY sc.vec_id, sc.b
+)
+SELECT vec_id,
+       MIN(CASE WHEN b = 0 THEN code END) AS code0,
+       MIN(CASE WHEN b = 1 THEN code END) AS code1,
+       MIN(CASE WHEN b = 2 THEN code END) AS code2,
+       MIN(CASE WHEN b = 3 THEN code END) AS code3
+FROM best GROUP BY vec_id
+"""
+
+
+@register("embedding_pq_codes", oracle=_PQ_ORACLE)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code assignment: 64-dim vector → 4 sub-vectors → nearest of 8
+    codewords each → (code0..code3). The codebook (8 rows × 4 blocks of
+    longs) broadcasts; per (vector, block) the 8 candidate distances
+    are an in-row zip_with/aggregate; argmin is min-distance then
+    min-codeword (two cheap aggs) so the result is order-independent.
+    At 100 TB the codebook is trained offline and this exact plan — a
+    broadcast join + narrow aggs — encodes the full corpus in one
+    pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("q"),
+    )
+    subs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            F.slice("q", b * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sub"),
+        )
+        for b in range(_PQ_BLOCKS)
+    ]
+    ev = e.select("vec_id", F.explode(F.array(*subs)).alias("bs")).select(
+        "vec_id", F.col("bs.b").alias("b"), F.col("bs.sub").alias("sub")
+    )
+    cent = ev.where(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("c"), "b", F.col("sub").alias("csub")
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "csub", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sc = ev.join(F.broadcast(cent), "b").select(
+        "vec_id", "b", "c", dist.alias("d")
+    )
+    md = sc.groupBy("vec_id", "b").agg(F.min("d").alias("md"))
+    best = (
+        sc.join(md, ["vec_id", "b"])
+        .where(F.col("d") == F.col("md"))
+        .groupBy("vec_id", "b")
+        .agg(F.min("c").alias("code"))
+    )
+    return best.groupBy("vec_id").agg(
+        *[
+            F.min(F.when(F.col("b") == b, F.col("code"))).alias(f"code{b}")
+            for b in range(_PQ_BLOCKS)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair counting — the inner loop of tokenizer
+# training: the most frequent adjacent token pairs across the corpus
+# (one merge round's candidate table). Top-20 with a total ordering so
+# the LIMIT is deterministic.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> {'a': t[i], 'b': t[i + 1]})) AS pr
+  FROM tok WHERE len(t) >= 2
+)
+SELECT pr.a AS w1, pr.b AS w2, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY pr.a, pr.b
+ORDER BY cnt DESC, w1, w2 LIMIT 20
+"""
+
+
+@register("bpe_pair_counts", oracle=_BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency table (one BPE merge round's candidates):
+    explode consecutive token pairs with multiplicity, count globally,
+    keep the top 20 under the total order (cnt desc, w1, w2). The pair
+    explode is a narrow Generate; the count is a partial agg; the
+    top-k is TakeOrderedAndProject (k rows per partition, no global
+    sort). Iterating merges re-runs this plan on the re-paired corpus —
+    each round is one shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(X.tokens("text").alias("t")).where(F.size("t") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) as w1,"
+                "             element_at(t, i + 1) as w2))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.groupBy(
+            F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LEFT-OUTER watermarked stream-stream join — the remaining Structured
+# Streaming join shape (streaming_interval_join covers inner): clicks
+# left-joined to same-user purchases within 30 minutes. Outer rows are
+# *watermark-driven*: an unmatched click can only emit null-padded once
+# the watermark proves no matching purchase can still arrive — state
+# eviction and result emission are the same event.
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_stream_stream_join")  # rows-only check
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds: click and
+    purchase streams (both watermarked 10 minutes) joined on user_id
+    with purchase_ts in [click_ts, click_ts + 30 min]. Unlike the inner
+    form (streaming_interval_join), unmatched clicks emit with null
+    purchase columns — but only after the watermark passes their join
+    window, because until then a match could still arrive; the same
+    watermark bounds the state store. Run with Trigger.AvailableNow
+    into a memory sink; deterministic for a fixed input
+    (tests/test_rows_only.py runs it twice)."""
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "gap_us"
+        ),
+    )
+    return _run_to_memory(joined, mode="append")

@@ -112,6 +112,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "corpus_mix_sample",  # |sources|-row rate table × broadcast 1-row totals
         "text_tfidf",  # broadcast 1-row corpus-size scalar
         "bm25_score",  # broadcast 1-row (n_docs, avgdl) corpus scalar
+        "lm_unigram_surprisal",  # broadcast 1-row corpus-total scalar
         "graph_triangle_summary",  # cross of three 1-row metric frames
     }
     for name, p in plans.items():
