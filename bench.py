@@ -148,6 +148,8 @@ SECONDARY = [
     "embedding_pq_codes",
     "bpe_pair_counts",
     "streaming_stream_stream_join",
+    "incremental_agg_maintenance",
+    "kmeans_lloyd_int",
 ]
 
 

@@ -456,3 +456,169 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _run_to_memory(joined, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — the materialized-view delta
+# pattern: yesterday's aggregate + today's insert/delete batches merge
+# into the new aggregate WITHOUT rescanning the base data. The oracle
+# is the full recompute, so the test asserts incremental == full.
+# ---------------------------------------------------------------------------
+
+_INCR_AGG_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0
+GROUP BY o_orderstatus
+HAVING COUNT(*) > 0
+"""
+
+
+@register("incremental_agg_maintenance", oracle=_INCR_AGG_ORACLE)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained aggregate = base partial − delete partial + insert
+    partial, merged on the group key. Base snapshot: orderkey % 10 ≠ 0;
+    insert batch: % 10 = 0; delete batch: base rows with % 7 = 0.
+    Count and sum are subtractable, so maintenance is three
+    group-sized partials and two full-outer merges — never a rescan of
+    the base fact table. The oracle recomputes from scratch over the
+    equivalent survivor set, proving the delta algebra. At 100 TB the
+    base partial is the stored MV state and each micro-batch folds in
+    exactly like the insert/delete partials here."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def part(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias(f"cnt_{tag}"),
+            F.sum("cents").alias(f"sum_{tag}"),
+        )
+
+    base = o.where(F.col("k") % 10 != 0)
+    base_agg = part(base, "b")
+    ins_agg = part(o.where(F.col("k") % 10 == 0), "i")
+    del_agg = part(base.where(F.col("k") % 7 == 0), "d")
+    z = F.lit(0).cast("long")
+    merged = (
+        base_agg.join(ins_agg, "o_orderstatus", "full_outer")
+        .join(del_agg, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce("cnt_b", z)
+                + F.coalesce("cnt_i", z)
+                - F.coalesce("cnt_d", z)
+            ).alias("cnt"),
+            (
+                F.coalesce("sum_b", z)
+                + F.coalesce("sum_i", z)
+                - F.coalesce("sum_d", z)
+            ).alias("total_cents"),
+        )
+    )
+    return merged.where(F.col("cnt") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact Lloyd iterations (k-means) — the IVF codebook TRAINING
+# loop (embedding_centroids is one assignment step; this closes the
+# assign → recompute → reassign cycle). Centroid components are
+# truncating integer means, so both engines agree bit-for-bit; the
+# dims are long-format (vec, dim, value) so centroid recomputation is
+# a plain groupBy and no list rebuilding is needed anywhere.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+_KMEANS_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
+d AS (
+  SELECT vec_id AS v, j, q[j] AS x
+  FROM e, (SELECT unnest(range(1, 65)) AS j)
+),
+c0 AS (SELECT v AS c, j, x AS cx FROM d WHERE v < {_KMEANS_K}),
+s1 AS (
+  SELECT d.v, c0.c, CAST(SUM((d.x - c0.cx) * (d.x - c0.cx)) AS BIGINT) AS dist
+  FROM d JOIN c0 ON c0.j = d.j GROUP BY d.v, c0.c
+),
+m1 AS (SELECT v, MIN(dist) AS md FROM s1 GROUP BY v),
+a1 AS (
+  SELECT s1.v, MIN(s1.c) AS c
+  FROM s1 JOIN m1 ON m1.v = s1.v AND s1.dist = m1.md GROUP BY s1.v
+),
+c1 AS (
+  SELECT a1.c, d.j, CAST(SUM(d.x) // COUNT(*) AS BIGINT) AS cx
+  FROM a1 JOIN d ON d.v = a1.v GROUP BY a1.c, d.j
+),
+s2 AS (
+  SELECT d.v, c1.c, CAST(SUM((d.x - c1.cx) * (d.x - c1.cx)) AS BIGINT) AS dist
+  FROM d JOIN c1 ON c1.j = d.j GROUP BY d.v, c1.c
+),
+m2 AS (SELECT v, MIN(dist) AS md FROM s2 GROUP BY v),
+a2 AS (
+  SELECT s2.v, MIN(s2.c) AS c, MIN(m2.md) AS dist2
+  FROM s2 JOIN m2 ON m2.v = s2.v AND s2.dist = m2.md GROUP BY s2.v
+)
+SELECT v AS vec_id, c AS cluster, dist2 FROM a2
+"""
+
+
+@register("kmeans_lloyd_int", oracle=_KMEANS_ORACLE)
+def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations with integer arithmetic: seed centroids =
+    quantized vectors 0..7, assignment = min L2² then min centroid id
+    (total order → no tie ambiguity), centroid update = per-dimension
+    truncating integer mean. Long-format dims (vec, dim, value) make
+    the update a plain groupBy(cluster, dim) — the same shuffle shape
+    at 8 or 8192 centroids — and the assignment join broadcasts the
+    k×64-row centroid table. Two iterations unroll into one lazy plan;
+    at 100 TB each iteration persists its centroid table and the loop
+    is driver-controlled, exactly like connected_components."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("q"),
+    )
+    d = e.select(
+        F.col("vec_id").alias("v"),
+        F.posexplode("q").alias("j0", "x"),
+    ).select("v", (F.col("j0") + 1).alias("j"), "x")
+    cent = d.where(F.col("v") < _KMEANS_K).select(
+        F.col("v").alias("c"), "j", F.col("x").alias("cx")
+    )
+    asg = None
+    for it in range(2):
+        sc = (
+            d.join(F.broadcast(cent), "j")
+            .groupBy("v", "c")
+            .agg(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")))
+                .cast("long")
+                .alias("dist")
+            )
+        )
+        md = sc.groupBy("v").agg(F.min("dist").alias("md"))
+        asg = (
+            sc.join(md, "v")
+            .where(F.col("dist") == F.col("md"))
+            .groupBy("v")
+            .agg(F.min("c").alias("c"), F.min("md").alias("dist2"))
+        )
+        if it == 0:
+            cent = (
+                asg.select("v", "c")
+                .join(d, "v")
+                .groupBy("c", "j")
+                .agg(F.expr("cast(sum(x) div count(1) as bigint)").alias("cx"))
+            )
+    return asg.select(
+        F.col("v").alias("vec_id"), F.col("c").alias("cluster"), "dist2"
+    )
