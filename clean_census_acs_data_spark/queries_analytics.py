@@ -495,9 +495,12 @@ def sql_interface_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity, not just DataFrame parity. Catalyst plans it exactly like
     the DataFrame form (broadcast dims, partial agg, single window
     shuffle)."""
-    from clean_census_acs_data_spark.io import register_views
+    from clean_census_acs_data_spark.io import load_table
 
-    register_views(spark, sf_dir)
+    # register only the four views the statement reads — registering the
+    # whole catalog re-reads six unrelated parquet footers per call
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SQL_BOTH_ENGINES)
 
 

@@ -397,3 +397,41 @@ def test_interval_overlap_join_is_time_bucketed(plans):
         "join must shuffle on (user_id, bucket k); got:\n"
         + "\n".join(key_lines)
     )
+
+
+def test_pq_codes_broadcasts_codebook(plans):
+    """PQ encode must broadcast the k×blocks codeword table — a shuffle
+    of the full corpus keyed by block id would move every vector for a
+    dimension-table-sized build side."""
+    p = plans["embedding_pq_codes"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in p or count_nodes(p, "SortMergeJoin") <= 2
+
+
+def test_pagerank_reuses_cached_edges(plans):
+    """All three PageRank iterations must read the cached edge list,
+    not re-run the MinHash verify pipeline per reference."""
+    p = plans["graph_pagerank_int"]
+    assert "InMemoryTableScan" in p
+
+
+def test_kmeans_broadcasts_centroids(plans):
+    """Both Lloyd assignment joins broadcast the k×64-row centroid
+    table."""
+    p = plans["kmeans_lloyd_int"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+
+
+def test_bpe_topk_is_heap(plans):
+    """Top-20 pairs must be TakeOrderedAndProject (k rows per
+    partition), never a global sort."""
+    p = plans["bpe_pair_counts"]
+    assert count_nodes(p, "TakeOrderedAndProject") == 1
+    assert count_nodes(p, "Sort") == 0
+
+
+def test_incremental_agg_is_partial_merge(plans):
+    """Maintenance merges three group-sized partials via full-outer
+    joins — group-key-sized inputs, no fact-table join."""
+    p = plans["incremental_agg_maintenance"]
+    assert "FullOuter" in p

@@ -432,3 +432,37 @@ def test_foreachbatch_streaming_cdc_merge(spark, tmp_path):
     final = {r.k: r.v for r in spark.read.parquet(base_path).collect()}
     # 1 deleted, 2 updated (batch 1), 3 untouched, 4 inserted then updated
     assert final == {2: 250, 3: 300, 4: 450}
+
+
+def test_rocksdb_state_store_provider_equivalence(spark):
+    """The 100-TB state-store choice: RocksDB keeps streaming state
+    off-heap and on local disk (bounded executor memory at billions of
+    keys) where the default HDFSBackedStateStoreProvider holds every
+    version on the JVM heap. Same query, both providers, identical
+    results — proving the engine's streaming operators are
+    provider-agnostic and the scale knob is pure configuration."""
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run():
+        df = QUERIES["streaming_tumbling_watermark"](spark, sf)
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    default_rows = run()
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)
+        rocks_rows = run()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) > 0
