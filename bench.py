@@ -150,6 +150,8 @@ SECONDARY = [
     "streaming_stream_stream_join",
     "incremental_agg_maintenance",
     "kmeans_lloyd_int",
+    "text_normalize",
+    "doc_chunk_cdc",
 ]
 
 

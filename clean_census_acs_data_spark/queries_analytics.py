@@ -530,10 +530,17 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     path)."""
     o = _t(spark, sf_dir, "orders")
     c = cents("o_totalprice")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile(c, 0.25).alias("p25_cents"),
-        F.percentile(c, 0.50).alias("p50_cents"),
-        F.percentile(c, 0.75).alias("p75_cents"),
+    # one array-percentile aggregate = one per-group value buffer, not
+    # three (same fix as percentile_cont_interp)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.percentile(c, F.lit([0.25, 0.50, 0.75])).alias("ps"))
+        .select(
+            "o_orderpriority",
+            F.col("ps")[0].alias("p25_cents"),
+            F.col("ps")[1].alias("p50_cents"),
+            F.col("ps")[2].alias("p75_cents"),
+        )
     )
 
 

@@ -622,3 +622,123 @@ def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.select(
         F.col("v").alias("vec_id"), F.col("c").alias("cluster"), "dist2"
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the first op of every corpus pipeline: lowercase,
+# strip non-alphanumerics, collapse whitespace. Pure row-local
+# projection (zero shuffles); identical regexes both engines.
+# ---------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            '  +', ' ', 'g')) AS norm_text,
+       CAST(length(text) - length(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            '  +', ' ', 'g'))) AS BIGINT) AS chars_removed
+FROM documents
+"""
+
+
+@register("text_normalize", oracle=_NORM_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization: lowercase → drop non-[a-z0-9 ] →
+    collapse runs of spaces → trim. One narrow projection per doc, no
+    shuffle — at 100 TB this fuses into the scan stage of whatever
+    consumes it. The chars_removed delta doubles as a cheap boilerplate
+    /markup signal (high removal fraction = non-prose)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).cast("long").alias("chars_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — rolling-hash boundaries (rsync/LBFS style):
+# split each doc where the hash of the local 8-gram ≡ 0 (mod 64), so
+# chunk boundaries survive insertions/deletions elsewhere in the doc —
+# the property fixed-size chunking lacks and large-doc dedup needs.
+# ---------------------------------------------------------------------------
+
+_CDC_H = "CAST(concat('0x', substring(md5(substring(text, i, 8)), 1, 15)) AS BIGINT)"
+
+_CDC_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         list_prepend(1,
+           CASE WHEN length(text) >= 9 THEN
+             list_filter(range(2, length(text) - 6),
+                         i -> {_CDC_H} % 64 = 0)
+           ELSE [] END) AS bs
+  FROM documents WHERE length(text) >= 1
+),
+sp AS (
+  SELECT doc_id, text, bs,
+         unnest(range(1, len(bs) + 1)) AS k
+  FROM b
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(bs[k] AS BIGINT) AS chunk_start,
+       CAST(CASE WHEN k < len(bs) THEN bs[k + 1] ELSE length(text) + 1 END
+            - bs[k] AS BIGINT) AS chunk_len,
+       md5(substring(text, bs[k],
+           CASE WHEN k < len(bs) THEN bs[k + 1] ELSE length(text) + 1 END
+           - bs[k])) AS chunk_hash
+FROM sp
+"""
+
+
+@register("doc_chunk_cdc", oracle=_CDC_ORACLE)
+def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks per doc: boundary at position i when the
+    60-bit md5 of the 8-gram starting at i ≡ 0 (mod 64) — expected
+    chunk ~64 chars, and an edit only reshuffles the chunks it touches.
+    All higher-order functions (filter/transform over sequences) plus
+    one Generate: no shuffle at any scale; the (chunk_hash → doc)
+    inverted index this feeds is a plain groupBy downstream. DuckDB
+    mirrors the exact hash and spans, so chunk_hash matches
+    bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    bs = F.expr(
+        "concat(array(1),"
+        " CASE WHEN length(text) >= 9 THEN"
+        "   filter(sequence(2, length(text) - 7),"
+        "     i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15),"
+        "                    16, 10) as bigint) % 64 = 0)"
+        " ELSE cast(array() as array<int>) END)"
+    )
+    spans = d.select("doc_id", "text", bs.alias("bs")).select(
+        "doc_id",
+        "text",
+        "bs",
+        F.explode(F.expr("sequence(1, size(bs))")).alias("k"),
+    )
+    end_expr = (
+        "(CASE WHEN k < size(bs) THEN element_at(bs, k + 1)"
+        " ELSE length(text) + 1 END)"
+    )
+    start = F.element_at("bs", F.col("k"))
+    return spans.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("chunk_start"),
+        F.expr(f"cast({end_expr} - element_at(bs, k) as bigint)").alias(
+            "chunk_len"
+        ),
+        F.expr(
+            f"md5(substring(text, element_at(bs, k),"
+            f" {end_expr} - element_at(bs, k)))"
+        ).alias("chunk_hash"),
+    )
