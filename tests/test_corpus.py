@@ -5,6 +5,7 @@ vectors, empty eval sets, exact flag thresholds)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.operators.corpus import (
     ngram_decontaminate,
@@ -148,3 +149,56 @@ def test_triangle_summary_empty_graph(spark):
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     r = graph_summary(edges).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (0, 0, 0)
+
+
+def test_cdc_chunks_tile_documents(spark):
+    """Content-defined chunks must tile each doc exactly: sorted chunk
+    spans are contiguous from position 1 to length(text), so
+    re-concatenating the chunks reproduces the document."""
+    from clean_census_acs_data_spark.io import load_table
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    chunks = QUERIES["doc_chunk_cdc"](spark, sf)
+    lens = (
+        load_table(spark, sf, "documents")
+        .where(F.length("text") >= 1)
+        .select("doc_id", F.length("text").cast("long").alias("n"))
+    )
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("chunk_len").alias("covered"),
+            F.min("chunk_start").alias("first_start"),
+            F.max(F.col("chunk_start") + F.col("chunk_len")).alias("end_excl"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .join(lens, "doc_id")
+    )
+    bad = agg.where(
+        (F.col("covered") != F.col("n"))
+        | (F.col("first_start") != 1)
+        | (F.col("end_excl") != F.col("n") + 1)
+    )
+    assert bad.count() == 0
+    # every chunk has positive length
+    assert chunks.where(F.col("chunk_len") <= 0).count() == 0
+
+
+def test_text_normalize_idempotent(spark):
+    """Normalizing already-normalized text must be a fixpoint."""
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    once = QUERIES["text_normalize"](spark, sf).select(
+        F.col("norm_text").alias("text"), "doc_id"
+    )
+    norm2 = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    again = once.select("doc_id", F.col("text"), norm2.alias("renorm"))
+    assert again.where(F.col("text") != F.col("renorm")).count() == 0
