@@ -152,6 +152,8 @@ SECONDARY = [
     "kmeans_lloyd_int",
     "text_normalize",
     "doc_chunk_cdc",
+    "quality_percentile_filter",
+    "corpus_shard_order",
 ]
 
 

@@ -742,3 +742,99 @@ def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {end_expr} - element_at(bs, k)))"
         ).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-percentile gate — threshold a per-doc score at a corpus
+# quantile (keep the top 75% here): the adaptive form of quality
+# filtering, where the cut moves with the corpus instead of being a
+# hand-tuned constant.
+# ---------------------------------------------------------------------------
+
+_EN_Q = "[" + ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"]) + "]"
+
+_QGATE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+f AS (
+  SELECT doc_id,
+    (CAST(len(list_filter(t, x -> list_contains({_EN_Q}, x))) AS DOUBLE)
+       / CAST(len(t) AS DOUBLE)) * 0.4
+    + (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.3
+    + (least(CAST(len(t) AS DOUBLE), 100.0) / 100.0) * 0.3 AS quality
+  FROM tok
+),
+thr AS (SELECT quantile_cont(quality, 0.25) AS t FROM f)
+SELECT doc_id, quality FROM f, thr WHERE quality >= t
+"""
+
+
+@register("quality_percentile_filter", oracle=_QGATE_ORACLE)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep docs whose composite quality score clears the corpus p25.
+    The threshold is one interpolated percentile over the score column
+    (identical double operands both engines), broadcast back as a
+    1-row scalar; the gate is then a narrow filter. At 100 TB the
+    quantile comes from a sampled or sketched pass and the gate plan
+    is unchanged — the score column computes once, in the scan stage.
+
+    Quality facets follow operators/text.py::quality_score with the
+    same fixed association, so the doubles compare bit-identically."""
+    d = _t(spark, sf_dir, "documents")
+    q = X.quality_score("text")["quality"]
+    scored = d.select("doc_id", q.alias("quality"))
+    thr = scored.agg(F.percentile("quality", 0.25).alias("t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("quality") >= F.col("t"))
+        .select("doc_id", "quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard-and-order — how a training corpus is written out:
+# assign each doc a shard by keyed hash and a reproducible position
+# within its shard (seeded hash order), so the exact same shard files
+# come out of any cluster at any parallelism.
+# ---------------------------------------------------------------------------
+
+_H15_STR = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+_SHARD_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         {_H15_STR.format(x="concat('shard#', CAST(doc_id AS VARCHAR))")} % 8
+           AS shard_id,
+         {_H15_STR.format(x="concat('order#', CAST(doc_id AS VARCHAR))")}
+           AS okey
+  FROM documents
+)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY okey, doc_id)
+            AS BIGINT) AS write_rank
+FROM k
+"""
+
+
+@register("corpus_shard_order", oracle=_SHARD_ORACLE)
+def corpus_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-data layout: shard = keyed md5 of doc_id
+    mod 8, write_rank = row_number within shard ordered by a second
+    seeded hash (then doc_id — a total order, so ranks are unique and
+    stable). One hash-partitioned window, no global sort; at 100 TB
+    this is exactly partitionBy(shard) + sortWithinPartitions(okey)
+    on the writer, and re-running the job on any cluster reproduces
+    the same files byte-for-byte — the property a training run needs
+    to resume or audit its data order."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    shard = X.md5_long(F.concat(F.lit("shard#"), sid)) % 8
+    okey = X.md5_long(F.concat(F.lit("order#"), sid))
+    k = d.select("doc_id", shard.alias("shard_id"), okey.alias("okey"))
+    w = Window.partitionBy("shard_id").orderBy("okey", "doc_id")
+    return k.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("write_rank"),
+    )

@@ -113,6 +113,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "text_tfidf",  # broadcast 1-row corpus-size scalar
         "bm25_score",  # broadcast 1-row (n_docs, avgdl) corpus scalar
         "lm_unigram_surprisal",  # broadcast 1-row corpus-total scalar
+        "quality_percentile_filter",  # broadcast 1-row quantile threshold
         "graph_triangle_summary",  # cross of three 1-row metric frames
     }
     for name, p in plans.items():

@@ -381,3 +381,24 @@ def test_orc_roundtrip_preserves_values(spark, tmp_path):
     with redirect_stdout(buf):
         back.where(F.col("o_orderkey") == 7).explain(mode="formatted")
     assert "PushedFilters: [" in buf.getvalue()
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across parquet batches: a later batch adds a
+    column; mergeSchema=true reads the union schema with nulls for the
+    old files — the day-2 ingestion reality of any long-lived corpus
+    directory (at 100 TB, set spark.sql.parquet.mergeSchema per read,
+    not globally: footer merging scans every file's metadata)."""
+    from pyspark.sql import Row
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(doc_id=1, text="a")]).write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [Row(doc_id=2, text="b", lang="en")]
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
