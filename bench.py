@@ -154,6 +154,7 @@ SECONDARY = [
     "doc_chunk_cdc",
     "quality_percentile_filter",
     "corpus_shard_order",
+    "corpus_clean_e2e",
 ]
 
 

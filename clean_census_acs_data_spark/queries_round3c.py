@@ -838,3 +838,102 @@ def corpus_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         F.row_number().over(w).cast("long").alias("write_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning — the composed flagship: normalize →
+# quality gate → exact-dedup survivors → reproducible shard layout,
+# one lazy plan from raw documents to the training-file manifest.
+# Every stage is individually oracle-verified above; this proves the
+# COMPOSITION stays deterministic and narrow.
+# ---------------------------------------------------------------------------
+
+_E2E_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " '  +', ' ', 'g'))"
+)
+
+_CLEAN_E2E_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text, {_E2E_NORM} AS norm_text FROM documents
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+q AS (
+  SELECT doc_id,
+    (CAST(len(list_filter(t, x -> list_contains({_EN_Q}, x))) AS DOUBLE)
+       / CAST(len(t) AS DOUBLE)) * 0.4
+    + (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.3
+    + (least(CAST(len(t) AS DOUBLE), 100.0) / 100.0) * 0.3 AS quality
+  FROM tok
+),
+gated AS (
+  SELECT n.doc_id, n.norm_text, q.quality
+  FROM n JOIN q USING (doc_id) WHERE q.quality >= 0.5
+),
+surv AS (
+  SELECT MIN(doc_id) AS doc_id, md5(norm_text) AS content_hash
+  FROM gated GROUP BY md5(norm_text)
+),
+k AS (
+  SELECT surv.doc_id, surv.content_hash, gated.quality,
+         {_H15_STR.format(x="concat('shard#', CAST(surv.doc_id AS VARCHAR))")} % 8
+           AS shard_id,
+         {_H15_STR.format(x="concat('order#', CAST(surv.doc_id AS VARCHAR))")}
+           AS okey
+  FROM surv JOIN gated ON gated.doc_id = surv.doc_id
+)
+SELECT doc_id, content_hash, quality, shard_id,
+       CAST(row_number() OVER (PARTITION BY shard_id ORDER BY okey, doc_id)
+            AS BIGINT) AS write_rank
+FROM k
+"""
+
+
+@register("corpus_clean_e2e", oracle=_CLEAN_E2E_ORACLE)
+def corpus_clean_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline, raw docs → training manifest:
+    normalize (row-local), quality-gate at 0.5 (row-local), exact-dedup
+    on the normalized-content md5 keeping the lowest doc_id (one
+    digest-keyed shuffle — never shuffles document bodies), then the
+    reproducible shard/rank layout (one window). Two shuffles total at
+    any scale; at 100 TB the dedup shuffle moves 16-byte digests + ids
+    and the final stage is the partitionBy(shard)/sortWithinPartitions
+    writer. Stage-by-stage oracles live above (text_normalize,
+    quality_percentile_filter, dedup_exact, corpus_shard_order); this
+    entry verifies their composition bit-for-bit."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    quality = X.quality_score("text")["quality"]
+    gated = d.select(
+        "doc_id", norm.alias("norm_text"), quality.alias("quality")
+    ).where(F.col("quality") >= 0.5)
+    surv = gated.groupBy(F.md5("norm_text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    sid = F.col("doc_id").cast("string")
+    k = (
+        surv.join(gated, "doc_id")
+        .select(
+            "doc_id",
+            "content_hash",
+            "quality",
+            (X.md5_long(F.concat(F.lit("shard#"), sid)) % 8).alias("shard_id"),
+            X.md5_long(F.concat(F.lit("order#"), sid)).alias("okey"),
+        )
+    )
+    w = Window.partitionBy("shard_id").orderBy("okey", "doc_id")
+    return k.select(
+        "doc_id",
+        "content_hash",
+        "quality",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("write_rank"),
+    )

@@ -436,3 +436,12 @@ def test_incremental_agg_is_partial_merge(plans):
     joins — group-key-sized inputs, no fact-table join."""
     p = plans["incremental_agg_maintenance"]
     assert "FullOuter" in p
+
+
+def test_corpus_clean_e2e_two_shuffles(plans):
+    """The composed cleaning pipeline must stay at two data shuffles —
+    the digest-keyed dedup aggregate and the shard window; the
+    dedup-survivor join-back broadcasts (digest+id sized)."""
+    p = plans["corpus_clean_e2e"]
+    assert count_nodes(p, "Exchange") == 2
+    assert count_nodes(p, "BroadcastExchange") == 1
