@@ -232,8 +232,12 @@ def lm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_e6"),
     )
     tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("f"))
+    # broadcast the vocab: joining tf on the raw token would put every
+    # occurrence of a stopword on one reducer at 100 TB — the vocab
+    # table is |distinct tokens| rows (bounded, dimension-sized) and
+    # broadcasting it removes the hot-key shuffle entirely
     return (
-        tf.join(su, "w")
+        tf.join(F.broadcast(su), "w")
         .groupBy("doc_id")
         .agg(
             F.sum("f").cast("long").alias("n_tokens"),

@@ -190,7 +190,7 @@ def test_rowlocal_queries_have_no_shuffle(plans):
         "string_scalars", "date_scalars", "json_scalars", "math_scalars",
         "regexp_scalars", "explode_tokens", "map_prefix_filter",
         "array_higher_order", "hash_sample", "text_stats",
-        "date_arithmetic",
+        "date_arithmetic", "text_normalize", "doc_chunk_cdc",
     ]:
         assert count_nodes(plans[name], "Exchange") == 0, name
 
@@ -445,3 +445,11 @@ def test_corpus_clean_e2e_two_shuffles(plans):
     p = plans["corpus_clean_e2e"]
     assert count_nodes(p, "Exchange") == 2
     assert count_nodes(p, "BroadcastExchange") == 1
+
+
+def test_shard_order_single_window_shuffle(plans):
+    """The layout query is one hash-partitioned window: exactly one
+    exchange, no global sort."""
+    p = plans["corpus_shard_order"]
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "Window") == 1
