@@ -566,3 +566,72 @@ def test_pack_sequences_matches_reference(spark, lengths, window):
     for i, ln in enumerate(lengths):
         assert got[i] == (cum // window, cum % window), i
         cum += ln
+
+
+def test_interval_overlap_bucketing_matches_brute_force(spark):
+    """The time-bucketed interval self-join must equal the brute-force
+    O(n²) join on adversarial inputs: one hot user with many events,
+    timestamps exactly on bucket boundaries (s % W == 0), duplicate
+    timestamps, and gaps of exactly W (inclusive-overlap edge)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    W = 5 * 60 * 1_000_000  # 5 minutes in µs, the query's window
+    base = 1_700_000_000_000_000
+    # user 1: hot, boundary-aligned and off-boundary mix; user 2: sparse
+    starts = (
+        [base + i * (W // 3) for i in range(40)]          # dense overlaps
+        + [base + i * W for i in range(10)]               # exactly W apart
+        + [base + 7 * W, base + 7 * W]                    # duplicate ts
+    )
+    rows = [(i + 1, 1, s) for i, s in enumerate(starts)]
+    rows += [(1000 + i, 2, base + i * 3 * W) for i in range(5)]  # no overlaps
+    df = spark.createDataFrame(rows, "event_id long, user_id long, s long")
+
+    def brute(rows):
+        out = set()
+        for (ida, ua, sa), (idb, ub, sb) in itertools.combinations(rows, 2):
+            if ua != ub or ida == idb:
+                continue
+            a, b = (ida, sa), (idb, sb)
+            if ida > idb:
+                a, b = b, a
+            if a[1] <= b[1] + W and b[1] <= a[1] + W:
+                out.add((ua, a[0], b[0], min(a[1] + W, b[1] + W) - max(a[1], b[1])))
+        return out
+
+    # mirror of queries_round3.interval_overlap_join's bucketed plan
+    ev = df.select(
+        "user_id",
+        "event_id",
+        F.col("s"),
+        (F.col("s") + F.lit(W)).alias("e"),
+        F.expr(f"s div {W}").alias("bkt"),
+    )
+    expl = ev.withColumn("k", F.explode(F.array(F.col("bkt"), F.col("bkt") + 1)))
+    a, b = expl.alias("a"), expl.alias("b")
+    got = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.k") == F.greatest(F.col("a.bkt"), F.col("b.bkt")))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id"),
+            F.col("a.event_id").alias("ea"),
+            F.col("b.event_id").alias("eb"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("ov"),
+        )
+        .collect()
+    )
+    got_set = {(r["user_id"], r["ea"], r["eb"], r["ov"]) for r in got}
+    assert len(got) == len(got_set), "bucketing emitted a duplicate pair"
+    assert got_set == brute(rows)
