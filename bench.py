@@ -155,6 +155,14 @@ SECONDARY = [
     "quality_percentile_filter",
     "corpus_shard_order",
     "corpus_clean_e2e",
+    # round-4 additions
+    "leakage_safe_split",
+    "token_countmin_sketch",
+    "heavy_hitters_cms",
+    "semantic_dedup",
+    "bloom_semijoin_stats",
+    "dedup_substring_spans",
+    "quantile_log2_sketch",
 ]
 
 

@@ -115,6 +115,9 @@ def test_no_degenerate_joins_anywhere(plans):
         "lm_unigram_surprisal",  # broadcast 1-row corpus-total scalar
         "quality_percentile_filter",  # broadcast 1-row quantile threshold
         "graph_triangle_summary",  # cross of three 1-row metric frames
+        "semantic_dedup",  # broadcast 8-row centroid table (IVF assignment)
+        "heavy_hitters_cms",  # broadcast 1-row total-token-mass scalar
+        "quantile_log2_sketch",  # 3-row quantile spec × ≤64-row histogram
     }
     for name, p in plans.items():
         base = name.split("/")[0]
@@ -453,3 +456,44 @@ def test_shard_order_single_window_shuffle(plans):
     p = plans["corpus_shard_order"]
     assert count_nodes(p, "Exchange") == 1
     assert count_nodes(p, "Window") == 1
+
+
+def test_cms_sketch_partial_agg_single_shuffle(plans):
+    """The Count-Min sketch must be a map-side-combined count: partial
+    HashAggregate before the one (depth, cell)-keyed exchange, so the
+    shuffle carries <=256 rows per partition regardless of corpus size."""
+    p = plans["token_countmin_sketch"]
+    assert count_nodes(p, "HashAggregate") == 2
+    # one data shuffle (plus optionally the spread() round-robin, which
+    # repartitions raw input rows before the per-row md5 work)
+    assert count_nodes(p, "Exchange") <= 2
+    assert "Generate" in p  # posexplode of the d cell ids
+
+
+def test_heavy_hitters_probe_broadcasts_sketch(plans):
+    """The CMS probe joins the vocabulary-sized token table against the
+    <=256-row sketch — that side must broadcast, never shuffle the
+    sketch join."""
+    p = plans["heavy_hitters_cms"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 1
+
+
+def test_semantic_dedup_pairs_shuffle_on_centroid(plans):
+    """SemDeDup's quadratic term must be cluster-local: the pair
+    self-join equi-keys on centroid_id (hash-partitioned join), with the
+    only nested-loop being the broadcast 8-row centroid assignment."""
+    p = plans["semantic_dedup"]
+    assert "CartesianProduct" not in p
+    joins = re.findall(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin)[^\n]*", p)
+    assert joins, "pair join must be an equi-join on centroid_id"
+    assert "centroid_id" in p
+
+
+def test_bloom_bits_broadcast_and_semi(plans):
+    """The <=1024-row distinct-bit table must broadcast to the probe
+    side (left semi): the whole point is pruning the fact side without
+    shuffling it against the filter."""
+    p = plans["bloom_semijoin_stats"]
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p) or (
+        "BroadcastHashJoin" in p and "LeftSemi" in p
+    )
