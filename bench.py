@@ -163,6 +163,7 @@ SECONDARY = [
     "bloom_semijoin_stats",
     "dedup_substring_spans",
     "quantile_log2_sketch",
+    "streaming_cms_merge",
 ]
 
 

@@ -70,7 +70,7 @@ def connected_components(
         adj.select("v").distinct().select("v", F.col("v").alias("label"))
     )
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # min label among neighbors
         neighbor_min = (
             adj.join(labels.withColumnRenamed("v", "w2"), adj.w == F.col("w2"))
@@ -96,6 +96,14 @@ def connected_components(
             )
         )
         new_labels = _truncate(new_labels)
+        # Round 1 can't have converged when any edge exists (every
+        # edge-touching vertex with a smaller neighbor changes label),
+        # so skip its convergence-diff join+count — one fewer driver
+        # action per call, paid for only by degenerate empty graphs
+        # doing one extra (trivial) round.
+        if it == 0:
+            labels = new_labels
+            continue
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "v")

@@ -583,3 +583,54 @@ def bloom_semijoin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_true_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Count-Min maintenance (complete-mode sketch state)
+# ---------------------------------------------------------------------------
+
+_STREAM_CMS_ORACLE = f"""
+WITH cells AS (
+  {" UNION ALL ".join(f"SELECT {d} AS depth, {_cms_cell_sql('event_type', d)} AS cell FROM events" for d in range(CMS_D))}
+)
+SELECT depth, cell, COUNT(*) AS cnt
+FROM cells GROUP BY depth, cell
+"""
+
+
+@register("streaming_cms_merge", oracle=_STREAM_CMS_ORACLE)
+def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch maintained BY the streaming engine: the events
+    stream's event_type column feeds the same d×w cell matrix as
+    token_countmin_sketch, aggregated in complete mode through the
+    state store (readStream → stateful agg → memory sink,
+    Trigger.AvailableNow).
+
+    Unlike the other streaming entries this one carries a full DuckDB
+    oracle: a complete-mode count over a fully-replayed stream is
+    batch-equal regardless of micro-batch boundaries, so the final
+    sketch is hash-checkable — which is the operational point of CMS as
+    streaming state: the sketch a cluster maintains incrementally IS
+    the sketch a batch job would have built, and its ≤256-row state
+    never grows with the stream."""
+    import uuid
+
+    from clean_census_acs_data_spark.streaming.windows import _events_stream
+
+    ev = _events_stream(spark, sf_dir)
+    cells = F.array(*[_cms_cell(F.col("event_type"), d) for d in range(CMS_D)])
+    agg = (
+        ev.select(F.posexplode(cells).alias("depth", "cell"))
+        .groupBy(F.col("depth").cast("int").alias("depth"), "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
