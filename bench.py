@@ -164,6 +164,15 @@ SECONDARY = [
     "dedup_substring_spans",
     "quantile_log2_sketch",
     "streaming_cms_merge",
+    # round-5 additions
+    "hll_deterministic_estimate",
+    "mad_robust_outliers",
+    "random_projection_embed",
+    "inverted_index_postings",
+    "weighted_sample_systematic",
+    "winsorize_clip",
+    "graph_clustering_coeff",
+    "streaming_log2_histogram",
 ]
 
 

@@ -1,0 +1,718 @@
+"""Round-5 tier: deterministic sketch estimation, robust statistics,
+dimensionality reduction, and index-building operators.
+
+Eight shapes extending the sketch/corpus tiers:
+
+- ``hll_deterministic_estimate`` — a from-scratch HyperLogLog whose
+  *estimate* (not just its registers) hash-checks against DuckDB: the
+  register max-rho math is pure integers, and the harmonic mean is
+  rescaled to one exact-integer sum (dyadic 2^-M terms share a common
+  denominator), so the only float op is a single final division. The
+  engine-native sketches (approx_distinct_sketch, hll_partial_merge)
+  stay rows-only by construction; this one closes the attestation gap
+  for the sketch *algorithm* itself.
+- ``mad_robust_outliers``  — median-absolute-deviation outlier
+  detection: the robust two-phase exact-median pattern, immune to the
+  very outliers it hunts (mean/stddev twins: outlier_orders_exact).
+- ``random_projection_embed`` — Johnson-Lindenstrauss ±1 sign
+  projection 64-dim → 16-dim. The dimensionality-reduction step ahead
+  of ANN at scale; the sign matrix is a deterministic md5 parity, so
+  both engines derive the identical matrix independently.
+- ``inverted_index_postings`` — token → (df, capped posting list),
+  built with a two-phase salted merge so no single reducer ever
+  collects a stopword's full posting list.
+- ``weighted_sample_systematic`` — deterministic weighted systematic
+  sampling (per-source step = total_weight/10 over a hash-shuffled
+  order): the reproducible alternative to rand()-based corpus
+  subsampling, where re-runs must pick identical documents.
+- ``winsorize_clip``       — exact-percentile winsorization (clip at
+  p05/p95) with rank cuts derived by integer ceil, no interpolation.
+- ``graph_clustering_coeff`` — per-node local clustering coefficient
+  over the near-dup graph (triangles via wedge join / (deg choose 2)).
+- ``streaming_log2_histogram`` — the log2-bucket quantile histogram
+  (quantile_log2_sketch's partial state) maintained BY the streaming
+  engine in complete mode; batch-equal under full replay, so it
+  hash-checks like streaming_cms_merge.
+
+Determinism discipline per the package standard (queries.py module
+docstring): integer aggregation, md5-derived hashing recomputed
+identically in DuckDB, single post-hoc double divisions, identical
+aliases both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clean_census_acs_data_spark.io import load_table, spread
+from clean_census_acs_data_spark.operators import dedup as D
+from clean_census_acs_data_spark.operators import text as X
+from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.queries_ext import (
+    _MINHASH_ORACLE,
+    H15,
+    _quant_list,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _p2(expr: str) -> str:
+    """Spark/DuckDB-portable 2^x as BIGINT (x a small non-negative int
+    column/expression)."""
+    return f"shiftleft(CAST(1 AS BIGINT), CAST({expr} AS INT))"
+
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog — the sketch ALGORITHM under the hash gate
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (p = 6)
+_HLL_REM_BITS = 60 - 6  # md5_long is 60 bits; 6 spent on the bucket
+# alpha_64 = 0.7213 / (1 + 1.079/64) ≈ 0.709 — the standard HLL bias
+# constant for m = 64, written as one double literal both sides.
+_HLL_ALPHA = "0.709"
+
+_HLL_ORACLE = f"""
+WITH h AS (
+  SELECT {H15.format(x="CAST(o_custkey AS VARCHAR)")} AS h FROM orders
+),
+b AS (SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS rem FROM h),
+r AS (
+  SELECT bucket,
+         CASE WHEN rem > 0 THEN {_HLL_REM_BITS + 1} - length(bin(rem))
+              ELSE {_HLL_REM_BITS + 1} END AS rho
+  FROM b
+),
+reg AS (SELECT bucket, MAX(rho) AS m_j FROM r GROUP BY bucket),
+k AS (SELECT MAX(m_j) AS k_max, COUNT(*) AS n_occ FROM reg),
+s AS (
+  SELECT k.k_max,
+         {_HLL_M} - k.n_occ AS n_zero,
+         CAST(SUM((CAST(1 AS BIGINT) << (k.k_max - reg.m_j))) AS BIGINT)
+           + ({_HLL_M} - k.n_occ) * (CAST(1 AS BIGINT) << k.k_max) AS s_scaled
+  FROM reg, k
+  GROUP BY k.k_max, k.n_occ
+)
+SELECT CAST({_HLL_M} AS BIGINT) AS m,
+       CAST(n_zero AS BIGINT) AS n_zero,
+       CAST(k_max AS BIGINT) AS k_max,
+       CAST(s_scaled AS BIGINT) AS s_scaled,
+       CAST({_HLL_ALPHA} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS DOUBLE)
+         * CAST((CAST(1 AS BIGINT) << k_max) AS DOUBLE)
+         / CAST(s_scaled AS DOUBLE) AS hll_estimate,
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_distinct
+FROM s
+"""
+
+
+@register("hll_deterministic_estimate", oracle=_HLL_ORACLE)
+def hll_deterministic_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate whose VALUE hash-checks
+    across engines. md5-60-bit hash → 6-bit bucket + 54-bit remainder;
+    rho = leading-zero count + 1 over the fixed 54-bit width (pure
+    ``length(bin(x))`` integer math); register = max rho per bucket.
+
+    The classic estimate alpha·m²/Σ 2^-M_j is float-summation-order
+    sensitive, so it is rescaled by 2^k_max: every term 2^(k_max-M_j)
+    is an exact int64 (k_max ≤ 55, 64 terms ≤ 2^61 — no overflow), the
+    sum S is exact, and the estimate alpha·m²·2^k_max / S is a single
+    deterministic double division. Output one row: (m, n_zero, k_max,
+    s_scaled, hll_estimate, exact_distinct) — estimate and truth side
+    by side.
+
+    Scale shape: the register table is ≤64 rows regardless of input
+    (partial-agg max per bucket map-side), merge across shards =
+    cell-wise max — the mergeable-state pattern shared with
+    token_countmin_sketch / quantile_log2_sketch, here carried through
+    to the actual cardinality estimate under the hash gate."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.select(X.md5_long(F.col("o_custkey").cast("string")).alias("h"))
+    b = h.select(
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.expr(f"h div {_HLL_M}").alias("rem"),
+    )
+    r = b.select(
+        "bucket",
+        F.when(
+            F.col("rem") > 0,
+            F.lit(_HLL_REM_BITS + 1) - F.length(F.bin("rem")),
+        )
+        .otherwise(F.lit(_HLL_REM_BITS + 1))
+        .alias("rho"),
+    )
+    reg = r.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    k = reg.agg(F.max("m_j").alias("k_max"), F.count(F.lit(1)).alias("n_occ"))
+    s = (
+        reg.crossJoin(F.broadcast(k))
+        .groupBy("k_max", "n_occ")
+        .agg(F.sum(F.expr(_p2("k_max - m_j"))).cast("long").alias("s_occ"))
+        .select(
+            "k_max",
+            (F.lit(_HLL_M) - F.col("n_occ")).alias("n_zero"),
+            (
+                F.col("s_occ")
+                + (F.lit(_HLL_M) - F.col("n_occ")) * F.expr(_p2("k_max"))
+            ).alias("s_scaled"),
+        )
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return s.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).cast("long").alias("m"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.col("k_max").cast("long").alias("k_max"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        (
+            F.lit(float(_HLL_ALPHA))
+            * F.lit(float(_HLL_M * _HLL_M))
+            * F.expr(_p2("k_max")).cast("double")
+            / F.col("s_scaled").cast("double")
+        ).alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outlier detection — two-phase exact median
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH c AS (
+  SELECT o_orderpriority AS prio,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT prio, cents, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY prio ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*)    OVER (PARTITION BY prio) AS cnt
+  FROM c
+),
+med AS (SELECT prio, cents AS median_cents FROM r WHERE rn = (cnt + 1) // 2),
+d AS (
+  SELECT c.prio, abs(c.cents - med.median_cents) AS dev, c.o_orderkey,
+         med.median_cents
+  FROM c JOIN med USING (prio)
+),
+r2 AS (
+  SELECT prio, dev, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY prio ORDER BY dev, o_orderkey) AS rn,
+         COUNT(*)    OVER (PARTITION BY prio) AS cnt
+  FROM d
+),
+mad AS (SELECT prio, dev AS mad_cents FROM r2 WHERE rn = (cnt + 1) // 2)
+SELECT d.prio AS o_orderpriority,
+       COUNT(*) AS n,
+       CAST(MIN(d.median_cents) AS BIGINT) AS median_cents,
+       CAST(MIN(mad.mad_cents) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN d.dev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (prio)
+GROUP BY d.prio
+"""
+
+
+@register("mad_robust_outliers", oracle=_MAD_ORACLE)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier counts per order priority:
+    med = lower exact median of price cents, mad = lower exact median
+    of |cents − med|, outlier ⇔ dev > 3·mad. All integers — the
+    robust twin of outlier_orders_exact (whose mean/stddev a single
+    extreme value drags; the median pair is immune, which is why data
+    validation at corpus scale uses MAD).
+
+    Shape: two window passes partitioned by the group key (both
+    parallel across groups), and the 5-row med/mad tables broadcast
+    back — the per-group sort is the irreducible cost of EXACT rank
+    statistics; quantile_log2_sketch is the mergeable approximation
+    when even that is too dear."""
+    c = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("prio").orderBy("cents", "o_orderkey")
+    wc = Window.partitionBy("prio")
+    r = c.select(
+        "prio",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    med = r.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "prio", F.col("cents").alias("median_cents")
+    )
+    d = c.join(F.broadcast(med), "prio").select(
+        "prio",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
+        "o_orderkey",
+        "median_cents",
+    )
+    w2 = Window.partitionBy("prio").orderBy("dev", "o_orderkey")
+    r2 = d.select(
+        "prio",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    mad = r2.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "prio", F.col("dev").alias("mad_cents")
+    )
+    return (
+        d.join(F.broadcast(mad), "prio")
+        .groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("median_cents").cast("long").alias("median_cents"),
+            F.min("mad_cents").cast("long").alias("mad_cents"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss ±1 random projection (64 → 16 dims)
+# ---------------------------------------------------------------------------
+
+_RP_OUT = 16
+_RP_IN = 64
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# Deterministic ±1 sign matrix from md5 parity — both engines derive
+# the identical matrix: Spark bakes it in as literals (it is a
+# CONSTANT, like MINHASH_A/B), DuckDB recomputes the parity inline.
+_RP_SIGNS = [
+    [1 if _md5_60(f"rp{k}|{j}") % 2 == 0 else -1 for j in range(1, _RP_IN + 1)]
+    for k in range(_RP_OUT)
+]
+
+_RP_SIGN_SQL = (
+    "(CASE WHEN "
+    + H15.format(x="concat('rp', CAST(k AS VARCHAR), '|', CAST(j AS VARCHAR))")
+    + " % 2 = 0 THEN 1 ELSE -1 END)"
+)
+
+_RP_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings)
+SELECT vec_id, CAST(k AS INT) AS k,
+       CAST(list_sum(list_transform(range(1, {_RP_IN + 1}),
+            j -> q[j] * {_RP_SIGN_SQL})) AS BIGINT) AS proj
+FROM e, range(0, {_RP_OUT}) t(k)
+"""
+
+
+@register("random_projection_embed", oracle=_RP_ORACLE)
+def random_projection_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection: each 64-dim embedding
+    (int64-quantized) maps to 16 dims via out_k = Σ_j sign(k,j)·q_j
+    with sign = md5-parity ±1. Output long-format (vec_id, k, proj).
+
+    This is the dimensionality-reduction front of a 100-TB ANN stack —
+    JL preserves pairwise distances within ε with high probability, so
+    LSH/IVF run on 16 dims instead of 64 (4× less shuffle weight per
+    vector). The plan is shuffle-free: the 16 dot products are JVM
+    higher-order folds over a literal sign matrix (no per-row hashing —
+    the matrix is precomputed once at plan build), then one posexplode.
+    spread() parallelizes the row-local compute on the single-row-group
+    local files; a 100-TB source is already wide, where it no-ops."""
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    from clean_census_acs_data_spark.operators.similarity import QUANT
+
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * QUANT).cast("long")
+    )
+    e = emb.select("vec_id", qv.alias("q"))
+    projs = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(s) for s in _RP_SIGNS[k]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for k in range(_RP_OUT)
+        ]
+    )
+    return e.select("vec_id", F.posexplode(projs).alias("k", "proj"))
+
+
+# ---------------------------------------------------------------------------
+# inverted index build — salted two-phase posting-list merge
+# ---------------------------------------------------------------------------
+
+_POSTING_CAP = 32
+_POSTING_SALTS = 16
+
+_INVIDX_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+)
+SELECT token, COUNT(*) AS df,
+       array_to_string(list_sort(list(doc_id))[1:{_POSTING_CAP}], ',')
+         AS postings
+FROM tok GROUP BY token
+"""
+
+
+@register("inverted_index_postings", oracle=_INVIDX_ORACLE)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → (document frequency, posting list
+    of the {_POSTING_CAP} lowest doc_ids, comma-joined). The seek
+    structure behind bm25_score's retrieval at scale.
+
+    Salted two-phase merge: phase 1 groups by (token, doc_id mod 16)
+    and keeps each salt's local min-32 postings + partial count, so no
+    reducer ever materializes a stopword's full posting list; phase 2
+    merges 16 bounded arrays per token (≤ 16·32 ids) and re-truncates.
+    min-32 of the union of per-salt min-32s ≡ global min-32, so the
+    salting is invisible to the oracle. df stays exact via summed
+    partial counts. At 100 TB phase 1's combine is map-side and the
+    phase-2 state per token is ≤ 512 longs regardless of corpus
+    size."""
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(X.tokens("text")).alias("token"))
+        .distinct()
+    )
+    part = tok.groupBy("token", F.pmod("doc_id", F.lit(_POSTING_SALTS)).alias("__s")).agg(
+        F.count(F.lit(1)).alias("c_part"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTING_CAP).alias(
+            "p_part"
+        ),
+    )
+    return part.groupBy("token").agg(
+        F.sum("c_part").cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("p_part"))),
+                    1,
+                    _POSTING_CAP,
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted systematic sampling
+# ---------------------------------------------------------------------------
+
+_WS_PER_SOURCE = 10
+
+_WSAMPLE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars AS w,
+         {H15.format(x="CAST(doc_id AS VARCHAR)")} AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, w,
+         SUM(w) OVER (PARTITION BY source ORDER BY hk, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY source) AS total
+  FROM d
+),
+s AS (SELECT *, GREATEST(total // {_WS_PER_SOURCE}, 1) AS step FROM c)
+SELECT doc_id, source, CAST(w AS BIGINT) AS w, CAST(cum AS BIGINT) AS cum_w
+FROM s
+WHERE cum // step > (cum - w) // step
+"""
+
+
+@register("weighted_sample_systematic", oracle=_WSAMPLE_ORACLE)
+def weighted_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling, fully deterministic: per source,
+    documents are laid on a line in md5-shuffled order with segment
+    length = n_chars; every step-th point (step = source total / 10)
+    selects the document under it. Selection probability ∝ weight, no
+    rand() — re-runs and both engines pick byte-identical samples,
+    which is what corpus-subsampling reproducibility actually requires
+    (corpus_mix_sample is the per-doc-gate flavor; this one hits exact
+    per-source quotas ±1).
+
+    Scale shape: windows partition by source, so the sort parallelizes
+    across sources; a giant single source would sub-shard by
+    (source, hash bucket) with per-shard quotas — same two integer
+    divisions, one more key column."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("w"),
+        X.md5_long(F.col("doc_id").cast("string")).alias("hk"),
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("source")
+    c = d.select(
+        "doc_id",
+        "source",
+        "w",
+        F.sum("w").over(wo).alias("cum"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    s = c.withColumn(
+        "step", F.greatest(F.expr(f"total div {_WS_PER_SOURCE}"), F.lit(1))
+    )
+    return s.where(F.expr("cum div step > (cum - w) div step")).select(
+        "doc_id",
+        "source",
+        F.col("w").cast("long").alias("w"),
+        F.col("cum").cast("long").alias("cum_w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-percentile winsorization (clip at p05/p95)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH c AS (
+  SELECT o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT status, cents,
+         ROW_NUMBER() OVER (PARTITION BY status ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*)    OVER (PARTITION BY status) AS cnt
+  FROM c
+),
+cut AS (
+  SELECT status,
+         MAX(CASE WHEN rn = (cnt * 5 + 99) // 100 THEN cents END) AS lo_cents,
+         MAX(CASE WHEN rn = (cnt * 95 + 99) // 100 THEN cents END) AS hi_cents
+  FROM r GROUP BY status
+)
+SELECT c.status AS o_orderstatus,
+       COUNT(*) AS n,
+       CAST(MIN(cut.lo_cents) AS BIGINT) AS lo_cents,
+       CAST(MIN(cut.hi_cents) AS BIGINT) AS hi_cents,
+       CAST(SUM(c.cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(LEAST(GREATEST(c.cents, cut.lo_cents), cut.hi_cents))
+            AS BIGINT) AS sum_winsorized_cents
+FROM c JOIN cut ON c.status = cut.status
+GROUP BY c.status
+"""
+
+
+@register("winsorize_clip", oracle=_WINSOR_ORACLE)
+def winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at EXACT p05/p95 per order status: rank cuts are
+    ceil(p·n) row-number positions (integer arithmetic, no
+    interpolation — interpolated twins: percentile_cont_interp), and
+    values clip into [lo, hi] before the robust sum. Output per status:
+    (n, lo_cents, hi_cents, sum_cents, sum_winsorized_cents) — raw vs
+    winsorized totals side by side, the standard heavy-tail taming
+    before mean-based monitoring.
+
+    One window sort per group for the cuts, then the 3-row cut table
+    broadcasts back over the fact — at 100 TB the sort is the exactness
+    price (same note as mad_robust_outliers); everything after it is a
+    broadcast join + partial agg."""
+    c = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("status").orderBy("cents", "o_orderkey")
+    wc = Window.partitionBy("status")
+    r = c.select(
+        "status",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    cut = r.groupBy("status").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt * 5 + 99) div 100"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt * 95 + 99) div 100"), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    return (
+        c.join(F.broadcast(cut), "status")
+        .groupBy(F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo_cents").cast("long").alias("lo_cents"),
+            F.min("hi_cents").cast("long").alias("hi_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum(F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents")))
+            .cast("long")
+            .alias("sum_winsorized_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-node local clustering coefficient over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_CLUSTCOEFF_ORACLE = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.strip()})),
+e AS (
+  SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+  FROM pairs GROUP BY 1, 2
+),
+und AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b AS v, a AS w FROM e),
+deg AS (SELECT v, COUNT(*) AS degree FROM und GROUP BY v),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT v, COUNT(*) AS triangles FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+    UNION ALL SELECT z AS v FROM tri
+  ) GROUP BY v
+)
+SELECT deg.v AS doc_id,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tcnt.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN CAST(2 * COALESCE(tcnt.triangles, 0) AS DOUBLE)
+                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
+"""
+
+
+@register("graph_clustering_coeff", oracle=_CLUSTCOEFF_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the MinHash near-dup
+    graph: 2·triangles(v) / (deg(v)·(deg(v)−1)). High coefficient =
+    the node sits in a dense paraphrase clique (template spam); low =
+    chain-like accidental collisions — the per-node refinement of
+    graph_triangle_summary's global count, used to pick which dedup
+    clusters deserve aggressive pruning.
+
+    Triangles come from the a<b<c wedge join on the canonical edge
+    list, then each triangle credits its 3 vertices via one explode.
+    The near-dup graph is pair-output-sized (bounded by LSH band
+    collisions), orders smaller than the corpus; for hub-heavy graphs
+    the degree-oriented orientation of operators/graph.py:20 bounds the
+    wedge fan-out at O(m^1.5)."""
+    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5)
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .cache()
+    )
+    und = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        e.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tcnt, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (F.coalesce("triangles", F.lit(0)) * 2).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming log2 histogram — mergeable rank-statistic state, hash-checked
+# ---------------------------------------------------------------------------
+
+_STREAM_HIST_ORACLE = """
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events)
+SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket, COUNT(*) AS n
+FROM c WHERE cents >= 1 GROUP BY 1
+"""
+
+
+@register("streaming_log2_histogram", oracle=_STREAM_HIST_ORACLE)
+def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log2-bucket histogram (quantile_log2_sketch's partial state)
+    maintained BY the streaming engine: events.value in cents buckets
+    by integer bit length through a complete-mode stateful count
+    (readStream → state store → memory sink, Trigger.AvailableNow).
+
+    Like streaming_cms_merge, complete-mode counts over a fully
+    replayed stream are batch-equal regardless of micro-batch
+    boundaries, so this streaming entry hash-checks against the batch
+    DuckDB oracle — attesting that the histogram a cluster maintains
+    incrementally IS the batch histogram, with ≤64 rows of state
+    forever."""
+    import uuid
+
+    from clean_census_acs_data_spark.streaming.windows import _events_stream
+
+    ev = _events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        ev.select(cents.alias("cents"))
+        .where(F.col("cents") >= 1)
+        .groupBy((F.length(F.bin("cents")) - 1).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
