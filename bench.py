@@ -173,6 +173,11 @@ SECONDARY = [
     "winsorize_clip",
     "graph_clustering_coeff",
     "streaming_log2_histogram",
+    "token_cooccurrence_pmi",
+    "ann_jl_lsh_topk",
+    "zone_map_pruning_stats",
+    "doc_shingle_containment",
+    "streaming_topk_complete",
 ]
 
 
