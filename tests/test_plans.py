@@ -118,6 +118,8 @@ def test_no_degenerate_joins_anywhere(plans):
         "semantic_dedup",  # broadcast 8-row centroid table (IVF assignment)
         "heavy_hitters_cms",  # broadcast 1-row total-token-mass scalar
         "quantile_log2_sketch",  # 3-row quantile spec × ≤64-row histogram
+        "hll_deterministic_estimate",  # ≤64-row registers × 1-row k/exact scalars
+        "token_cooccurrence_pmi",  # broadcast 1-row (t_tok, t_pair) totals
     }
     for name, p in plans.items():
         base = name.split("/")[0]
@@ -497,3 +499,99 @@ def test_bloom_bits_broadcast_and_semi(plans):
     assert re.search(r"BroadcastHashJoin .*LeftSemi", p) or (
         "BroadcastHashJoin" in p and "LeftSemi" in p
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 tier plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_partial_agg_no_cartesian(plans):
+    """HLL register build must map-side combine (partial max per bucket
+    before the <=64-row exchange); the 1-row k/exact tables join via
+    broadcast nested loop, never a cartesian."""
+    p = plans["hll_deterministic_estimate"]
+    assert "CartesianProduct" not in p
+    assert count_nodes(p, "HashAggregate") >= 2
+
+
+def test_random_projection_is_narrow(plans):
+    """JL projection is row-local JVM folds over a literal sign matrix:
+    no joins, no aggregate shuffles — the only allowed exchange is
+    spread()'s round-robin over the raw input."""
+    p = plans["random_projection_embed"]
+    assert count_nodes(p, "Exchange") <= 1
+    assert "Join" not in p
+    assert "Generate" in p  # posexplode to long format
+
+
+def test_inverted_index_two_phase_salted(plans):
+    """Posting-list build must be the salted two-phase merge: distinct
+    + (token, salt) phase + token phase = exactly 3 exchanges, with
+    object-hash aggregation for the bounded collect_lists."""
+    p = plans["inverted_index_postings"]
+    assert count_nodes(p, "Exchange") == 3
+    assert "ObjectHashAggregate" in p
+
+
+def test_weighted_sample_single_window_shuffle(plans):
+    """Systematic sampling partitions both windows by source: one
+    exchange feeds cum + total, no global sort."""
+    p = plans["weighted_sample_systematic"]
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "Window") == 2
+
+
+def test_winsorize_cuts_broadcast_back(plans):
+    """The 3-row p05/p95 cut table must broadcast onto the fact scan."""
+    p = plans["winsorize_clip"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 1
+
+
+def test_mad_medians_broadcast_back(plans):
+    """Both the 5-row median and MAD tables broadcast onto the fact —
+    the fact side never re-shuffles for the joins."""
+    p = plans["mad_robust_outliers"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+
+
+def test_ann_funnel_topk_and_bucket_probe(plans):
+    """The composed ANN funnel ends in a heap top-k (never a global
+    sort) and probes the bucket via a broadcast of the 1-row query."""
+    p = plans["ann_jl_lsh_topk"]
+    assert count_nodes(p, "TakeOrderedAndProject") == 1
+    assert "CartesianProduct" not in p
+    assert count_nodes(p, "BroadcastHashJoin") >= 1
+
+
+def test_pmi_vocab_broadcasts(plans):
+    """PMI joins the pair table against the unigram vocabulary twice —
+    both must broadcast (raw-token shuffle would hot-key stopwords),
+    and pair generation must be Generates, not a positional self-join."""
+    p = plans["token_cooccurrence_pmi"]
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+    assert count_nodes(p, "Generate") >= 2
+    assert count_nodes(p, "SortMergeJoin") == 0
+
+
+def test_zone_map_single_shuffle(plans):
+    """The manifest build is one partial-agg shuffle keyed by shard."""
+    p = plans["zone_map_pruning_stats"]
+    assert count_nodes(p, "Exchange") == 1
+    assert count_nodes(p, "HashAggregate") == 2
+
+
+def test_containment_pairs_broadcast(plans):
+    """The LSH candidate pair list broadcasts onto the shingle table
+    for both sides — exact verification never shuffles the corpus."""
+    p = plans["doc_shingle_containment"]
+    assert "CartesianProduct" not in p
+    assert count_nodes(p, "BroadcastHashJoin") >= 2
+
+
+def test_clustering_coeff_no_cartesian(plans):
+    """Wedge join + closing-edge join are equi-joins on the canonical
+    edge list; the triangle credit explode is a Generate."""
+    p = plans["graph_clustering_coeff"]
+    assert "CartesianProduct" not in p
+    assert "Generate" in p
