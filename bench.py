@@ -178,6 +178,11 @@ SECONDARY = [
     "zone_map_pruning_stats",
     "doc_shingle_containment",
     "streaming_topk_complete",
+    "minhash_estimate_audit",
+    "lm_bigram_surprisal",
+    "user_rfm_features",
+    "cross_source_fp_overlap",
+    "streaming_hll_registers",
 ]
 
 
