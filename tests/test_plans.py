@@ -120,6 +120,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "quantile_log2_sketch",  # 3-row quantile spec × ≤64-row histogram
         "hll_deterministic_estimate",  # ≤64-row registers × 1-row k/exact scalars
         "token_cooccurrence_pmi",  # broadcast 1-row (t_tok, t_pair) totals
+        "lm_bigram_surprisal",  # broadcast 1-row vocabulary-size scalar
     }
     for name, p in plans.items():
         base = name.split("/")[0]
