@@ -183,6 +183,11 @@ SECONDARY = [
     "user_rfm_features",
     "cross_source_fp_overlap",
     "streaming_hll_registers",
+    "markov_transition_counts",
+    "vocab_oov_rate",
+    "user_interevent_stats",
+    "source_lang_profile",
+    "dedup_cluster_stats",
 ]
 
 
