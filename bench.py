@@ -188,6 +188,8 @@ SECONDARY = [
     "user_interevent_stats",
     "source_lang_profile",
     "dedup_cluster_stats",
+    "ann_recall_audit",
+    "quantile_sketch_audit",
 ]
 
 

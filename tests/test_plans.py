@@ -121,6 +121,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "hll_deterministic_estimate",  # ≤64-row registers × 1-row k/exact scalars
         "token_cooccurrence_pmi",  # broadcast 1-row (t_tok, t_pair) totals
         "lm_bigram_surprisal",  # broadcast 1-row vocabulary-size scalar
+        "ann_recall_audit",  # 1-row count frames × broadcast query vector legs
     }
     for name, p in plans.items():
         base = name.split("/")[0]
