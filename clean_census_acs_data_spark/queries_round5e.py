@@ -154,7 +154,7 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = spark.createDataFrame([(50,), (90,), (99,)], "q_pct int")
     ex = (
-        qs.crossJoin(r)
+        r.crossJoin(F.broadcast(qs))
         .where(F.col("rn") == F.expr("(q_pct * n + 99) div 100"))
         .select("q_pct", F.col("n_chars").cast("long").alias("exact_value"))
     )

@@ -122,6 +122,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "token_cooccurrence_pmi",  # broadcast 1-row (t_tok, t_pair) totals
         "lm_bigram_surprisal",  # broadcast 1-row vocabulary-size scalar
         "ann_recall_audit",  # 1-row count frames × broadcast query vector legs
+        "quantile_sketch_audit",  # broadcast 3-row quantile spec over the rank table
     }
     for name, p in plans.items():
         base = name.split("/")[0]
