@@ -190,6 +190,8 @@ SECONDARY = [
     "dedup_cluster_stats",
     "ann_recall_audit",
     "quantile_sketch_audit",
+    "psi_drift_buckets",
+    "k_anonymity_audit",
 ]
 
 

@@ -421,7 +421,13 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.where(F.size(tokens(F.col("text"))) >= 3)
         .select("doc_id", F.array_distinct(shingles(toks, 3)).alias("s"))
+        .cache()
     )
+    # materialize now: both join sides consume this table inside one job
+    # — a lazy cache would recompute the shingle pass per subtree (the
+    # same rationale as minhash_lsh_pairs' sh_tbl.count(), measured
+    # 10.4 s -> ~5 s at sf0.1)
+    sh.count()
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     j = (

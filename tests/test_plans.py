@@ -123,6 +123,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "lm_bigram_surprisal",  # broadcast 1-row vocabulary-size scalar
         "ann_recall_audit",  # 1-row count frames × broadcast query vector legs
         "quantile_sketch_audit",  # broadcast 3-row quantile spec over the rank table
+        "psi_drift_buckets",  # broadcast 1-row per-half totals over ≤64 buckets
     }
     for name, p in plans.items():
         base = name.split("/")[0]
