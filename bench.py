@@ -192,6 +192,7 @@ SECONDARY = [
     "quantile_sketch_audit",
     "psi_drift_buckets",
     "k_anonymity_audit",
+    "incremental_topk_maintenance",
 ]
 
 

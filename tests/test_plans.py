@@ -124,6 +124,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "ann_recall_audit",  # 1-row count frames × broadcast query vector legs
         "quantile_sketch_audit",  # broadcast 3-row quantile spec over the rank table
         "psi_drift_buckets",  # broadcast 1-row per-half totals over ≤64 buckets
+        "incremental_topk_maintenance",  # two broadcast 1-row query-vector legs
     }
     for name, p in plans.items():
         base = name.split("/")[0]
