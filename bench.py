@@ -193,6 +193,8 @@ SECONDARY = [
     "psi_drift_buckets",
     "k_anonymity_audit",
     "incremental_topk_maintenance",
+    "join_size_cms_estimate",
+    "distinct_kmv_estimate",
 ]
 
 

@@ -21,6 +21,10 @@ from clean_census_acs_data_spark.operators import similarity as S
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import _dot, _quant_list
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
 _DELTA_FROM = 400  # vec_id >= this = the newly-appended batch
 
 _INC_TOPK_ORACLE = f"""
@@ -62,4 +66,150 @@ def incremental_topk_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_topk.unionAll(delta_topk)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-size estimation via CMS inner product
+# ---------------------------------------------------------------------------
+
+from clean_census_acs_data_spark.operators import text as X  # noqa: E402
+from clean_census_acs_data_spark.queries_round4 import (  # noqa: E402
+    CMS_D,
+    CMS_W,
+    _cms_cell,
+    _cms_cell_sql,
+)
+
+
+def _cms_side_sql(table: str, key: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {d} AS depth, {_cms_cell_sql(f'CAST({key} AS VARCHAR)', d)} AS cell "
+        f"FROM {table}"
+        for d in range(CMS_D)
+    )
+
+
+_JOINSIZE_ORACLE = f"""
+WITH a AS (
+  SELECT depth, cell, COUNT(*) AS cnt FROM ({_cms_side_sql("orders", "o_custkey")})
+  GROUP BY depth, cell
+),
+b AS (
+  SELECT depth, cell, COUNT(*) AS cnt FROM ({_cms_side_sql("customer", "c_custkey")})
+  GROUP BY depth, cell
+),
+per_depth AS (
+  SELECT a.depth, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS est_d
+  FROM a JOIN b ON a.depth = b.depth AND a.cell = b.cell
+  GROUP BY a.depth
+)
+SELECT CAST(MIN(est_d) AS BIGINT) AS est_join_size,
+       (SELECT COUNT(*) FROM orders JOIN customer ON o_custkey = c_custkey)
+         AS exact_join_size
+FROM per_depth
+"""
+
+
+@register("join_size_cms_estimate", oracle=_JOINSIZE_ORACLE)
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join: the inner
+    product of the two sides' Count-Min sketches (est_d = Σ_cells
+    a[d,c]·b[d,c], est = min over depths) upper-bounds
+    |orders ⋈ customer| — the classic AMS/CMS estimator a cost-based
+    optimizer consults before choosing join strategy. Exact join count
+    alongside exposes the one-sided error.
+
+    Each side's sketch is the 256-row mergeable state from
+    token_countmin_sketch; the estimate is a 256-row join + 4-group
+    agg, so deciding 'is this join explosive?' costs KB of state
+    instead of the join itself — at 100 TB that is the difference
+    between planning and running the accident."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("k")
+    )
+
+    def sketch(df: DataFrame) -> DataFrame:
+        cells = F.array(*[_cms_cell(F.col("k"), d) for d in range(CMS_D)])
+        return (
+            df.select(F.posexplode(cells).alias("depth", "cell"))
+            .groupBy(F.col("depth").cast("int").alias("depth"), "cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    a = sketch(o).withColumnRenamed("cnt", "a_cnt")
+    b = sketch(c).withColumnRenamed("cnt", "b_cnt")
+    per_depth = (
+        a.join(b, ["depth", "cell"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("a_cnt") * F.col("b_cnt")).cast("long").alias("est_d"))
+    )
+    est = per_depth.agg(F.min("est_d").cast("long").alias("est_join_size"))
+    exact = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct-count estimator
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+from clean_census_acs_data_spark.queries_ext import H15  # noqa: E402
+
+_KMV_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT {H15.format(x="CAST(o_custkey AS VARCHAR)")} AS h FROM orders
+),
+bot AS (SELECT h FROM h ORDER BY h LIMIT {_KMV_K})
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       CAST({_KMV_K - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         / CAST(MAX(h) AS DOUBLE) AS kmv_estimate,
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_distinct
+FROM bot
+"""
+
+
+@register("distinct_kmv_estimate", oracle=_KMV_ORACLE)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count estimate: keep
+    the {_KMV_K} smallest distinct 60-bit hashes; est = (k−1)·2^60 /
+    h_k. The third distinct-count strategy in the package — exact
+    (countDistinct), HLL (hll_deterministic_estimate: fixed 64
+    registers, cheapest), KMV (this: k hashes, supports set
+    INTERSECTION estimates HLL cannot) — all audited against truth
+    under the hash gate.
+
+    The bottom-k state is mergeable (union = merge-sort, keep k
+    smallest) and the estimate is one double division; (k−1)·2^60 is
+    exact in double (5 significant bits) and long→double casts are
+    IEEE round-to-nearest in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    h = o.select(
+        X.md5_long(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    bot = h.orderBy("h").limit(_KMV_K)
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return (
+        bot.agg(F.max("h").alias("kth_hash"))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("kth_hash").cast("long").alias("kth_hash"),
+            (
+                F.lit(float(_KMV_K - 1))
+                * F.lit(float(1 << 60))
+                / F.col("kth_hash").cast("double")
+            ).alias("kmv_estimate"),
+        )
+        .crossJoin(F.broadcast(exact))
     )

@@ -125,6 +125,8 @@ def test_no_degenerate_joins_anywhere(plans):
         "quantile_sketch_audit",  # broadcast 3-row quantile spec over the rank table
         "psi_drift_buckets",  # broadcast 1-row per-half totals over ≤64 buckets
         "incremental_topk_maintenance",  # two broadcast 1-row query-vector legs
+        "join_size_cms_estimate",  # 1-row est × broadcast 1-row exact count
+        "distinct_kmv_estimate",  # 1-row kth-hash × broadcast 1-row exact count
     }
     for name, p in plans.items():
         base = name.split("/")[0]
