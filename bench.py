@@ -195,6 +195,7 @@ SECONDARY = [
     "incremental_topk_maintenance",
     "join_size_cms_estimate",
     "distinct_kmv_estimate",
+    "kmv_intersection_estimate",
 ]
 
 

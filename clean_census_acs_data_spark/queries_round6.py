@@ -213,3 +213,97 @@ def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(exact))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-intersection estimate (the capability HLL lacks)
+# ---------------------------------------------------------------------------
+
+_KMV_JOINT_ORACLE = f"""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+u AS (
+  SELECT DISTINCT {H15.format(x="CAST(user_id AS VARCHAR)")} AS h, user_id
+  FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)
+),
+bot AS (SELECT h, user_id FROM u ORDER BY h, user_id LIMIT {_KMV_K}),
+flags AS (
+  SELECT bot.h,
+         CASE WHEN bot.user_id IN (SELECT user_id FROM a)
+               AND bot.user_id IN (SELECT user_id FROM b)
+              THEN 1 ELSE 0 END AS in_both
+  FROM bot
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       CAST(SUM(in_both) AS BIGINT) AS k_in_both,
+       CAST(MAX(h) AS BIGINT) AS kth_hash,
+       (CAST(SUM(in_both) AS DOUBLE) / CAST({_KMV_K} AS DOUBLE))
+         * (CAST({_KMV_K - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+            / CAST(MAX(h) AS DOUBLE)) AS est_intersection,
+       (SELECT COUNT(*) FROM a JOIN b ON a.user_id = b.user_id)
+         AS exact_intersection
+FROM flags
+"""
+
+
+@register("kmv_intersection_estimate", oracle=_KMV_JOINT_ORACLE)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-intersection estimate from KMV sketches — the query
+    HLL registers cannot answer: |purchasers ∩ error-reporters| ≈
+    (fraction of the union's bottom-k hashes belonging to both sets) ×
+    KMV-estimate of |union|. The bottom-k of the union is computable
+    from the two sides' bottom-k sketches alone (min-merge), so two
+    32-hash sketches answer overlap questions about arbitrarily large
+    sets; exact intersection rides alongside as the audit.
+
+    Shape: two distinct-reductions (user-keyed partial aggs), a
+    32-row heap (TakeOrderedAndProject), and membership flags via
+    broadcast semi-join-shaped lookups — estimate cost is
+    sketch-sized, the exact leg exists only because this is the audit
+    twin."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    u = (
+        a.unionAll(b)
+        .distinct()
+        .select(
+            X.md5_long(F.col("user_id").cast("string")).alias("h"), "user_id"
+        )
+    )
+    bot = u.orderBy("h", "user_id").limit(_KMV_K)
+    flags = (
+        bot.join(
+            a.select(F.col("user_id"), F.lit(1).alias("__a")), "user_id", "left"
+        )
+        .join(b.select(F.col("user_id"), F.lit(1).alias("__b")), "user_id", "left")
+        .select(
+            "h",
+            F.when(
+                F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1
+            ).otherwise(0).alias("in_both"),
+        )
+    )
+    exact = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).alias("exact_intersection")
+    )
+    return (
+        flags.agg(
+            F.sum("in_both").cast("long").alias("k_in_both"),
+            F.max("h").alias("kth_hash"),
+        )
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            "k_in_both",
+            F.col("kth_hash").cast("long").alias("kth_hash"),
+            (
+                (F.col("k_in_both").cast("double") / F.lit(float(_KMV_K)))
+                * (
+                    F.lit(float(_KMV_K - 1))
+                    * F.lit(float(1 << 60))
+                    / F.col("kth_hash").cast("double")
+                )
+            ).alias("est_intersection"),
+        )
+        .crossJoin(F.broadcast(exact))
+    )

@@ -127,6 +127,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "incremental_topk_maintenance",  # two broadcast 1-row query-vector legs
         "join_size_cms_estimate",  # 1-row est × broadcast 1-row exact count
         "distinct_kmv_estimate",  # 1-row kth-hash × broadcast 1-row exact count
+        "kmv_intersection_estimate",  # 1-row sketch stats × broadcast 1-row exact
     }
     for name, p in plans.items():
         base = name.split("/")[0]
