@@ -196,6 +196,8 @@ SECONDARY = [
     "join_size_cms_estimate",
     "distinct_kmv_estimate",
     "kmv_intersection_estimate",
+    "asof_interpolate",
+    "conversion_wilson_by_nation",
 ]
 
 

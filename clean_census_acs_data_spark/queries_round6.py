@@ -307,3 +307,215 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(exact))
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of linear interpolation (join-free union-sort-carry, both directions)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402
+
+_INTERP_ORACLE = """
+WITH cl AS (
+  SELECT user_id, ts, arg_min(value, event_id) AS cv
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+vw AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+u AS (
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id, cv, 1 AS is_click FROM cl
+  UNION ALL
+  SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS cv, 0 AS is_click FROM vw
+),
+carried AS (
+  SELECT user_id, ts, event_id, is_click,
+         LAST_VALUE(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+           OVER w_prev AS prev_ts,
+         LAST_VALUE(cv IGNORE NULLS) OVER w_prev AS prev_v,
+         FIRST_VALUE(CASE WHEN is_click = 1 THEN ts END IGNORE NULLS)
+           OVER w_next AS next_ts,
+         FIRST_VALUE(cv IGNORE NULLS) OVER w_next AS next_v
+  FROM u
+  WINDOW
+    w_prev AS (PARTITION BY user_id
+               ORDER BY ts, is_click DESC, COALESCE(event_id, -1)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id
+               ORDER BY ts, is_click DESC, COALESCE(event_id, -1)
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, ts, prev_ts, next_ts,
+       prev_v + (next_v - prev_v)
+         * (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+            / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE)) AS v_interp
+FROM carried
+WHERE is_click = 0 AND prev_ts IS NOT NULL AND next_ts IS NOT NULL
+"""
+
+
+@register("asof_interpolate", oracle=_INTERP_ORACLE)
+def asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation enrichment: every 'view' event gains the
+    value linearly interpolated between the user's bracketing 'click'
+    events — the sensor/financial resampling primitive (mark a sparse
+    series onto another series' timestamps).
+
+    Join-free, like asof_join_last_click: clicks and views union into
+    one stream, ONE user-keyed sort carries the previous click
+    (backward window) and next click (forward window) past every view
+    — no range join, no per-pair expansion, scale-invariant. Clicks
+    pre-deduped per (user, ts) by arg-min event_id so tie resolution
+    is deterministic; interpolation is one pinned double expression
+    over exact integer microseconds."""
+    ev = _t(spark, sf_dir, "events")
+    cl = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("cv"))
+    )
+    vw = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    u = cl.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        "cv",
+        F.lit(1).alias("is_click"),
+    ).unionAll(
+        vw.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(None).cast("double").alias("cv"),
+            F.lit(0).alias("is_click"),
+        )
+    )
+    order = [
+        F.col("ts").asc(),
+        F.col("is_click").desc(),
+        F.coalesce("event_id", F.lit(-1)).asc(),
+    ]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    carried = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_click",
+        F.last(click_ts, ignorenulls=True).over(w_prev).alias("prev_ts"),
+        F.last("cv", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.first(click_ts, ignorenulls=True).over(w_next).alias("next_ts"),
+        F.first("cv", ignorenulls=True).over(w_next).alias("next_v"),
+    )
+    frac = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))).cast("double")
+        / (
+            F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("prev_ts"))
+        ).cast("double")
+    )
+    return (
+        carried.where(
+            (F.col("is_click") == 0)
+            & F.col("prev_ts").isNotNull()
+            & F.col("next_ts").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "prev_ts",
+            "next_ts",
+            (F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac).alias(
+                "v_interp"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort conversion with Wilson confidence bounds
+# ---------------------------------------------------------------------------
+
+_WILSON_ORACLE = """
+WITH j AS (
+  SELECT e.user_id, e.event_type, c.c_nationkey
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+),
+agg AS (
+  SELECT c_nationkey,
+         COUNT(DISTINCT user_id) AS n_users,
+         COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+           AS n_conv
+  FROM j GROUP BY c_nationkey
+),
+d AS (
+  SELECT c_nationkey, n_users, n_conv,
+         CAST(n_users AS DOUBLE) AS n,
+         CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p
+  FROM agg
+)
+SELECT c_nationkey,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_conv AS BIGINT) AS n_conv,
+       p AS conv_rate,
+       (p + CAST(3.8416 AS DOUBLE) / (CAST(2 AS DOUBLE) * n)
+        - CAST(1.96 AS DOUBLE)
+          * sqrt((p * (CAST(1 AS DOUBLE) - p)
+                  + CAST(3.8416 AS DOUBLE) / (CAST(4 AS DOUBLE) * n)) / n))
+       / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / n) AS wilson_lo,
+       (p + CAST(3.8416 AS DOUBLE) / (CAST(2 AS DOUBLE) * n)
+        + CAST(1.96 AS DOUBLE)
+          * sqrt((p * (CAST(1 AS DOUBLE) - p)
+                  + CAST(3.8416 AS DOUBLE) / (CAST(4 AS DOUBLE) * n)) / n))
+       / (CAST(1 AS DOUBLE) + CAST(3.8416 AS DOUBLE) / n) AS wilson_hi
+FROM d
+"""
+
+
+@register("conversion_wilson_by_nation", oracle=_WILSON_ORACLE)
+def conversion_wilson_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation user-level conversion rate (users with ≥1 purchase /
+    active users) with 95% Wilson score interval — the experiment-
+    readout statistic that stays sane at small n where the normal
+    approximation lies. Distinct counts are exact; the Wilson algebra
+    is written with IDENTICAL association on both engines (every
+    constant cast, every parenthesis mirrored), so even sqrt-bearing
+    doubles hash-match — the cosine-similarity discipline applied to
+    inferential statistics.
+
+    Shape: fact joins the 1500-row customer dim by broadcast, then one
+    distinct-expand aggregate per nation; output is |nations|-sized."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    j = ev.join(F.broadcast(cust), "user_id")
+    agg = j.groupBy("c_nationkey").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_conv"),
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    z, z2 = F.lit(1.96), F.lit(3.8416)
+    margin = z * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n
+    )
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    return agg.select(
+        "c_nationkey",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_conv").cast("long").alias("n_conv"),
+        p.alias("conv_rate"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    )
