@@ -1,0 +1,90 @@
+"""Invariant tests for the round-6 estimator/maintenance operators:
+the one-sided-error and merge laws the oracles check numerically but
+don't state. All deterministic (md5 hashing, no rand())."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.operators import similarity as S
+from clean_census_acs_data_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_join_size_is_one_sided(spark):
+    """CMS inner product NEVER underestimates: est ≥ exact (collisions
+    only add). The gap is the collision cost of w=64 cells."""
+    r = QUERIES["join_size_cms_estimate"](spark, SF).collect()[0]
+    assert r.est_join_size >= r.exact_join_size > 0
+
+
+def test_kmv_estimate_within_envelope(spark):
+    """KMV with k=32 has relative σ ≈ 1/√(k−2) ≈ 18%; the estimate
+    must land within a 4σ band of the exact distinct count."""
+    r = QUERIES["distinct_kmv_estimate"](spark, SF).collect()[0]
+    rel_err = abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct
+    assert rel_err < 0.75
+    assert 0 < r.kth_hash < (1 << 60)
+
+
+def test_kmv_intersection_within_envelope(spark):
+    """The Jaccard-scaled KMV intersection estimate tracks the exact
+    intersection within the same loose envelope, and k_in_both ≤ k."""
+    r = QUERIES["kmv_intersection_estimate"](spark, SF).collect()[0]
+    assert 0 <= r.k_in_both <= r.k
+    if r.exact_intersection > 0:
+        rel_err = abs(r.est_intersection - r.exact_intersection) / r.exact_intersection
+        assert rel_err < 0.75
+
+
+def test_incremental_topk_merge_law_any_split(spark):
+    """top-k(top-k(A) ∪ top-k(B)) = top-k(A ∪ B) for ANY split point,
+    not just the registered 400 — the semilattice law itself."""
+    emb = load_table(spark, SF, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0)
+    full = [
+        (r.vec_id, r.cosine)
+        for r in S.brute_force_topk(emb, query_id=0, k=10).collect()
+    ]
+    for split in (100, 250, 450):
+        base = emb.where((F.col("vec_id") != 0) & (F.col("vec_id") < split))
+        delta = emb.where(F.col("vec_id") >= split)
+        merged_df = (
+            S.brute_force_topk(base.unionAll(qrow), query_id=0, k=10)
+            .unionAll(S.brute_force_topk(delta.unionAll(qrow), query_id=0, k=10))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(10)
+        )
+        merged = [(r.vec_id, r.cosine) for r in merged_df.collect()]
+        assert merged == full, f"merge law broken at split {split}"
+
+
+def test_wilson_interval_brackets_rate(spark):
+    """lo ≤ p ≤ hi always, interval within [0, 1], and wider for
+    smaller cohorts (monotonicity spot check skipped — widths depend
+    on p too; the bracket law is the invariant)."""
+    for r in QUERIES["conversion_wilson_by_nation"](spark, SF).collect():
+        assert 0.0 <= r.wilson_lo <= r.conv_rate <= r.wilson_hi <= 1.0
+
+
+def test_interpolation_bounded_by_brackets(spark):
+    """Linear interpolation lies between the bracketing click values,
+    and the view timestamp lies within [prev_ts, next_ts)."""
+    ev = load_table(spark, SF, "events")
+    clicks = {
+        (r.user_id, r.ts): r.cv
+        for r in ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("value", "event_id").alias("cv"))
+        .collect()
+    }
+    rows = QUERIES["asof_interpolate"](spark, SF).collect()
+    assert rows, "no interpolated views at sf0.001?"
+    for r in rows:
+        v0 = clicks[(r.user_id, r.prev_ts)]
+        v1 = clicks[(r.user_id, r.next_ts)]
+        lo, hi = min(v0, v1), max(v0, v1)
+        assert lo - 1e-9 <= r.v_interp <= hi + 1e-9
+        assert r.prev_ts <= r.ts < r.next_ts
