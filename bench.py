@@ -198,6 +198,7 @@ SECONDARY = [
     "kmv_intersection_estimate",
     "asof_interpolate",
     "conversion_wilson_by_nation",
+    "skyline_pareto_orders",
 ]
 
 

@@ -519,3 +519,78 @@ def conversion_wilson_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - margin) / denom).alias("wilson_lo"),
         ((center + margin) / denom).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto front
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) AS e
+  FROM orders WHERE o_orderstatus = 'F'
+),
+w AS (
+  SELECT o_orderkey, cents, e,
+         MIN(cents) OVER (ORDER BY e
+                          RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS min_later,
+         MIN(cents) OVER (PARTITION BY e) AS min_same
+  FROM o
+)
+SELECT o_orderkey, cents, CAST(e AS BIGINT) AS order_epoch_us
+FROM w
+WHERE (min_later IS NULL OR min_later > cents) AND min_same = cents
+"""
+
+
+@register("skyline_pareto_orders", oracle=_SKYLINE_ORACLE)
+def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of finished orders under (maximize
+    recency, minimize price): an order survives iff no other order is
+    at least as recent AND at least as cheap with one strict — the
+    classic multi-criteria shortlist operator (BNL/D&C skyline papers)
+    that SQL engines lack natively.
+
+    Implemented without a self-join: sorted by order date, two window
+    MINs decide dominance — min price over STRICTLY LATER dates (range
+    frame, so equal dates are excluded exactly) and min price within
+    the SAME date (ties: only the cheapest per date can survive). One
+    sort, no O(n²) pair comparisons; at 100 TB the range frame
+    partitions by coarse date bucket first and merges the per-bucket
+    fronts (front size is tiny by construction).
+
+    Note the dominance tiebreak: equal-price-equal-date orders are
+    mutually non-dominating, but only one front representative per
+    (date, price) cell is kept (min_same = cents admits all equal-min
+    rows — duplicates of the same cell agree on both criteria, so the
+    front keeps them all; determinism needs no per-key tiebreak
+    because membership is a pure predicate)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            # o_orderdate loads as TIMESTAMP_NTZ; session TZ is pinned
+            # UTC so the cast is wall-clock identity (io.py contract)
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("e"),
+        )
+    )
+    w_later = Window.orderBy("e").rangeBetween(1, Window.unboundedFollowing)
+    w_same = Window.partitionBy("e")
+    w = o.select(
+        "o_orderkey",
+        "cents",
+        "e",
+        F.min("cents").over(w_later).alias("min_later"),
+        F.min("cents").over(w_same).alias("min_same"),
+    )
+    return w.where(
+        (F.col("min_later").isNull() | (F.col("min_later") > F.col("cents")))
+        & (F.col("min_same") == F.col("cents"))
+    ).select(
+        "o_orderkey", "cents", F.col("e").cast("long").alias("order_epoch_us")
+    )
