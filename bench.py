@@ -199,6 +199,8 @@ SECONDARY = [
     "asof_interpolate",
     "conversion_wilson_by_nation",
     "skyline_pareto_orders",
+    "bitmap_index_status",
+    "conversion_latency_median",
 ]
 
 

@@ -602,3 +602,155 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "cents", F.col("e").cast("long").alias("order_epoch_us")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bitmap index build (bit_or-packed posting words)
+# ---------------------------------------------------------------------------
+
+# 63-bit words: DuckDB raises on BIGINT << 63 (sign-bit overflow), so
+# bit positions stay in 0..62 and every word is non-negative in both
+# engines.
+_BM_WORD = 63
+
+_BITMAP_ORACLE = f"""
+SELECT o_orderstatus,
+       o_orderkey // {_BM_WORD} AS word_idx,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % {_BM_WORD} AS INT))
+            AS BIGINT) AS bitmap_word,
+       CAST(bit_count(CAST(bit_or(CAST(1 AS BIGINT)
+                           << CAST(o_orderkey % {_BM_WORD} AS INT)) AS BIGINT))
+            AS BIGINT) AS n_set
+FROM orders
+GROUP BY o_orderstatus, o_orderkey // {_BM_WORD}
+"""
+
+
+@register("bitmap_index_status", oracle=_BITMAP_ORACLE)
+def bitmap_index_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap index over the low-cardinality o_orderstatus column:
+    per (status, 63-key word), the OR of key-position bits plus the
+    word's popcount. The index structure low-cardinality predicates
+    compile to in columnar engines — `status = 'F' AND status2 = 'O'`
+    becomes word-wise AND over two bitmap columns, and COUNT(*)
+    becomes Σ bit_count, never touching the fact rows.
+
+    Built with one partial-agg shuffle (bit_or combines map-side — OR
+    is commutative/associative, the textbook mergeable aggregate);
+    output is |statuses| × |key-range|/63 words. At 100 TB the words
+    partition by key range exactly like the fact's zone maps
+    (zone_map_pruning_stats), making bitmap AND/OR pruning a manifest
+    operation."""
+    o = _t(spark, sf_dir, "orders")
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(o_orderkey % {_BM_WORD} AS INT))"
+    )
+    return (
+        o.groupBy(
+            "o_orderstatus",
+            F.expr(f"o_orderkey div {_BM_WORD}").alias("word_idx"),
+        )
+        .agg(F.bit_or(bit).cast("long").alias("bitmap_word"))
+        .select(
+            "o_orderstatus",
+            "word_idx",
+            "bitmap_word",
+            F.bit_count("bitmap_word").cast("long").alias("n_set"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# conversion latency (first view → first purchase) with exact medians
+# ---------------------------------------------------------------------------
+
+_CONV_LATENCY_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT u.user_id, c.c_nationkey,
+         epoch_us(u.first_purchase) - epoch_us(u.first_view) AS latency_us
+  FROM per_user u JOIN customer c ON u.user_id = c.c_custkey
+  WHERE u.first_view IS NOT NULL AND u.first_purchase IS NOT NULL
+    AND u.first_purchase >= u.first_view
+),
+r AS (
+  SELECT c_nationkey, latency_us,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY latency_us, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS cnt
+  FROM conv
+)
+SELECT c_nationkey,
+       CAST(MAX(cnt) AS BIGINT) AS n_converted,
+       CAST(MIN(latency_us) AS BIGINT) AS min_latency_us,
+       CAST(MAX(latency_us) AS BIGINT) AS max_latency_us,
+       CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN latency_us END) AS BIGINT)
+         AS median_latency_us
+FROM r GROUP BY c_nationkey
+"""
+
+
+@register("conversion_latency_median", oracle=_CONV_LATENCY_ORACLE)
+def conversion_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert analytics: per user, first 'view' → first
+    'purchase' latency in exact integer µs (users whose first purchase
+    precedes any view are excluded — they converted through another
+    door); per nation, the converted count, min/max, and exact lower
+    median latency. The growth-analytics readout that pairs with
+    event_funnel_conversion (how many) by answering how fast.
+
+    Shape: one user-keyed conditional-MIN aggregate (no self-join for
+    the two firsts), broadcast customer dim for the cohort key, then
+    the per-group exact-median window (exact_median_disc's pattern) —
+    sorts only the converted-user rows, cohort-parallel."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    conv = (
+        per_user.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .join(F.broadcast(cust), "user_id")
+        .select(
+            "user_id",
+            "c_nationkey",
+            (
+                F.unix_micros(F.col("first_purchase"))
+                - F.unix_micros(F.col("first_view"))
+            ).alias("latency_us"),
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("latency_us", "user_id")
+    wc = Window.partitionBy("c_nationkey")
+    r = conv.select(
+        "c_nationkey",
+        "latency_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return r.groupBy("c_nationkey").agg(
+        F.max("cnt").cast("long").alias("n_converted"),
+        F.min("latency_us").cast("long").alias("min_latency_us"),
+        F.max("latency_us").cast("long").alias("max_latency_us"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("latency_us"))
+        )
+        .cast("long")
+        .alias("median_latency_us"),
+    )
