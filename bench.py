@@ -201,6 +201,7 @@ SECONDARY = [
     "skyline_pareto_orders",
     "bitmap_index_status",
     "conversion_latency_median",
+    "gnn_neighbor_sum",
 ]
 
 

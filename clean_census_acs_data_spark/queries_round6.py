@@ -754,3 +754,83 @@ def conversion_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("median_latency_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# one GNN message-passing round over the near-dup graph
+# ---------------------------------------------------------------------------
+
+from clean_census_acs_data_spark.operators import dedup as D  # noqa: E402
+from clean_census_acs_data_spark.queries_ext import _MINHASH_ORACLE  # noqa: E402
+
+_GNN_DIMS = 8  # aggregate the first 8 embedding dims (keeps the oracle tractable)
+
+_GNN_ORACLE = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.strip()})),
+und AS (
+  SELECT doc_a AS v, doc_b AS w FROM pairs
+  UNION ALL SELECT doc_b AS v, doc_a AS w FROM pairs
+),
+e AS (
+  SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings
+),
+msg AS (
+  SELECT und.v, t.k, e.q[t.k + 1] AS qk
+  FROM und
+  JOIN e ON und.w % 500 = e.vec_id
+  CROSS JOIN range(0, {_GNN_DIMS}) t(k)
+)
+SELECT v AS doc_id, CAST(k AS INT) AS k,
+       COUNT(*) AS degree,
+       CAST(SUM(qk) AS BIGINT) AS neighbor_sum_q,
+       CAST(SUM(qk) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS neighbor_mean_q
+FROM msg GROUP BY v, k
+"""
+
+
+@register("gnn_neighbor_sum", oracle=_GNN_ORACLE)
+def gnn_neighbor_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One graph-neural-network message-passing round expressed
+    relationally: for every node of the near-dup graph, the sum and
+    mean of its neighbors' (int64-quantized) embedding features over
+    the first 8 dims — h'(v) = mean_{w∈N(v)} q_w, the aggregation half
+    of a GraphSAGE/GCN layer. Neighbor ids map onto the embedding
+    table mod 500 (the corpora are id-aligned at that size).
+
+    Shape: edges join the feature table on the neighbor key (at 100 TB
+    this is THE GNN-on-relational shuffle — edge-partitioned, feature
+    side bucketed by vec_id), features fan out per dim via one
+    Generate, and the (node, dim) partial agg carries only longs.
+    Integer sums make the layer hash-checkable; the single mean
+    division is post-agg. Multi-layer = iterate, exactly like
+    graph_pagerank_int's unrolled rounds."""
+    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("v"), F.col("doc_b").alias("w")
+    ).unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("w")))
+    from clean_census_acs_data_spark.operators.similarity import QUANT
+
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * QUANT).cast("long"),
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(qv, 1, _GNN_DIMS).alias("q")
+    )
+    msg = (
+        und.join(e, und["w"] % 500 == e["vec_id"])
+        .select("v", F.posexplode("q").alias("k", "qk"))
+    )
+    return (
+        msg.groupBy(F.col("v").alias("doc_id"), F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.sum("qk").cast("long").alias("neighbor_sum_q"),
+            (F.sum("qk").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "neighbor_mean_q"
+            ),
+        )
+    )
