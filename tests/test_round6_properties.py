@@ -88,3 +88,54 @@ def test_interpolation_bounded_by_brackets(spark):
         lo, hi = min(v0, v1), max(v0, v1)
         assert lo - 1e-9 <= r.v_interp <= hi + 1e-9
         assert r.prev_ts <= r.ts < r.next_ts
+
+
+def test_bitmap_popcount_partitions_rows(spark):
+    """Σ popcount over a status's words == that status's row count
+    (each key sets exactly one bit in one word), and words never
+    touch the sign bit (63-bit packing)."""
+    counts = {
+        r.o_orderstatus: r.cnt
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    acc: dict = {}
+    for r in QUERIES["bitmap_index_status"](spark, SF).collect():
+        assert r.bitmap_word > 0  # 63-bit words stay positive
+        assert r.n_set == bin(r.bitmap_word).count("1")
+        acc[r.o_orderstatus] = acc.get(r.o_orderstatus, 0) + r.n_set
+    assert acc == counts
+
+
+def test_conversion_latency_median_bracketed(spark):
+    """Per cohort: min ≤ median ≤ max, all non-negative (first
+    purchase at-or-after first view by the filter)."""
+    rows = QUERIES["conversion_latency_median"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.min_latency_us <= r.median_latency_us <= r.max_latency_us
+        assert r.n_converted >= 1
+
+
+def test_gnn_degree_matches_graph(spark):
+    """The message count per (node, dim) equals the node's degree in
+    the undirected near-dup graph — no message lost or duplicated by
+    the feature join."""
+    import collections
+
+    from clean_census_acs_data_spark.operators import dedup as D
+
+    docs = D.plant_near_dups(load_table(spark, SF, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    ).collect()
+    deg: collections.Counter = collections.Counter()
+    for p in pairs:
+        deg[p.doc_a] += 1
+        deg[p.doc_b] += 1
+    got = QUERIES["gnn_neighbor_sum"](spark, SF).collect()
+    assert got
+    for r in got:
+        assert r.degree == deg[r.doc_id], (r.doc_id, r.k)
