@@ -202,6 +202,8 @@ SECONDARY = [
     "bitmap_index_status",
     "conversion_latency_median",
     "gnn_neighbor_sum",
+    "streaming_bitmap_index",
+    "streaming_kmv_state",
 ]
 
 
