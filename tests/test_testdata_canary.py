@@ -42,3 +42,27 @@ def test_events_ts_is_timestamp(spark):
     df.select((F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t2")).limit(
         1
     ).collect()
+
+
+def test_embeddings_contract(spark):
+    """The similarity/ANN tier assumes vec_id + 64-dim float arrays; a
+    regenerated embeddings table with a different dim must fail here,
+    not inside a zip_with fold."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
+
+    df = load_table(spark, SF_SMOKE, "embeddings")
+    assert isinstance(df.schema["embedding"].dataType, ArrayType)
+    dims = df.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [64], f"embedding dims changed: {dims}"
+
+
+def test_documents_contract(spark):
+    """The corpus tier assumes these columns; n_chars must agree with
+    length(text) (quality gates and the log2 sketch key off it)."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, SF_SMOKE, "documents")
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(df.columns)
+    bad = df.where(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0, f"{bad} documents where n_chars != length(text)"
