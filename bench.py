@@ -204,6 +204,9 @@ SECONDARY = [
     "gnn_neighbor_sum",
     "streaming_bitmap_index",
     "streaming_kmv_state",
+    "event_seasonality_profile",
+    "near_dup_jaccard_histogram",
+    "market_basket_lift",
 ]
 
 

@@ -1,0 +1,210 @@
+"""Round-6 tier C: operational analytics — seasonality baselines,
+dedup-threshold calibration, market-basket affinity.
+
+- ``event_seasonality_profile`` — day-of-week × hour activity matrix
+  derived with PURE INTEGER epoch arithmetic (no calendar functions —
+  engines disagree on dow numbering; ⌊epoch/86400s⌋+4 mod 7 doesn't).
+  The traffic baseline that anomaly detection and capacity planning
+  diff against.
+- ``near_dup_jaccard_histogram`` — distribution of verified Jaccard
+  over the LSH candidate pairs, in 0.1-wide integer buckets: the
+  calibration curve you read BEFORE choosing a dedup threshold
+  (a cliff at 0.8 = clean near-dup cluster; a smear = the threshold
+  will be arbitrary).
+- ``market_basket_lift``    — part-pair co-occurrence lift within
+  orders: lift(a,b) = P(a,b)/(P(a)P(b)) in integer micro-units. The
+  classic affinity statistic; the token_cooccurrence_pmi of the
+  relational world (PMI = ln lift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.queries_ext import _MINHASH_ORACLE
+from clean_census_acs_data_spark.operators import dedup as D
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# seasonality profile (integer epoch arithmetic — no calendar functions)
+# ---------------------------------------------------------------------------
+
+_US_DAY = 86_400_000_000
+_US_HOUR = 3_600_000_000
+
+_SEASONALITY_ORACLE = f"""
+WITH e AS (SELECT epoch_us(ts) AS u FROM events),
+k AS (
+  SELECT (u // {_US_DAY} + 4) % 7 AS dow,
+         (u // {_US_HOUR}) % 24 AS hour
+  FROM e
+),
+per AS (SELECT dow, hour, COUNT(*) AS n_events FROM k GROUP BY dow, hour),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM per)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share
+FROM per CROSS JOIN tot
+"""
+
+
+@register("event_seasonality_profile", oracle=_SEASONALITY_ORACLE)
+def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour event-count matrix with traffic shares — the
+    seasonality baseline anomaly detectors and capacity planners diff
+    live traffic against. dow/hour derive from integer division of the
+    epoch (1970-01-01 was a Thursday, hence the +4 → Sunday=0), NOT
+    from calendar functions, because engines disagree on dow numbering
+    (Spark 1-7 Sunday-first, DuckDB 0-6) and the integer form is
+    portable by construction.
+
+    One scan, one ≤168-group partial agg, broadcast 1-row total — the
+    profile costs a sketch regardless of stream size."""
+    k = _t(spark, sf_dir, "events").select(
+        F.expr(f"(unix_micros(ts) div {_US_DAY} + 4) % 7").alias("dow"),
+        F.expr(f"(unix_micros(ts) div {_US_HOUR}) % 24").alias("hour"),
+    )
+    per = k.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per.agg(F.sum("n_events").cast("long").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hour").cast("long").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("n_events").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# near-dup Jaccard histogram (threshold calibration)
+# ---------------------------------------------------------------------------
+
+_JHIST_ORACLE = f"""
+WITH pairs AS (
+  SELECT jaccard FROM ({_MINHASH_ORACLE.strip().replace("WHERE jaccard >= 0.5", "WHERE jaccard >= 0.0")})
+)
+SELECT CAST(LEAST(floor(jaccard * 10), 9) AS BIGINT) AS jaccard_decile,
+       COUNT(*) AS n_pairs
+FROM pairs GROUP BY 1
+"""
+
+
+@register("near_dup_jaccard_histogram", oracle=_JHIST_ORACLE)
+def near_dup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of EXACT Jaccard over all LSH candidate pairs
+    (threshold 0 — every banded collision verified), bucketed into
+    deciles: the calibration curve read before fixing a dedup
+    threshold. A bimodal histogram (accidental-collision mass near 0,
+    planted-dup mass near 1) means any threshold in the valley works;
+    a smear means LSH parameters need retuning before trusting 0.5.
+
+    Same candidate-generation shape as dedup_minhash_lsh; the decile
+    floor is integer (×10, floor, clamp) so bucket edges cannot drift
+    between engines' float formatting."""
+    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.0
+    )
+    return (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("long")
+            .alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket lift
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pr AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+cab AS (
+  SELECT part_a, part_b, COUNT(*) AS c_ab FROM pr GROUP BY part_a, part_b
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+),
+cu AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items)
+SELECT cab.part_a, cab.part_b, CAST(cab.c_ab AS BIGINT) AS c_ab,
+       CAST(ROUND(CAST(cab.c_ab AS DOUBLE) * CAST(tot.n_orders AS DOUBLE)
+                  / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS lift_e6
+FROM cab
+JOIN cu ua ON cab.part_a = ua.l_partkey
+JOIN cu ub ON cab.part_b = ub.l_partkey
+CROSS JOIN tot
+"""
+
+
+@register("market_basket_lift", oracle=_BASKET_ORACLE)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-pair affinity within orders: lift(a,b) = P(a,b)/(P(a)P(b))
+    over order baskets, support ≥ {_BASKET_MIN_SUPPORT}, quantized to
+    integer micro-units (PMI = ln lift — token_cooccurrence_pmi is the
+    text twin). Lift ≫ 1 drives recommendation and co-location
+    decisions.
+
+    Shape: pair generation self-joins the distinct (order, part) table
+    ON THE ORDER KEY — baskets are small (≤13 items here), so the
+    per-order pair fan-out is bounded by basket size², never corpus
+    size (the blocking-key discipline of the dedup tier); per-part
+    counts broadcast back and the single ROUND'd double expression is
+    associated identically in both engines."""
+    items = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pr = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    cab = (
+        pr.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    cu = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ua = cu.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    ub = cu.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        cab.join(F.broadcast(ua), "part_a")
+        .join(F.broadcast(ub), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+    )
