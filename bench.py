@@ -207,6 +207,8 @@ SECONDARY = [
     "event_seasonality_profile",
     "near_dup_jaccard_histogram",
     "market_basket_lift",
+    "range_partition_boundaries",
+    "topk_with_ties_per_nation",
 ]
 
 

@@ -208,3 +208,113 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# range-partition boundary planning (exact split points for layout writes)
+# ---------------------------------------------------------------------------
+
+_RANGE_BUCKETS = 8
+
+_RANGE_BOUNDS_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT CAST(b AS BIGINT) AS bucket_id, CAST(cents AS BIGINT) AS boundary_cents
+FROM (SELECT unnest(range(1, {_RANGE_BUCKETS})) AS b) buckets, r
+WHERE r.rn = (buckets.b * r.n) // {_RANGE_BUCKETS}
+"""
+
+
+@register("range_partition_boundaries", oracle=_RANGE_BOUNDS_ORACLE)
+def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth split points for range partitioning: the value
+    at rank ⌊b·n/8⌋ for b = 1..7 — what Spark's RangePartitioner
+    derives by sampling, made exact and reproducible. These boundaries
+    drive layout writes (repartitionByRange before a sorted parquet
+    write) so each output file holds ~n/8 rows regardless of value
+    skew; zone_map_pruning_stats then shows the payoff (tight per-file
+    min/max). The exact global sort is the commissioning cost — in
+    production you recompute boundaries from quantile_log2_sketch or a
+    sample, and THIS query is the audit that the sample was fair."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.orderBy("cents", "o_orderkey")
+    r = c.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    buckets = spark.createDataFrame(
+        [(b,) for b in range(1, _RANGE_BUCKETS)], "b long"
+    )
+    return (
+        r.crossJoin(F.broadcast(buckets))
+        .where(F.col("rn") == F.expr(f"(b * n) div {_RANGE_BUCKETS}"))
+        .select(
+            F.col("b").cast("long").alias("bucket_id"),
+            F.col("cents").cast("long").alias("boundary_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k with ties (RANK, not ROW_NUMBER)
+# ---------------------------------------------------------------------------
+
+_TOPK_TIES_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents, c_custkey
+  FROM customer
+),
+r AS (
+  SELECT c_nationkey, c_custkey, cents,
+         RANK() OVER (PARTITION BY c_nationkey ORDER BY cents DESC) AS rnk
+  FROM c
+)
+SELECT c_nationkey, c_custkey, cents, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+@register("topk_with_ties_per_nation", oracle=_TOPK_TIES_ORACLE)
+def topk_with_ties_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 account balances WITH TIES: RANK (gaps on
+    ties) instead of ROW_NUMBER, so equal balances at the cut all
+    survive — the 'WITH TIES' semantics reports need when an arbitrary
+    tiebreak would be unfair/nondeterministic. Output size varies with
+    the data (that's the point); the rank itself is returned so the
+    tie structure is visible.
+
+    Spark still plans this as WindowGroupLimit (rank-based filters
+    push the limit into the window operator, k rows + ties of state
+    per key), so the with-ties form costs the same as window_rank's
+    row_number form."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        "c_custkey",
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("cents"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "cents",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

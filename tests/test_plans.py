@@ -126,6 +126,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "psi_drift_buckets",  # broadcast 1-row per-half totals over ≤64 buckets
         "event_seasonality_profile",  # broadcast 1-row total over ≤168 cells
         "market_basket_lift",  # broadcast 1-row n_orders scalar
+        "range_partition_boundaries",  # broadcast 7-row bucket spec over ranks
         "incremental_topk_maintenance",  # two broadcast 1-row query-vector legs
         "join_size_cms_estimate",  # 1-row est × broadcast 1-row exact count
         "distinct_kmv_estimate",  # 1-row kth-hash × broadcast 1-row exact count
