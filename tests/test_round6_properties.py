@@ -139,3 +139,64 @@ def test_gnn_degree_matches_graph(spark):
     assert got
     for r in got:
         assert r.degree == deg[r.doc_id], (r.doc_id, r.k)
+
+
+def test_seasonality_shares_sum_to_one(spark):
+    """Traffic shares over the dow×hour matrix partition the stream:
+    Σ share == 1 (up to float summation in the TEST only — the query
+    itself never sums doubles)."""
+    pdf = QUERIES["event_seasonality_profile"](spark, SF).toPandas()
+    assert 0 <= pdf.dow.min() and pdf.dow.max() <= 6
+    assert 0 <= pdf.hour.min() and pdf.hour.max() <= 23
+    assert abs(pdf.share.sum() - 1.0) < 1e-9
+    assert pdf.n_events.sum() > 0
+
+
+def test_jaccard_histogram_covers_planted_dups(spark):
+    """The planted near-dups (first-token-dropped twins) put mass in
+    the top deciles; accidental band collisions put mass lower — the
+    histogram must show the top bucket non-empty (calibration works)."""
+    rows = {r.jaccard_decile: r.n_pairs for r in
+            QUERIES["near_dup_jaccard_histogram"](spark, SF).collect()}
+    assert max(rows) >= 8, f"no high-similarity mass: {rows}"
+    assert all(0 <= d <= 9 for d in rows)
+
+
+def test_range_boundaries_monotone(spark):
+    """Equi-depth split points are non-decreasing in bucket id and lie
+    within the data's min/max."""
+    from clean_census_acs_data_spark.io import load_table as _lt
+
+    rows = sorted(
+        (r.bucket_id, r.boundary_cents)
+        for r in QUERIES["range_partition_boundaries"](spark, SF).collect()
+    )
+    assert [b for b, _ in rows] == list(range(1, 8))
+    vals = [v for _, v in rows]
+    assert vals == sorted(vals)
+    stats = (
+        _lt(spark, SF, "orders")
+        .agg(
+            F.min(F.round(F.col("o_totalprice") * 100).cast("long")).alias("lo"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert stats.lo <= vals[0] and vals[-1] <= stats.hi
+
+
+def test_topk_ties_keeps_all_tied_rows(spark):
+    """Every (nation, rank) group at the cut keeps ALL rows with equal
+    cents — no arbitrary survivor among ties — and ranks never exceed
+    3 in the filter while row counts per nation are >= 3."""
+    import collections
+
+    rows = QUERIES["topk_with_ties_per_nation"](spark, SF).collect()
+    per_nation = collections.Counter(r.c_nationkey for r in rows)
+    assert all(c >= 3 for c in per_nation.values())
+    by_cell = collections.defaultdict(set)
+    for r in rows:
+        assert 1 <= r.rnk <= 3
+        by_cell[(r.c_nationkey, r.cents)].add(r.rnk)
+    for (_, _), rnks in by_cell.items():
+        assert len(rnks) == 1  # equal cents ⇒ equal rank (RANK semantics)
