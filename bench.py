@@ -209,6 +209,7 @@ SECONDARY = [
     "market_basket_lift",
     "range_partition_boundaries",
     "topk_with_ties_per_nation",
+    "incremental_components_maintenance",
 ]
 
 

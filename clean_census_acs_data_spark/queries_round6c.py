@@ -318,3 +318,58 @@ def topk_with_ties_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental connected-components maintenance (the dedup-graph delta law)
+# ---------------------------------------------------------------------------
+
+from clean_census_acs_data_spark.queries_ext import _COMPONENTS_ORACLE  # noqa: E402
+
+
+@register("incremental_components_maintenance", oracle=_COMPONENTS_ORACLE)
+def incremental_components_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components maintained under a pair-batch append
+    WITHOUT re-propagating the whole graph's pairs: the persisted
+    (doc_id, component_id) assignment becomes edges (every doc links
+    to its component representative — a star that preserves exactly
+    the old connectivity), the delta pairs union in, and min-label
+    propagation runs on star + delta. The oracle is the FULL recompute
+    over all pairs — hash equality proves the maintenance law
+    components(star(old) ∪ Δ) = components(old-pairs ∪ Δ), because
+    component labels ARE min doc ids, so star edges reach the same
+    minima.
+
+    Completes the incremental family: aggregates
+    (incremental_agg_maintenance), top-k (incremental_topk_maintenance),
+    fingerprint stores (dedup_incremental_reference), and now graph
+    state. At 100 TB the star has one edge per doc (vs unbounded pairs
+    accumulated over months) and the delta is a day's collisions — the
+    propagation frontier is delta-local."""
+    from clean_census_acs_data_spark.operators.components import connected_components
+
+    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    ).cache()
+    # deterministic split: "old" batch vs "delta" batch
+    old = pairs.where((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
+    delta = pairs.where((F.col("doc_a") + F.col("doc_b")) % 2 == 1)
+    assignment = connected_components(old)  # the persisted state
+    star = assignment.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("component_id").alias("doc_b")
+    )
+    merged = star.unionAll(delta.select("doc_a", "doc_b"))
+    out = connected_components(merged)
+    # singleton components (doc == its own rep) drop out of the star;
+    # restore every doc that appeared in ANY old pair so the vertex set
+    # matches the full recompute exactly
+    verts = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return verts.join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+    )
