@@ -805,3 +805,4 @@ from clean_census_acs_data_spark import queries_round5f  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round6  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round6b  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round6c  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round7  # noqa: E402,F401

@@ -1,0 +1,143 @@
+"""Invariant tests for the round-7 operators: the structural laws the
+oracles verify numerically but don't state. All deterministic."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.operators.dedup import MINHASH_M
+from clean_census_acs_data_spark.queries import QUERIES
+from clean_census_acs_data_spark.queries_round7 import (
+    _ATTR_WINDOW_US,
+    _PQ_K,
+    _pq_encoded,
+)
+from clean_census_acs_data_spark.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pq_codewords_encode_to_themselves(spark):
+    """A codeword vector's nearest codeword in every block is itself
+    (distance 0) — if this breaks, the argmin tiebreak is wrong."""
+    _, _, codes = _pq_encoded(load_table(spark, SF, "embeddings"))
+    own = codes.where(F.col("vec_id") < _PQ_K).collect()
+    assert len(own) == _PQ_K * 4
+    for r in own:
+        assert r.code == r.vec_id, f"codeword {r.vec_id} block {r.b} → {r.code}"
+
+
+def test_pq_adc_topk_sorted_nonnegative(spark):
+    """ADC distances are sums of squared integers (≥ 0) and the top-10
+    is totally ordered by (distance, vec_id)."""
+    rows = QUERIES["pq_adc_topk"](spark, SF).collect()
+    assert len(rows) == 10
+    assert all(r.adc_d2 >= 0 for r in rows)
+    assert rows == sorted(rows, key=lambda r: (r.adc_d2, r.vec_id))
+
+
+def test_knn_join_ranks_and_blocking(spark):
+    """Per vector: ≤3 neighbors, ranks consecutive from 1, cosines
+    non-increasing in rank, cosine ∈ [-1, 1] (+ tiny quantization
+    slack), no self-pairs."""
+    rows = QUERIES["knn_join_ivf"](spark, SF).collect()
+    assert rows
+    by_vec: dict[int, list] = {}
+    for r in rows:
+        assert r.vec_id != r.neighbor_id
+        assert -1.000001 <= r.cosine <= 1.000001
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vid, rs in by_vec.items():
+        rs.sort(key=lambda r: r.nn_rank)
+        assert [r.nn_rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_attribution_touch_keys_inside_window(spark):
+    """Touch keys decode (÷4096) to a click µs strictly inside
+    (purchase − 30 min, purchase); zero-touch rows have NULL keys;
+    first ≤ last always."""
+    ev = load_table(spark, SF, "events")
+    pus = {
+        r.event_id: r.us
+        for r in ev.where(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    rows = QUERIES["attribution_first_last"](spark, SF).collect()
+    assert set(pus) == {r.event_id for r in rows}
+    for r in rows:
+        if r.n_touches == 0:
+            assert r.first_touch_key is None and r.last_touch_key is None
+            continue
+        assert r.first_touch_key <= r.last_touch_key
+        for key in (r.first_touch_key, r.last_touch_key):
+            cus = key // 4096
+            assert pus[r.event_id] - _ATTR_WINDOW_US < cus < pus[r.event_id]
+
+
+def test_skew_factor_at_least_uniform(spark):
+    """max/mean ≥ 1 by definition (1e6 in micro-units); shares are
+    positive, ≤ 1e6, and the report is top-10 by count."""
+    rows = QUERIES["skew_key_diagnostics"](spark, SF).collect()
+    assert len(rows) == 10
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.skew_micro >= 1_000_000
+        assert 0 < r.share_micro <= 1_000_000
+
+
+def test_snapshot_diff_partition_law(spark):
+    """The four classes partition the key universe: n_keys sums to
+    |A ∪ B|, and every updated key drifts by exactly 1 cent (the
+    planted perturbation), so sum_abs_delta == n_updated."""
+    o = load_table(spark, SF, "orders")
+    union_keys = (
+        o.where((F.col("o_orderkey") % 97 != 0) | (F.col("o_orderkey") % 89 != 0))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    rows = {r.change_type: r for r in QUERIES["snapshot_diff_reconcile"](spark, SF).collect()}
+    assert set(rows) <= {"inserted", "deleted", "updated", "unchanged"}
+    assert sum(r.n_keys for r in rows.values()) == union_keys
+    if "updated" in rows:
+        assert rows["updated"].sum_abs_delta_cents == rows["updated"].n_keys
+    for ct in ("inserted", "deleted", "unchanged"):
+        if ct in rows:
+            assert rows[ct].sum_abs_delta_cents == 0
+
+
+def test_entropy_bounded_by_type_count(spark):
+    """0 ≤ H ≤ ln(n_types): the uniform distribution maximizes
+    entropy. Micro-nat slack covers the two integer floors."""
+    rows = QUERIES["char_ngram_entropy"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_types <= r.n_grams
+        assert -2 <= r.entropy_micro_nats  # floor slack below 0
+        cap = math.log(r.n_types) * 1_000_000 + 2
+        assert r.entropy_micro_nats <= cap
+
+
+def test_streaming_minhash_registers_in_range(spark):
+    """8 registers, one per hash function, each a valid 31-bit min."""
+    rows = QUERIES["streaming_minhash_registers"](spark, SF).collect()
+    assert sorted(r.i for r in rows) == list(range(8))
+    for r in rows:
+        assert 0 <= r.register < MINHASH_M
+
+
+def test_seasonal_anomaly_shape(spark):
+    """Top-20 exists, deviations are sorted descending and
+    non-negative, hours in range."""
+    rows = QUERIES["seasonal_anomaly_hours"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    devs = [r.dev_scaled for r in rows]
+    assert devs == sorted(devs, reverse=True)
+    for r in rows:
+        assert r.dev_scaled >= 0 and 0 <= r.hour <= 23 and r.n_events > 0
