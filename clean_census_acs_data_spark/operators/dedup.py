@@ -324,3 +324,66 @@ def plant_near_dups(
         )
     )
     return docs.select(id_col, text_col).unionByName(mutated)
+
+
+# ---------------------------------------------------------------------------
+# session-cached canonical derivations
+# ---------------------------------------------------------------------------
+
+_STD_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_STD_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def standard_near_dup_pairs(
+    spark, sf_dir: str, *, threshold: float = 0.5
+) -> DataFrame:
+    """The repo-standard near-dup pair table (plant_near_dups →
+    minhash_lsh_pairs at num_hashes=8 / bands=4 / shingle_n=3),
+    computed ONCE per (session, sf_dir) at threshold 0.0 — the verified
+    superset: every banded collision with its exact Jaccard — then
+    cached and filtered per caller. A dozen registered queries
+    (components, survivor selection, cluster triage, PageRank, GNN
+    round, triangles, clustering coefficients, calibration histogram,
+    leakage-safe split, shingle containment) consume this exact
+    derivation; in one session they now share one computation instead
+    of re-shingling the corpus each. That is also the production
+    shape: the pair table is persisted state maintained incrementally
+    (dedup_incremental_reference is its append path), not something
+    every consumer re-derives from raw text. Filtering the cached
+    superset is row-identical to computing at the caller's threshold
+    directly (the threshold is the final WHERE of minhash_lsh_pairs)."""
+    from clean_census_acs_data_spark.io import load_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    pairs = _STD_PAIRS_MEMO.get(key)
+    if pairs is None:
+        docs = plant_near_dups(load_table(spark, sf_dir, "documents"))
+        pairs = minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.0
+        ).cache()
+        _STD_PAIRS_MEMO[key] = pairs
+    if threshold > 0.0:
+        return pairs.where(F.col("jaccard") >= threshold)
+    return pairs
+
+
+def standard_components(spark, sf_dir: str) -> DataFrame:
+    """Connected-component labels over the standard ≥0.5 pair graph,
+    cached per (session, sf_dir): the iterative min-label propagation
+    is the most expensive shared sub-derivation in the dedup family
+    (components → survivor selection → cluster triage → leakage-safe
+    split all start from these labels). Cached labels are exactly the
+    persisted cluster-assignment table a production dedup maintains
+    (incremental_components_maintenance is its delta path)."""
+    from clean_census_acs_data_spark.operators.components import (
+        connected_components,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    comp = _STD_COMPONENTS_MEMO.get(key)
+    if comp is None:
+        comp = connected_components(
+            standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
+        ).cache()
+        _STD_COMPONENTS_MEMO[key] = comp
+    return comp

@@ -66,16 +66,10 @@ def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (survivors to the corpus, the rest to a tombstone list). The rank
     is a WindowGroupLimit-friendly row_number per component; component
     ids are min-label so both engines agree on the partition keys."""
-    from clean_census_acs_data_spark.operators.components import (
-        connected_components,
-    )
     from pyspark.sql import Window
 
     docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
-    )
-    comp = connected_components(pairs)
+    comp = D.standard_components(spark, sf_dir)
     lens = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
     j = comp.join(lens, "doc_id")
     w = Window.partitionBy("component_id").orderBy(
@@ -139,10 +133,9 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     each iteration is a plain shuffle-bounded agg (no driver state);
     float PageRank would need a merge-order-independent summation to be
     reproducible — integers sidestep that entirely."""
-    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
-    ).select("doc_a", "doc_b")
+    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
     # cache the edge list (pairs of longs): nodes/deg and all three
     # iterations reference it — uncached, every reference re-runs the
     # whole MinHash verify pipeline (measured 13 s → 6.5 s at sf0.1).

@@ -87,11 +87,8 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup work the pipeline runs anyway, so at 100 TB this is a
     left join against an 8-byte (doc_id, component) table and zero
     extra shuffles over the corpus body."""
-    from clean_census_acs_data_spark.operators.components import connected_components
-
     docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5)
-    comp = connected_components(pairs)
+    comp = D.standard_components(spark, sf_dir)
     grp = F.coalesce(F.col("component_id"), F.col("doc_id"))
     bucket = grp % 10
     return (

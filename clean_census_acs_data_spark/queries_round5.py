@@ -618,8 +618,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions), orders smaller than the corpus; for hub-heavy graphs
     the degree-oriented orientation of operators/graph.py:20 bounds the
     wedge fan-out at O(m^1.5)."""
-    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5)
+    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
     e = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("a"),

@@ -412,9 +412,7 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — never all pairs. The shingle arrays stay JVM-side
     (array_intersect/size), no UDFs."""
     docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
-    )
+    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
     from clean_census_acs_data_spark.operators.text import shingles, tokens
 
     toks = tokens(F.col("text"))

@@ -288,13 +288,8 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast-joinable stats pass — at 100 TB the component table
     is (doc_id, component) longs and the length stats ride the corpus
     scan already paid for by dedup."""
-    from clean_census_acs_data_spark.operators.components import connected_components
-
     docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
-    )
-    comp = connected_components(pairs)
+    comp = D.standard_components(spark, sf_dir)
     return (
         comp.join(docs, "doc_id")
         .groupBy("component_id")

@@ -804,10 +804,7 @@ def gnn_neighbor_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer sums make the layer hash-checkable; the single mean
     division is post-agg. Multi-layer = iterate, exactly like
     graph_pagerank_int's unrolled rounds."""
-    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
-    )
+    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
     und = pairs.select(
         F.col("doc_a").alias("v"), F.col("doc_b").alias("w")
     ).unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("w")))

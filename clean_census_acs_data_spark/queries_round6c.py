@@ -109,10 +109,7 @@ def near_dup_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same candidate-generation shape as dedup_minhash_lsh; the decile
     floor is integer (×10, floor, clamp) so bucket edges cannot drift
     between engines' float formatting."""
-    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.0
-    )
+    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.0)
     return (
         pairs.select(
             F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
@@ -348,10 +345,7 @@ def incremental_components_maintenance(spark: SparkSession, sf_dir: str) -> Data
     propagation frontier is delta-local."""
     from clean_census_acs_data_spark.operators.components import connected_components
 
-    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
-    ).cache()
+    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
     # deterministic split: "old" batch vs "delta" batch
     old = pairs.where((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
     delta = pairs.where((F.col("doc_a") + F.col("doc_b")) % 2 == 1)
