@@ -132,6 +132,64 @@ def test_streaming_minhash_registers_in_range(spark):
         assert 0 <= r.register < MINHASH_M
 
 
+def test_recsys_ranks_and_support(spark):
+    """≤3 recs per part, consecutive ranks, lift non-increasing in
+    rank, support floor respected, no self-recommendation."""
+    rows = QUERIES["recsys_item_item_topk"](spark, SF).collect()
+    assert rows
+    by_part: dict[int, list] = {}
+    for r in rows:
+        assert r.part != r.rec and r.c_ab >= 3
+        by_part.setdefault(r.part, []).append(r)
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: r.rec_rank)
+        assert [r.rec_rank for r in rs] == list(range(1, len(rs) + 1))
+        lifts = [r.lift_e6 for r in rs]
+        assert lifts == sorted(lifts, reverse=True)
+
+
+def test_funnel_stages_monotone(spark):
+    """Each funnel stage can only lose rows: full-chain ⊆ with-click ⊆
+    purchases."""
+    r = QUERIES["funnel_time_constrained"](spark, SF).collect()[0]
+    assert 0 <= r.n_full_chain <= r.n_with_click <= r.n_purchases
+
+
+def test_normalized_dedup_partitions_corpus(spark):
+    """Copy counts partition the corpus, and normalization can only
+    merge classes: #normalized classes ≤ #byte-exact classes."""
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    n_exact = docs.select("text").distinct().count()
+    rows = QUERIES["dedup_exact_normalized"](spark, SF).collect()
+    assert sum(r.n_copies for r in rows) == n_docs
+    assert len(rows) <= n_exact
+
+
+def test_path_trigrams_topk_total_order(spark):
+    """≤20 rows, counts non-increasing, every step a real event type."""
+    types = {
+        r.event_type
+        for r in load_table(spark, SF, "events").select("event_type").distinct().collect()
+    }
+    rows = QUERIES["event_path_trigrams"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_paths for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert {r.step1, r.step2, r.step3} <= types
+
+
+def test_pareto_crossing_row_reaches_80pct(spark):
+    """The kept prefix is the minimal one: it reaches ≥80% of revenue
+    (crossing row included) and is no larger than the customer
+    universe."""
+    r = QUERIES["pareto_8020_concentration"](spark, SF).collect()[0]
+    assert 1 <= r.n_top <= r.n_customers
+    assert r.covered_cents * 5 >= r.total_cents * 4
+    assert r.covered_cents <= r.total_cents
+
+
 def test_seasonal_anomaly_shape(spark):
     """Top-20 exists, deviations are sorted descending and
     non-negative, hours in range."""
