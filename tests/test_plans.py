@@ -131,6 +131,11 @@ def test_no_degenerate_joins_anywhere(plans):
         "join_size_cms_estimate",  # 1-row est × broadcast 1-row exact count
         "distinct_kmv_estimate",  # 1-row kth-hash × broadcast 1-row exact count
         "kmv_intersection_estimate",  # 1-row sketch stats × broadcast 1-row exact
+        "knn_join_ivf",  # broadcast 8-row centroid table (IVF assignment)
+        "skew_key_diagnostics",  # broadcast 1-row totals over the top-10 report
+        "recsys_item_item_topk",  # market_basket_lift's 1-row n_orders scalar
+        "funnel_time_constrained",  # cross of three 1-row stage-count frames
+        "keyword_topk_per_doc",  # text_tfidf's 1-row corpus-size scalar
     }
     for name, p in plans.items():
         base = name.split("/")[0]

@@ -190,6 +190,59 @@ def test_pareto_crossing_row_reaches_80pct(spark):
     assert r.covered_cents <= r.total_cents
 
 
+def test_lang_confusion_partitions_corpus(spark):
+    """Cell counts sum to the corpus; labels come from the lang column."""
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    labels = {r.lang for r in docs.select("lang").distinct().collect()}
+    rows = QUERIES["lang_id_confusion"](spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.labeled_lang for r in rows} <= labels
+
+
+def test_keyword_ranks_follow_tf(spark):
+    """≤3 keywords per doc, consecutive ranks, tf non-increasing in
+    rank (the primary sort key)."""
+    rows = QUERIES["keyword_topk_per_doc"](spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.kw_rank)
+        assert [r.kw_rank for r in rs] == list(range(1, len(rs) + 1))
+        tfs = [r.tf for r in rs]
+        assert tfs == sorted(tfs, reverse=True)
+
+
+def test_zipf_slope_negative(spark):
+    """Rank-frequency curves slope downward; moments are consistent
+    (n = min(100, vocab), Cauchy-Schwarz on the x moments)."""
+    r = QUERIES["zipf_slope_fit"](spark, SF).collect()[0]
+    assert r.zipf_slope < 0
+    assert 1 < r.n <= 100
+    assert r.n * r.sxx >= r.sx * r.sx  # variance ≥ 0
+
+
+def test_backlog_sweep_conserves(spark):
+    """The backlog is non-negative every day, positive somewhere, and
+    returns to zero after the last close (+1s and −1s balance)."""
+    rows = QUERIES["open_orders_sweep"](spark, SF).collect()
+    rows.sort(key=lambda r: r.day)
+    assert all(r.open_orders >= 0 for r in rows)
+    assert max(r.open_orders for r in rows) > 0
+    assert rows[-1].open_orders == 0
+
+
+def test_session_histogram_partitions_events(spark):
+    """Every event lands in exactly one session: n_events across
+    buckets sums to the events table."""
+    n_events = load_table(spark, SF, "events").count()
+    rows = QUERIES["session_duration_log2"](spark, SF).collect()
+    assert sum(r.n_events for r in rows) == n_events
+    assert all(r.bucket >= 0 and r.n_sessions > 0 for r in rows)
+
+
 def test_seasonal_anomaly_shape(spark):
     """Top-20 exists, deviations are sorted descending and
     non-negative, hours in range."""
