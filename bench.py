@@ -210,6 +210,25 @@ SECONDARY = [
     "range_partition_boundaries",
     "topk_with_ties_per_nation",
     "incremental_components_maintenance",
+    # round-7 additions
+    "pq_adc_topk",
+    "knn_join_ivf",
+    "attribution_first_last",
+    "skew_key_diagnostics",
+    "snapshot_diff_reconcile",
+    "seasonal_anomaly_hours",
+    "char_ngram_entropy",
+    "streaming_minhash_registers",
+    "recsys_item_item_topk",
+    "funnel_time_constrained",
+    "dedup_exact_normalized",
+    "event_path_trigrams",
+    "pareto_8020_concentration",
+    "lang_id_confusion",
+    "keyword_topk_per_doc",
+    "zipf_slope_fit",
+    "open_orders_sweep",
+    "session_duration_log2",
 ]
 
 

@@ -243,6 +243,60 @@ def test_session_histogram_partitions_events(spark):
     assert all(r.bucket >= 0 and r.n_sessions > 0 for r in rows)
 
 
+def test_pit_join_never_uses_future_versions(spark):
+    """Every enriched click carries a version whose valid_from ≤ click
+    ts, and clicks before any version have NULL value — the
+    point-in-time correctness law."""
+    ev = load_table(spark, SF, "events")
+    click_ts = {
+        r.event_id: r.us
+        for r in ev.where(F.col("event_type") == "click")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    rows = QUERIES["point_in_time_join_scd2"](spark, SF).collect()
+    assert {r.event_id for r in rows} == set(click_ts)
+    for r in rows:
+        if r.valid_from is None:
+            assert r.value_cents is None
+        else:
+            vf = int(r.valid_from.timestamp() * 1_000_000)
+            assert vf <= click_ts[r.event_id]
+
+
+def test_lpa_labels_are_node_ids_within_component(spark):
+    """A community label is always some node's id, and every labeled
+    node appears exactly once."""
+    rows = QUERIES["label_propagation_communities"](spark, SF).collect()
+    nodes = {r.doc_id for r in rows}
+    assert len(rows) == len(nodes)
+    assert {r.community for r in rows} <= nodes
+
+
+def test_late_arrival_profile_covers_all_events(spark):
+    """Bucket counts partition the event log; lateness is bounded by
+    the table's time span."""
+    ev = load_table(spark, SF, "events")
+    n = ev.count()
+    span = ev.agg(
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("s")
+    ).collect()[0].s
+    rows = QUERIES["late_arrival_profile"](spark, SF).collect()
+    assert sum(r.n_events for r in rows) == n
+    assert all(0 <= r.max_late_us <= span for r in rows)
+
+
+def test_feature_hashing_conserves_tokens(spark):
+    """Bucket counts sum to the corpus token count; buckets in range."""
+    docs = load_table(spark, SF, "documents")
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n")
+    ).collect()[0].n
+    rows = QUERIES["feature_hashing_bow"](spark, SF).collect()
+    assert sum(r.cnt for r in rows) == n_tokens
+    assert all(0 <= r.bucket < 32 for r in rows)
+
+
 def test_seasonal_anomaly_shape(spark):
     """Top-20 exists, deviations are sorted descending and
     non-negative, hours in range."""
