@@ -297,6 +297,44 @@ def test_feature_hashing_conserves_tokens(spark):
     assert all(0 <= r.bucket < 32 for r in rows)
 
 
+def test_provenance_covers_every_verified_pair(spark):
+    """Every verified near-dup pair was admitted by ≥1 band (that's
+    what candidacy means), never more than the 4 that exist."""
+    from clean_census_acs_data_spark.operators.dedup import standard_near_dup_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in standard_near_dup_pairs(spark, SF, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    rows = QUERIES["dedup_pair_provenance"](spark, SF).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == pairs
+    for r in rows:
+        assert 1 <= r.n_collide_bands <= 4
+        assert 0 <= r.first_band <= 3
+
+
+def test_zorder_skips_at_least_as_well_as_linear(spark):
+    """Both layouts agree on the matching row count (layout can't
+    change query results), scans ≤ shards, and the Z-order layout
+    never scans more shards than linear for the 2-D box."""
+    rows = {r.layout: r for r in QUERIES["zorder_skipping_audit"](spark, SF).collect()}
+    assert set(rows) == {"linear", "zorder"}
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin.n_match == zo.n_match
+    assert zo.n_scanned <= zo.n_shards and lin.n_scanned <= lin.n_shards
+    assert zo.n_scanned <= lin.n_scanned
+
+
+def test_pandas_scalar_cosine_equals_jvm_path(spark):
+    """The Arrow-UDF scoring path returns the exact rows of the JVM
+    zip_with path — the whole point of the twin."""
+    jvm = QUERIES["similarity_topk"](spark, SF).collect()
+    py = QUERIES["pandas_scalar_cosine"](spark, SF).collect()
+    assert [(r.vec_id, r.cosine) for r in jvm] == [(r.vec_id, r.cosine) for r in py]
+
+
 def test_seasonal_anomaly_shape(spark):
     """Top-20 exists, deviations are sorted descending and
     non-negative, hours in range."""
