@@ -229,6 +229,13 @@ SECONDARY = [
     "zipf_slope_fit",
     "open_orders_sweep",
     "session_duration_log2",
+    "point_in_time_join_scd2",
+    "label_propagation_communities",
+    "late_arrival_profile",
+    "feature_hashing_bow",
+    "dedup_pair_provenance",
+    "zorder_skipping_audit",
+    "pandas_scalar_cosine",
 ]
 
 
