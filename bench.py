@@ -236,6 +236,9 @@ SECONDARY = [
     "dedup_pair_provenance",
     "zorder_skipping_audit",
     "pandas_scalar_cosine",
+    "token_count_bpe_regex",
+    "stats_skew_kurtosis",
+    "ratio_to_parent_rollup",
 ]
 
 

@@ -335,6 +335,42 @@ def test_pandas_scalar_cosine_equals_jvm_path(spark):
     assert [(r.vec_id, r.cosine) for r in jvm] == [(r.vec_id, r.cosine) for r in py]
 
 
+def test_bpe_tokens_at_least_ws_tokens(spark):
+    """A BPE-ish pre-tokenizer only splits further: per doc,
+    n_bpe ≥ n_ws − (empty docs aside), and unique ≤ total."""
+    rows = QUERIES["token_count_bpe_regex"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_unique_bpe <= r.n_bpe_tokens
+        assert r.n_bpe_tokens >= r.n_ws_tokens - 1  # all-space doc slack
+
+
+def test_moment_sums_power_mean_inequality(spark):
+    """Power sums are internally consistent (Cauchy-Schwarz:
+    n·s2 ≥ s1², n·s4 ≥ s2²) and kurtosis ≥ skew² − 2 (the universal
+    Pearson inequality)."""
+    rows = QUERIES["stats_skew_kurtosis"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n * r.s2 >= r.s1 * r.s1
+        assert r.n * r.s4 >= r.s2 * r.s2
+        assert r.kurtosis_excess + 3 >= r.skewness**2 + 1 - 1e-9
+
+
+def test_ratio_shares_sum_to_unity(spark):
+    """Within each region, nation micro-shares sum to ≈1e6 (floor
+    slack ≤ nations-per-region); total shares likewise."""
+    rows = QUERIES["ratio_to_parent_rollup"](spark, SF).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r.region_name, []).append(r)
+    for region, rs in by_region.items():
+        s = sum(r.share_of_region_micro for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+    t = sum(r.share_of_total_micro for r in rows)
+    assert 1_000_000 - len(rows) <= t <= 1_000_000
+
+
 def test_seasonal_anomaly_shape(spark):
     """Top-20 exists, deviations are sorted descending and
     non-negative, hours in range."""
