@@ -212,12 +212,23 @@ def ngram_jaccard_pairs(
     # ~1e-10 even at 100 TB; sizes and counts are unaffected either
     # way). Doc gram counts (ng) come from the same exploded postings,
     # not a second tokenize scan of the text column.
+    # The exploded hashed postings feed FIVE downstream subtrees (the
+    # posting-frequency agg, both semi filters, the heavy complement
+    # anti join, and the heavy-present counts): uncached, each subtree
+    # re-runs the tokenize + array_distinct + xxhash explode of every
+    # document — the dominant cost of the whole query (measured ~12.5 s
+    # → ~5 s at sf0.1). Postings are three small ints per row, far
+    # smaller than the text they derive from; at 100 TB this is the
+    # persisted posting table, same story as minhash_lsh_pairs' shingle
+    # cache. Eager count() for the same reason as there: lazy caches
+    # race when sibling subtrees evaluate inside one job.
     g = d.select(
         "doc",
         "blk",
         F.explode(F.expr("transform(grams, x -> xxhash64(x))")).alias("gram"),
-    )
-    docs_blk = d.select("doc", "blk", F.size("grams").alias("ng"))
+    ).cache()
+    g.count()
+    docs_blk = d.select("doc", "blk", F.size("grams").alias("ng")).cache()
 
     post = g.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("p"))
     nblk = docs_blk.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
