@@ -239,6 +239,11 @@ SECONDARY = [
     "token_count_bpe_regex",
     "stats_skew_kurtosis",
     "ratio_to_parent_rollup",
+    # round-8 additions
+    "ohlc_bars_hourly",
+    "time_weighted_average",
+    "sliding_distinct_users",
+    "analyze_table_stats",
 ]
 
 

