@@ -244,6 +244,7 @@ SECONDARY = [
     "time_weighted_average",
     "sliding_distinct_users",
     "analyze_table_stats",
+    "streaming_ohlc_state",
 ]
 
 

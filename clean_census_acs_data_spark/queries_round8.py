@@ -101,6 +101,70 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming OHLC maintenance (complete-mode struct-min/max state)
+# ---------------------------------------------------------------------------
+
+
+@register("streaming_ohlc_state", oracle=_OHLC_ORACLE)
+def streaming_ohlc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC bar table maintained BY the streaming engine:
+    complete-mode min/max aggregation where open/close are struct
+    min/max over (packed time key, value) — argmin/argmax-by-time as
+    pure semilattice state, so the replayed stream's bars are
+    batch-equal and the entry hash-checks against the same oracle as
+    ohlc_bars_hourly. Eighth hash-checked streaming algebra
+    (count / max / OR / bottom-k / sort-limit / CMS / min / lexical
+    struct-extrema): the live ticker-bar pipeline, per-key state is
+    five longs forever."""
+    import uuid
+
+    ev = _events_stream_helper(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    tkey = F.unix_micros("ts") * 4096 + F.col("event_id") % 4096
+    e = ev.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_US_HOUR}").alias("hour_bucket"),
+        cents.alias("cents"),
+        tkey.alias("tkey"),
+    )
+    agg = (
+        e.groupBy("user_id", "hour_bucket")
+        .agg(
+            F.min(F.struct("tkey", "cents")).alias("__first"),
+            F.max("cents").cast("long").alias("high_cents"),
+            F.min("cents").cast("long").alias("low_cents"),
+            F.max(F.struct("tkey", "cents")).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("hour_bucket").cast("long"),
+            F.col("__first.cents").cast("long").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("__last.cents").cast("long").alias("close_cents"),
+            "n_events",
+        )
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _events_stream_helper(spark: SparkSession, sf_dir: str):
+    from clean_census_acs_data_spark.streaming.windows import _events_stream
+
+    return _events_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # time-weighted average
 # ---------------------------------------------------------------------------
 
