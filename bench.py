@@ -245,6 +245,8 @@ SECONDARY = [
     "sliding_distinct_users",
     "analyze_table_stats",
     "streaming_ohlc_state",
+    "applyinpandas_minmax_scale",
+    "cogroup_click_purchase_stats",
 ]
 
 
