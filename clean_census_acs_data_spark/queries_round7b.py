@@ -18,6 +18,8 @@ funnels, normalized dedup, sequence mining, concentration audits.
 - ``pareto_8020_concentration`` — how many top customers cover 80% of
   revenue: the concentration audit behind key-account analysis and
   cache-sizing decisions, exact in integer cents.
+
+Reference tie: the reference implements none of this tier (SURVEY.md §2B marks the category ABSENT; its only analytics are pre-aggregated census measures, Test_census_tract.py:287-313) — these are the BASELINE.json 100-TB extension operators, built with the repo's exact-integer discipline.
 """
 
 from __future__ import annotations

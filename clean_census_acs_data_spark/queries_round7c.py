@@ -19,6 +19,8 @@ sweep-line / sessionization analytics.
 - ``session_duration_log2`` — 30-minute-gap sessionization → session
   durations → mergeable log2-bucket histogram (bit-length buckets, no
   libm — quantile_log2_sketch's discipline on derived intervals).
+
+Reference tie: the reference implements none of this tier (SURVEY.md §2B marks the category ABSENT; its only analytics are pre-aggregated census measures, Test_census_tract.py:287-313) — these are the BASELINE.json 100-TB extension operators, built with the repo's exact-integer discipline.
 """
 
 from __future__ import annotations

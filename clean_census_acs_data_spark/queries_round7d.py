@@ -16,6 +16,8 @@
   tokens folded into 32 hash buckets per document. The classical
   fixed-width featurization (CMS's cousin pointed at features, not
   frequencies).
+
+Reference tie: the reference implements none of this tier (SURVEY.md §2B marks the category ABSENT; its only analytics are pre-aggregated census measures, Test_census_tract.py:287-313) — these are the BASELINE.json 100-TB extension operators, built with the repo's exact-integer discipline.
 """
 
 from __future__ import annotations

@@ -12,6 +12,8 @@ ratio-to-parent reporting.
 - ``ratio_to_parent_rollup`` — nation revenue as a share of its
   region and of the total: the ratio-to-parent report every BI rollup
   ships, as integer micro-shares.
+
+Reference tie: the reference implements none of this tier (SURVEY.md §2B marks the category ABSENT; its only analytics are pre-aggregated census measures, Test_census_tract.py:287-313) — these are the BASELINE.json 100-TB extension operators, built with the repo's exact-integer discipline.
 """
 
 from __future__ import annotations

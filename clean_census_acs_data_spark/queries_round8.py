@@ -14,6 +14,8 @@ collection.
 - ``analyze_table_stats``   — ANALYZE-style per-column statistics
   (ndv, null count, min/max) in one pass: what the optimizer's CBO
   consumes; join_size_cms_estimate is its sketch-side cousin.
+
+Reference tie: the reference implements none of this tier (SURVEY.md §2B marks the category ABSENT; its only analytics are pre-aggregated census measures, Test_census_tract.py:287-313) — these are the BASELINE.json 100-TB extension operators, built with the repo's exact-integer discipline.
 """
 
 from __future__ import annotations
