@@ -247,6 +247,8 @@ SECONDARY = [
     "streaming_ohlc_state",
     "applyinpandas_minmax_scale",
     "cogroup_click_purchase_stats",
+    "similarity_lsh_multiprobe",
+    "group_sample_topk_hash",
 ]
 
 

@@ -57,6 +57,31 @@ def test_sliding_distinct_dominates_tumbling(spark):
         assert 1 <= r.n_distinct_users <= n_users
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of single-probe's bucket,
+    so its top-5 cosine at each rank is ≥ the single-probe top-5's."""
+    single = QUERIES["similarity_lsh_topk"](spark, SF).collect()
+    multi = QUERIES["similarity_lsh_multiprobe"](spark, SF).collect()
+    assert len(multi) >= len(single)
+    for m, s in zip(multi, single):
+        assert m.cosine >= s.cosine - 1e-12
+
+
+def test_group_sample_exactly_k_per_group(spark):
+    """Every source contributes exactly min(5, group size) docs with
+    consecutive ranks, and re-running yields the identical sample."""
+    rows = QUERIES["group_sample_topk_hash"](spark, SF).collect()
+    again = QUERIES["group_sample_topk_hash"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.sample_rank)
+        assert [r.sample_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+
+
 def test_analyze_stats_match_direct_queries(spark):
     """The stats report agrees with directly-computed values for one
     column, and min ≤ max with zero nulls on NOT-NULL keys."""
