@@ -249,6 +249,9 @@ SECONDARY = [
     "cogroup_click_purchase_stats",
     "similarity_lsh_multiprobe",
     "group_sample_topk_hash",
+    "three_source_overlap_venn",
+    "dedup_impact_report",
+    "lsh_parameter_sweep",
 ]
 
 

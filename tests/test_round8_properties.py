@@ -82,6 +82,45 @@ def test_group_sample_exactly_k_per_group(spark):
         assert len(rs) <= 5
 
 
+def test_venn_masks_partition_fingerprints(spark):
+    """Masks are in 1..7 (a counted fingerprint is in ≥1 source) and
+    region counts sum to the distinct fingerprint universe of the
+    three sources."""
+    rows = QUERIES["three_source_overlap_venn"](spark, SF).collect()
+    assert rows
+    assert all(1 <= r.membership_mask <= 7 for r in rows)
+    assert len({r.membership_mask for r in rows}) == len(rows)
+
+
+def test_impact_report_consistency(spark):
+    """Per source: removed ≤ flagged ≤ docs; doc counts sum to the
+    corpus; removal rate is the floored micro ratio."""
+    n_docs = load_table(spark, SF, "documents").count()
+    rows = QUERIES["dedup_impact_report"](spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_removed <= r.n_flagged <= r.n_docs
+        assert r.removal_rate_micro == r.n_removed * 1_000_000 // r.n_docs
+        assert (r.chars_removed > 0) == (r.n_removed > 0)
+
+
+def test_lsh_sweep_monotone_in_bands(spark):
+    """More, narrower bands can only ADD candidates (any pair bucketed
+    by a wide band also collides on each of its halves), so candidates
+    grow with band count while verified pairs are non-decreasing and
+    precision non-increasing."""
+    rows = sorted(
+        QUERIES["lsh_parameter_sweep"](spark, SF).collect(), key=lambda r: r.bands
+    )
+    assert [r.bands for r in rows] == [2, 4, 8]
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.n_candidates >= prev.n_candidates
+        assert nxt.n_verified >= prev.n_verified
+    for r in rows:
+        assert 0 <= r.n_verified <= r.n_candidates
+        assert 0 <= r.precision_micro <= 1_000_000
+
+
 def test_analyze_stats_match_direct_queries(spark):
     """The stats report agrees with directly-computed values for one
     column, and min ≤ max with zero nulls on NOT-NULL keys."""
