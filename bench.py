@@ -252,6 +252,8 @@ SECONDARY = [
     "three_source_overlap_venn",
     "dedup_impact_report",
     "lsh_parameter_sweep",
+    "trending_event_types",
+    "quantile_rank_normalize",
 ]
 
 

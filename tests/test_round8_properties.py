@@ -121,6 +121,36 @@ def test_lsh_sweep_monotone_in_bands(spark):
         assert 0 <= r.precision_micro <= 1_000_000
 
 
+def test_trending_ranks_and_deltas(spark):
+    """≤3 rows per hour, consecutive ranks, deltas non-increasing in
+    rank within an hour."""
+    rows = QUERIES["trending_event_types"](spark, SF).collect()
+    by_hour: dict[int, list] = {}
+    for r in rows:
+        by_hour.setdefault(r.hour_bucket, []).append(r)
+    assert by_hour
+    for hour, rs in by_hour.items():
+        rs.sort(key=lambda r: r.trend_rank)
+        assert [r.trend_rank for r in rs] == list(range(1, len(rs) + 1))
+        deltas = [r.delta for r in rs]
+        assert deltas == sorted(deltas, reverse=True)
+
+
+def test_quantile_rank_monotone_and_bounded(spark):
+    """Quantiles are in [0, 1e6), monotone in n_chars, and equal
+    lengths share the exact same quantile (RANK semantics)."""
+    rows = QUERIES["quantile_rank_normalize"](spark, SF).collect()
+    assert rows
+    by_len: dict[int, set] = {}
+    for r in rows:
+        assert 0 <= r.quantile_micro < 1_000_000
+        by_len.setdefault(r.n_chars, set()).add(r.quantile_micro)
+    assert all(len(qs) == 1 for qs in by_len.values())
+    lens = sorted(by_len)
+    quants = [next(iter(by_len[ln])) for ln in lens]
+    assert quants == sorted(quants)
+
+
 def test_analyze_stats_match_direct_queries(spark):
     """The stats report agrees with directly-computed values for one
     column, and min ≤ max with zero nulls on NOT-NULL keys."""
