@@ -254,6 +254,8 @@ SECONDARY = [
     "lsh_parameter_sweep",
     "trending_event_types",
     "quantile_rank_normalize",
+    "yoy_revenue_growth",
+    "hll_merge_across_sources",
 ]
 
 

@@ -151,6 +151,32 @@ def test_quantile_rank_monotone_and_bounded(spark):
     assert quants == sorted(quants)
 
 
+def test_yoy_growth_only_with_prior_year(spark):
+    """Growth is NULL exactly when no prior-year month exists, and the
+    integer formula reproduces from the row's own columns."""
+    rows = QUERIES["yoy_revenue_growth"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.prev_cents is None or r.prev_cents <= 0:
+            assert r.yoy_growth_micro is None
+        else:
+            num = (r.rev_cents - r.prev_cents) * 1_000_000
+            # engines truncate integer division toward zero; Python //
+            # floors — emulate truncation
+            q = abs(num) // r.prev_cents
+            expected = q if num >= 0 else -q
+            assert r.yoy_growth_micro == expected
+
+
+def test_hll_merge_law_holds(spark):
+    """Every register bucket agrees between merged and global builds —
+    the semilattice law, asserted locally on top of the hash gate."""
+    rows = QUERIES["hll_merge_across_sources"](spark, SF).collect()
+    assert rows
+    assert all(r.registers_equal for r in rows)
+    assert all(r.merged_m_j == r.global_m_j for r in rows)
+
+
 def test_analyze_stats_match_direct_queries(spark):
     """The stats report agrees with directly-computed values for one
     column, and min ≤ max with zero nulls on NOT-NULL keys."""
