@@ -138,8 +138,11 @@ def quantile_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "doc_id",
         "n_chars",
+        # rank() yields INT; widen BEFORE the ×1e6 or ranks past 2147
+        # overflow int32 under ANSI mode (caught by the sf0.1 bench —
+        # sf0.001/0.01 have too few docs to trip it)
         F.expr(
-            "cast((rank() over (order by n_chars) - 1) * 1000000"
+            "cast((cast(rank() over (order by n_chars) as bigint) - 1) * 1000000"
             " div (count(1) over ()) as long)"
         ).alias("quantile_micro"),
     )
