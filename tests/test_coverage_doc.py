@@ -35,7 +35,10 @@ def test_every_query_is_documented():
 
 def test_driver_attestation_block_in_sync():
     """The generated driver-attestation block must match a fresh
-    regeneration from the CORRECTNESS_r*.json files (VERDICT r2 #5)."""
+    regeneration from the CORRECTNESS_r*.json rounds the block itself
+    records (VERDICT r2 #5, round-robust per VERDICT r3 #1): the driver
+    dropping a NEWER artifact after round close must not go red — only
+    an edit that desyncs the block from its own declared inputs does."""
     import sys
 
     sys.path.insert(0, str(DOC.parent / "scripts"))
@@ -43,7 +46,9 @@ def test_driver_attestation_block_in_sync():
 
     text = DOC.read_text()
     assert attestation.BEGIN in text, "attestation block missing"
-    expected = attestation.render(sorted(QUERIES))
+    rounds = attestation.doc_rounds(text)
+    assert rounds, "attestation block lacks a 'Generated from:' round list"
+    expected = attestation.render(sorted(QUERIES), rounds)
     start = text.index(attestation.BEGIN)
     end = text.index(attestation.END) + len(attestation.END)
     assert text[start:end] == expected, (
