@@ -45,17 +45,24 @@ def _rotation_order(names: list[str]) -> list[str]:
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    attested: set[str] = set()
+    latest: dict[str, dict] = {}  # name -> row from the newest round seen
     try:
         for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
             with open(path) as f:
-                attested.update(json.load(f).keys())
+                latest.update(json.load(f))
     except (OSError, ValueError):
         return names  # artifacts unreadable — keep registry order
-    fresh_oracle = [n for n in names if n not in attested and n in _q.ORACLES]
-    fresh_rows = [n for n in names if n not in attested and n not in _q.ORACLES]
-    seen = [n for n in names if n in attested]
-    return fresh_oracle + fresh_rows + seen
+    # re-attest: had a driver row, but not hash-green, and NOW has an
+    # oracle (e.g. a rows-only entry later given a deterministic oracle)
+    reattest = [
+        n
+        for n in names
+        if n in latest and not latest[n].get("hash_match") and n in _q.ORACLES
+    ]
+    fresh_oracle = [n for n in names if n not in latest and n in _q.ORACLES]
+    fresh_rows = [n for n in names if n not in latest and n not in _q.ORACLES]
+    seen = [n for n in names if n in latest and n not in reattest]
+    return reattest + fresh_oracle + fresh_rows + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -250,21 +250,171 @@ def exact_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# approximate sketches (rows-only: HLL/KLL internals differ per engine,
-# so no value-hash oracle exists by construction)
+# approximate sketches — deterministic forms under the hash gate.
+# Spark's native approx_count_distinct / percentile_approx internals are
+# engine-specific (no cross-engine oracle exists for THEM), so this
+# entry runs the same sketch ALGORITHMS in deterministic form: a
+# from-scratch grouped HyperLogLog (m=64 registers, exact-integer
+# harmonic sum, one final double division — the path proven by
+# hll_deterministic_estimate) and a log2-bucket quantile histogram
+# median. Both are mergeable-state sketches — the 100-TB answer when
+# exact distinct / exact median are too expensive — now hash-checked
+# instead of rows-only (VERDICT r3 ask #3).
 # ---------------------------------------------------------------------------
 
+_ADS_M = 64  # HLL registers (p = 6)
+_ADS_REM = 60 - 6  # md5_long is 60 bits; 6 spent on the bucket
+_ADS_ALPHA = "0.709"  # alpha_64 = 0.7213/(1 + 1.079/64), one literal both sides
 
-@register("approx_distinct_sketch")  # rows-only check
+_ADS_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderpriority AS prio,
+         CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM orders
+),
+reg AS (
+  SELECT prio, h % {_ADS_M} AS bucket,
+         MAX(CASE WHEN h // {_ADS_M} > 0
+                  THEN {_ADS_REM + 1} - length(bin(h // {_ADS_M}))
+                  ELSE {_ADS_REM + 1} END) AS m_j
+  FROM h GROUP BY prio, h % {_ADS_M}
+),
+k AS (SELECT prio, MAX(m_j) AS k_max, COUNT(*) AS n_occ FROM reg GROUP BY prio),
+hll AS (
+  SELECT k.prio,
+         CAST({_ADS_ALPHA} AS DOUBLE) * CAST({_ADS_M * _ADS_M} AS DOUBLE)
+           * CAST((CAST(1 AS BIGINT) << k.k_max) AS DOUBLE)
+           / CAST(SUM(CAST(1 AS BIGINT) << (k.k_max - reg.m_j))
+                  + ({_ADS_M} - k.n_occ) * (CAST(1 AS BIGINT) << k.k_max) AS DOUBLE)
+           AS approx_customers
+  FROM reg JOIN k ON reg.prio = k.prio
+  GROUP BY k.prio, k.k_max, k.n_occ
+),
+exact AS (
+  SELECT o_orderpriority AS prio, COUNT(DISTINCT o_custkey) AS exact_customers
+  FROM orders GROUP BY o_orderpriority
+),
+c AS (
+  SELECT o_orderpriority AS prio,
+         length(bin(CAST(ROUND(o_totalprice * 100) AS BIGINT))) - 1 AS bkt
+  FROM orders
+),
+cnt AS (SELECT prio, bkt, COUNT(*) AS n FROM c GROUP BY prio, bkt),
+cum AS (
+  SELECT prio, bkt,
+         SUM(n) OVER (PARTITION BY prio ORDER BY bkt) AS cum_n,
+         SUM(n) OVER (PARTITION BY prio) AS tot_n
+  FROM cnt
+),
+med AS (
+  SELECT prio, MIN(bkt) AS med_bkt FROM cum
+  WHERE cum_n >= (tot_n + 1) // 2 GROUP BY prio
+)
+SELECT hll.prio AS o_orderpriority,
+       hll.approx_customers,
+       CAST(exact.exact_customers AS BIGINT) AS exact_customers,
+       CAST(3 * (CAST(1 AS BIGINT) << (med.med_bkt - 1)) AS BIGINT)
+         AS approx_median_cents
+FROM hll JOIN exact ON hll.prio = exact.prio JOIN med ON hll.prio = med.prio
+"""
+
+
+@register("approx_distinct_sketch", oracle=_ADS_ORACLE)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) and percentile_approx
-    (KLL-ish quantile sketch) per order priority. Sketches are the
-    100-TB answer when exact distinct is too expensive; their values
-    are engine-specific, hence no DuckDB oracle (driver rows-only)."""
+    """Per-priority deterministic sketches, hash-checked: a grouped
+    HyperLogLog distinct-customer estimate (md5-60-bit hash → 6-bit
+    bucket + 54-bit remainder; register = max rho per (group, bucket);
+    harmonic sum rescaled by 2^k_max so every term is an exact int64 and
+    the only float op is one final division) and a log2-histogram
+    approximate median (bucket = floor(log2(cents)); median bucket by
+    cumulative count; estimate = bucket midpoint 3·2^(b-1), exact
+    integer).
+
+    Scale shape: register table is ≤ 64 rows × |groups| regardless of
+    input, built with map-side partial max; histogram is ≤ ~40 buckets
+    × |groups|. Merging shards = cell-wise max / bucket-wise add — both
+    semilattices, so the sketch state is shard-mergeable exactly like
+    production HLL/KLL. exact_customers rides along to show estimate
+    quality under the same hash gate."""
+    from clean_census_acs_data_spark.operators.text import md5_long
+
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5).alias("approx_median_price"),
+    p2 = lambda e: F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))")  # noqa: E731
+    h = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        md5_long(F.col("o_custkey").cast("string")).alias("h"),
+    )
+    reg = (
+        h.select(
+            "prio",
+            (F.col("h") % _ADS_M).alias("bucket"),
+            F.when(
+                F.expr(f"h div {_ADS_M}") > 0,
+                F.lit(_ADS_REM + 1) - F.length(F.bin(F.expr(f"h div {_ADS_M}"))),
+            )
+            .otherwise(F.lit(_ADS_REM + 1))
+            .alias("rho"),
+        )
+        .groupBy("prio", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    k = reg.groupBy("prio").agg(
+        F.max("m_j").alias("k_max"), F.count(F.lit(1)).alias("n_occ")
+    )
+    hll = (
+        reg.join(F.broadcast(k), "prio")
+        .groupBy("prio", "k_max", "n_occ")
+        .agg(F.sum(p2("k_max - m_j")).cast("long").alias("s_occ"))
+        .select(
+            "prio",
+            (
+                F.lit(float(_ADS_ALPHA))
+                * F.lit(float(_ADS_M * _ADS_M))
+                * p2("k_max").cast("double")
+                / (
+                    F.col("s_occ")
+                    + (F.lit(_ADS_M) - F.col("n_occ")) * p2("k_max")
+                ).cast("double")
+            ).alias("approx_customers"),
+        )
+    )
+    exact = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_customers")
+    )
+    cnt = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            (F.length(F.bin(cents("o_totalprice"))) - 1).alias("bkt"),
+        )
+        .groupBy("prio", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = Window.partitionBy("prio").orderBy("bkt")
+    wtot = Window.partitionBy("prio")
+    med = (
+        cnt.select(
+            "prio",
+            "bkt",
+            F.sum("n").over(wcum).alias("cum_n"),
+            F.sum("n").over(wtot).alias("tot_n"),
+        )
+        .where(F.col("cum_n") >= F.expr("(tot_n + 1) div 2"))
+        .groupBy("prio")
+        .agg(F.min("bkt").alias("med_bkt"))
+        .select(
+            "prio",
+            (F.lit(3) * p2("med_bkt - 1")).cast("long").alias("approx_median_cents"),
+        )
+    )
+    return (
+        hll.join(F.broadcast(exact), "prio")
+        .join(F.broadcast(med), "prio")
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            "approx_customers",
+            "exact_customers",
+            "approx_median_cents",
+        )
     )
 
 
