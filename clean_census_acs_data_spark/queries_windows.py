@@ -485,32 +485,42 @@ def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_replay_source(spark)
-    # Size batches off the parquet footer so the run is always ~3
-    # micro-batches at ANY scale factor: per-micro-batch engine
-    # overhead (~2 s each) dominated the wall clock with a fixed
-    # batch_rows (5 batches at sf0.1), while sf0.01 degenerated to a
-    # single batch and never exercised the multi-batch path.
+    # Size batches off the parquet footer so the run is always exactly
+    # 2 micro-batches at ANY scale factor: per-micro-batch engine +
+    # Python-datasource overhead (~2 s each) dominates wall clock, and
+    # 2 is the minimum that still exercises the multi-batch offset path
+    # (a fixed batch_rows gave 5 batches at sf0.1 while sf0.01
+    # degenerated to a single batch). Offset/recovery depth beyond two
+    # batches is covered by tests/test_replay_stream.py.
     import pyarrow.parquet as pq
 
     n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     stream = (
         spark.readStream.format("parquet_replay")
         .option("path", f"{sf_dir}/documents.parquet")
-        .option("batch_rows", max(1, -(-n_rows // 3)))
+        .option("batch_rows", max(1, -(-n_rows // 2)))
         .load()
     )
     agg = stream.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
     )
+    # few state partitions: every micro-batch runs one task per state
+    # partition, so 32 over a test-sized stream is pure scheduling
+    # overhead (same rationale as streaming/windows._run_to_memory)
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -96,17 +96,36 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_memory(agg: DataFrame, mode: str = "append") -> DataFrame:
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+def _run_to_memory(
+    agg: DataFrame, mode: str = "append", state_partitions: int | None = 8
+) -> DataFrame:
+    """Run a streaming plan to a memory sink under Trigger.AvailableNow.
+
+    ``state_partitions`` temporarily lowers spark.sql.shuffle.partitions
+    while the query plans/runs: streaming state is partitioned by that
+    conf at FIRST run and every micro-batch then executes one task per
+    state partition, so 32 partitions over a test-sized stream is pure
+    scheduling overhead (~4x wall clock on the stream-stream join at
+    sf0.1 — VERDICT r3 ask #5). Results are partitioning-independent;
+    production sizing ties this to cluster cores via the same knob.
+    """
     spark = agg.sparkSession
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
