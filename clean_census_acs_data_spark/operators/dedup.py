@@ -31,9 +31,13 @@ from clean_census_acs_data_spark.operators.text import md5_long, shingles, token
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest id per identical text. Deterministic (unlike
-    dropDuplicates). Groups on sha2 so 100-TB shuffles carry 32-byte
-    keys; a final equality check inside each group guards against (astronomically
-    unlikely) hash collisions by grouping on (hash, text) pairs."""
+    dropDuplicates). Grouping key is the (sha2, text) PAIR, so full
+    bodies DO ride the shuffle — the output needs ``text`` anyway, and
+    map-side partial aggregation collapses volume to ~distinct docs
+    before exchange; the 32-byte hash in front keeps comparator cost
+    hash-first. To shuffle hashes only at 100 TB, group on sha2 alone
+    and re-join the winning ids to the corpus for bodies (one extra
+    scan, no wide rows in the exchange)."""
     return (
         df.groupBy(F.sha2(F.col(text_col), 256).alias("__h"), F.col(text_col))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))

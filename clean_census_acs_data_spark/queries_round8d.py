@@ -283,6 +283,9 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("sh") > 0)
         .cache()
     )
+    # eager materialization on purpose: the count()'s value is discarded
+    # — it exists to populate the cache ONCE before the sweep loop fans
+    # out, so the shingle pass isn't recomputed per (bands, rpb) config
     sh_tbl.count()
     hv = F.transform(F.col("sh"), lambda s: X.md5_long(s) % F.lit(D.MINHASH_M))
     sig = (
@@ -290,6 +293,8 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", *D.minhash_signature_from_hashes(F.col("hv"), 8))
         .cache()
     )
+    # same pattern: discarded count() warms the signature cache shared
+    # by every banding config below
     sig.count()
     outs = []
     for bands, rpb in _SWEEP_CONFIGS:
