@@ -817,3 +817,4 @@ from clean_census_acs_data_spark import queries_round8c  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round8d  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round8e  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round8f  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round9  # noqa: E402,F401

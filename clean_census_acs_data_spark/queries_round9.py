@@ -1,0 +1,477 @@
+"""Round-9 tier: Spark-4 engine surface (VARIANT, pipe-syntax SQL,
+collations) + RAG/training-data operators (MMR re-ranking, hard-negative
+mining, span corruption).
+
+- ``variant_extract_typed`` — semi-structured ingestion through the
+  VARIANT type: parse_json into variant, typed path extraction with
+  variant_get, missing-path null semantics with try_variant_get. The
+  modern engine path for JSON event payloads (replaces schema-on-write
+  structs when payloads drift); oracle = DuckDB JSON path extraction
+  over the identical JSON text.
+- ``sql_pipe_syntax`` — the same aggregation written in Spark 4 pipe
+  syntax (FROM ... |> WHERE ... |> AGGREGATE) and in ANSI SQL for the
+  oracle: two surfaces, one result, like sql_interface_rank.
+- ``collation_casefold_dedup`` — case-insensitive dedup accounting via
+  the UTF8_LCASE collation (engine-native casefold equality, usable in
+  GROUP BY/DISTINCT without materializing lower()); oracle lowers
+  explicitly.
+- ``mmr_rerank_topk`` — Maximal Marginal Relevance re-ranking of the
+  top-8 cosine candidates (greedy, 3 unrolled picks, score =
+  relevance − max-sim-to-selected at λ=0.5): the RAG answer to "the
+  top-k are all near-duplicates of each other". Tiny-data tail after
+  one scan — candidates are ≤8 rows, every join a broadcast.
+- ``hard_negative_mining`` — contrastive-training mining: per vector,
+  its strongest non-duplicate neighbor (IVF-blocked kNN, then a
+  below-duplicate-threshold filter and re-rank). Same bounded-list
+  scale shape as knn_join_ivf, one extra filter.
+- ``span_corruption_masks`` — T5-style span-corruption mask layout:
+  deterministic (hash-seeded) non-overlapping 3-token spans at ~15%
+  noise density, one row per span. Row-local integer math + one
+  explode; the masking plan a pretraining data loader executes.
+
+Determinism discipline per the package standard (queries.py module
+docstring): integer aggregation, md5-derived hashing recomputed
+identically in DuckDB, single post-hoc double divisions with fixed
+association, identical aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table, spread
+from clean_census_acs_data_spark.operators import similarity as S
+from clean_census_acs_data_spark.operators import text as X
+from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.queries_ext import H15, _dot, _quant_list
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: parse → typed path extraction (Spark 4 semi-structured path)
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+WITH j AS (
+  SELECT '{"k":' || CAST(o_orderkey AS VARCHAR)
+         || ',"p":"' || o_orderpriority
+         || '","c":{"cents":' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+         || '}}' AS payload
+  FROM orders
+)
+SELECT json_extract_string(payload, '$.p')                      AS prio,
+       CAST(COUNT(*) AS BIGINT)                                 AS n_rows,
+       CAST(SUM(CAST(json_extract(payload, '$.c.cents') AS BIGINT)) AS BIGINT)
+                                                                AS cents_sum,
+       CAST(MAX(CAST(json_extract(payload, '$.k') AS BIGINT)) AS BIGINT)
+                                                                AS max_key,
+       CAST(SUM(CASE WHEN json_extract(payload, '$.c.missing') IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)              AS n_missing
+FROM j
+GROUP BY json_extract_string(payload, '$.p')
+"""
+
+
+@register("variant_extract_typed", oracle=_VARIANT_ORACLE)
+def variant_extract_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through VARIANT: build a JSON payload
+    per order (identical text both engines), parse_json → VariantType,
+    then typed path extraction (variant_get '$.p' string / '$.c.cents'
+    long / '$.k' long) and missing-path null semantics
+    (try_variant_get '$.c.missing' → NULL, counted).
+
+    Scale shape: VARIANT is Spark's shredded semi-structured storage
+    type — extraction is a columnar kernel, not string re-parsing per
+    path, and group-by/agg over extracted fields gets ordinary partial
+    aggregation. This is the plan shape for event-payload analytics
+    where the payload schema drifts faster than DDL."""
+    o = _t(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit('{"k":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"p":"'),
+        F.col("o_orderpriority"),
+        F.lit('","c":{"cents":'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("}}"),
+    )
+    v = o.select(F.parse_json(payload).alias("v"))
+    return (
+        v.select(
+            F.variant_get("v", "$.p", "string").alias("prio"),
+            F.variant_get("v", "$.c.cents", "long").alias("cents"),
+            F.variant_get("v", "$.k", "long").alias("k"),
+            F.try_variant_get("v", "$.c.missing", "long").alias("missing"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+            F.max("k").cast("long").alias("max_key"),
+            F.sum(F.when(F.col("missing").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipe-syntax SQL (Spark 4 |> operator chain)
+# ---------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle's filter-aggregate written in Spark 4 pipe syntax —
+    FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY — proving the
+    second SQL dialect surface produces the identical result (the
+    sql_interface_rank pattern, one dialect further). Pipe stages are
+    sugar over the same logical plan: Catalyst still sees
+    filter→project→aggregate and pushes the filter into the scan."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__pipe_lineitem")
+    return spark.sql(
+        """
+        FROM __pipe_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(cents) AS BIGINT) AS cents_sum
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_items, cents_sum
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# collation-aware casefold dedup accounting
+# ---------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+       CAST(COUNT(DISTINCT lower(text)) AS BIGINT) AS n_casefold_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT lower(text)) AS BIGINT) AS n_case_dups
+FROM documents
+GROUP BY source
+"""
+
+
+@register("collation_casefold_dedup", oracle=_COLLATE_ORACLE)
+def collation_casefold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive duplicate accounting via the UTF8_LCASE
+    collation: COUNT(DISTINCT collate(text)) groups case variants
+    without materializing a lowered copy of every document — the
+    engine-native form of casefold dedup (Spark 4 collations). Oracle
+    lowers explicitly; on this corpus the two are equal by definition
+    of UTF8_LCASE equality.
+
+    Scale shape: distinct-aggregation on a collated key is the same
+    two-phase partial/final plan as any COUNT(DISTINCT); the collation
+    affects the comparator, not the movement. For the survivor-
+    selection form, group on the collated column and min(doc_id) —
+    exact_dedup's plan with a collated key."""
+    d = _t(spark, sf_dir, "documents")
+    folded = F.collate(F.col("text"), "UTF8_LCASE")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(folded).cast("long").alias("n_casefold_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(folded))
+        .cast("long")
+        .alias("n_case_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking — RAG result diversification (greedy, 3 unrolled picks)
+# ---------------------------------------------------------------------------
+
+_MMR_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
+qq AS (SELECT q AS qv, {_dot("q", "q")} AS qn2 FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, q, {_dot("q", "q")} AS n2,
+         CAST({_dot("q", "qv")} AS DOUBLE) /
+         (sqrt(CAST({_dot("q", "q")} AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS rel
+  FROM e, qq WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id LIMIT 8
+),
+p1 AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+s1 AS (
+  SELECT c.vec_id, c.q, c.n2, c.rel,
+         CAST({_dot("c.q", "p1.q")} AS DOUBLE) /
+         (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(p1.n2 AS DOUBLE))) AS sim1
+  FROM cand c, p1 WHERE c.vec_id <> p1.vec_id
+),
+p2 AS (SELECT * FROM s1 ORDER BY (rel - sim1) DESC, vec_id LIMIT 1),
+s2 AS (
+  SELECT t.vec_id, t.rel,
+         CASE WHEN t.sim2 > t.sim1 THEN t.sim2 ELSE t.sim1 END AS maxsim
+  FROM (
+    SELECT s1.vec_id, s1.rel, s1.sim1,
+           CAST({_dot("s1.q", "p2.q")} AS DOUBLE) /
+           (sqrt(CAST(s1.n2 AS DOUBLE)) * sqrt(CAST(p2.n2 AS DOUBLE))) AS sim2
+    FROM s1, p2 WHERE s1.vec_id <> p2.vec_id
+  ) t
+),
+p3 AS (SELECT vec_id, rel, maxsim FROM s2
+       ORDER BY (rel - maxsim) DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id,
+       rel AS relevance, CAST(0 AS DOUBLE) AS max_sim_selected
+FROM p1
+UNION ALL
+SELECT CAST(2 AS BIGINT), vec_id, rel, sim1 FROM p2
+UNION ALL
+SELECT CAST(3 AS BIGINT), vec_id, rel, maxsim FROM p3
+"""
+
+
+@register("mmr_rerank_topk", oracle=_MMR_ORACLE)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the exact top-8
+    cosine candidates for query vec 0, greedily pick 3 — each pick
+    maximizes relevance − max-similarity-to-already-picked (λ=0.5 up to
+    a positive factor), vec_id tiebreak. The RAG diversification step
+    that stops a retrieval page being n copies of one document.
+
+    Scale shape: the corpus-sized work is the ONE candidate-generation
+    scan (here brute-force top-8; at 100 TB the IVF/LSH entries feed
+    the same shape); the greedy loop runs over k≈8 driver-bounded rows
+    — every join below the limit is a broadcast of ≤8 rows, so the
+    unrolled picks cost nothing at any corpus size. Doubles derive from
+    integer dots with one fixed-association division each — the proven
+    hash-stable cosine path."""
+    base = S._quantized(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    qq = base.where(F.col("vec_id") == 0).select(
+        F.col("__q").alias("qv"), F.col("__n2").alias("qn2")
+    )
+    cand = (
+        spread(base.where(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            "__q",
+            "__n2",
+            S.cosine(
+                S._dot_q(F.col("__q"), F.col("qv")), F.col("__n2"), F.col("qn2")
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(8)
+    )
+    p1 = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
+    s1 = (
+        cand.crossJoin(
+            F.broadcast(
+                p1.select(
+                    F.col("vec_id").alias("pv"),
+                    F.col("__q").alias("pq"),
+                    F.col("__n2").alias("pn2"),
+                )
+            )
+        )
+        .where(F.col("vec_id") != F.col("pv"))
+        .select(
+            "vec_id",
+            "__q",
+            "__n2",
+            "rel",
+            S.cosine(
+                S._dot_q(F.col("__q"), F.col("pq")), F.col("__n2"), F.col("pn2")
+            ).alias("sim1"),
+        )
+    )
+    p2 = s1.orderBy(F.desc(F.col("rel") - F.col("sim1")), F.asc("vec_id")).limit(1)
+    s2 = (
+        s1.crossJoin(
+            F.broadcast(
+                p2.select(
+                    F.col("vec_id").alias("pv2"),
+                    F.col("__q").alias("pq2"),
+                    F.col("__n2").alias("pn22"),
+                )
+            )
+        )
+        .where(F.col("vec_id") != F.col("pv2"))
+        .select(
+            "vec_id",
+            "rel",
+            "sim1",
+            S.cosine(
+                S._dot_q(F.col("__q"), F.col("pq2")), F.col("__n2"), F.col("pn22")
+            ).alias("sim2"),
+        )
+        .select(
+            "vec_id",
+            "rel",
+            F.when(F.col("sim2") > F.col("sim1"), F.col("sim2"))
+            .otherwise(F.col("sim1"))
+            .alias("maxsim"),
+        )
+    )
+    p3 = s2.orderBy(F.desc(F.col("rel") - F.col("maxsim")), F.asc("vec_id")).limit(1)
+    out1 = p1.select(
+        F.lit(1).cast("long").alias("mmr_rank"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.lit(0.0).cast("double").alias("max_sim_selected"),
+    )
+    out2 = p2.select(
+        F.lit(2).cast("long").alias("mmr_rank"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.col("sim1").alias("max_sim_selected"),
+    )
+    out3 = p3.select(
+        F.lit(3).cast("long").alias("mmr_rank"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.col("maxsim").alias("max_sim_selected"),
+    )
+    return out1.unionAll(out2).unionAll(out3)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining — strongest non-duplicate neighbor per vector
+# ---------------------------------------------------------------------------
+
+_HARDNEG_DUP_T = "0.98"  # cosine above this = duplicate, not a negative
+
+
+def _hardneg_oracle() -> str:
+    from clean_census_acs_data_spark.queries_round7 import _KNN_JOIN_ORACLE
+
+    return f"""
+WITH knn AS ({_KNN_JOIN_ORACLE})
+SELECT vec_id, neighbor_id AS hard_negative_id, cosine
+FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM knn WHERE cosine <= {_HARDNEG_DUP_T}
+) WHERE rn = 1
+"""
+
+
+@register("hard_negative_mining", oracle=_hardneg_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard negatives: per vector, the strongest
+    neighbor whose cosine is BELOW the duplicate threshold — close
+    enough to be informative, far enough to be a true negative. Built
+    on knn_join_ivf's bounded IVF candidate lists (sqrt(n) codebook,
+    capped lists), so the mining inherits its 100-TB shape; the filter
+    and per-vector re-rank are a WindowGroupLimit over ≤3 rows each.
+
+    In production the duplicate gate is the verified near-dup pair
+    table rather than a raw cosine threshold (anti-join against
+    standard_near_dup_pairs — same plan, keyed gate); the threshold
+    form keeps the oracle self-contained."""
+    from pyspark.sql.window import Window
+
+    from clean_census_acs_data_spark.queries_round7 import knn_join_ivf
+
+    knn = knn_join_ivf(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        knn.where(F.col("cosine") <= float(_HARDNEG_DUP_T))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("neighbor_id").alias("hard_negative_id"), "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span-corruption mask layout (deterministic)
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3
+_SPAN_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, length(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tok,
+         (n_tok * 15) // 100 // {_SPAN_LEN} AS n_spans,
+         n_tok // (CASE WHEN (n_tok * 15) // 100 // {_SPAN_LEN} > 0
+                        THEN (n_tok * 15) // 100 // {_SPAN_LEN} ELSE 1 END)
+           AS stride
+  FROM d
+),
+k AS (
+  SELECT doc_id, n_tok, stride,
+         unnest(generate_series(1, CAST(n_spans AS INT))) AS span_idx
+  FROM s WHERE n_spans >= 1
+)
+SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+       CAST((span_idx - 1) * stride
+            + {H15.format(x="CAST(doc_id AS VARCHAR) || '#' || CAST(span_idx AS VARCHAR)")}
+              % (CASE WHEN stride - {_SPAN_LEN} > 0
+                      THEN stride - {_SPAN_LEN} ELSE 1 END) AS BIGINT)
+         AS start_tok,
+       CAST({_SPAN_LEN} AS BIGINT) AS span_len
+FROM k
+"""
+
+
+@register("span_corruption_masks", oracle=_SPAN_ORACLE)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption layout: per document, ~15% of tokens
+    covered by fixed-length 3-token spans, one row per span. Spans are
+    non-overlapping BY CONSTRUCTION — the document is cut into
+    n_spans strides and each span jitters inside its own stride via a
+    deterministic md5 offset (hash of doc_id#span_idx, recomputed
+    identically in DuckDB) — so re-runs mask identical positions, the
+    property a reproducible pretraining dataloader needs.
+
+    Scale shape: row-local integer math plus one explode of an
+    in-row sequence; no shuffle at all — the whole plan is a single
+    narrow projection pipeline at any corpus size."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    n_spans = F.expr(f"n_tok * 15 div 100 div {_SPAN_LEN}")
+    s = d.select(
+        "doc_id",
+        "n_tok",
+        n_spans.alias("n_spans"),
+        F.expr(
+            f"n_tok div (CASE WHEN n_tok * 15 div 100 div {_SPAN_LEN} > 0 "
+            f"THEN n_tok * 15 div 100 div {_SPAN_LEN} ELSE 1 END)"
+        ).alias("stride"),
+    ).where(F.col("n_spans") >= 1)
+    k = s.select(
+        "doc_id",
+        "stride",
+        F.explode(F.sequence(F.lit(1), F.col("n_spans").cast("int"))).alias(
+            "span_idx"
+        ),
+    )
+    jitter = X.md5_long(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit("#"), F.col("span_idx").cast("string")
+        )
+    ) % F.expr(
+        f"CASE WHEN stride - {_SPAN_LEN} > 0 THEN stride - {_SPAN_LEN} ELSE 1 END"
+    )
+    return k.select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        ((F.col("span_idx") - 1) * F.col("stride") + jitter)
+        .cast("long")
+        .alias("start_tok"),
+        F.lit(_SPAN_LEN).cast("long").alias("span_len"),
+    )
