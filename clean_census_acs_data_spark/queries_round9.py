@@ -475,3 +475,290 @@ def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("start_tok"),
         F.lit(_SPAN_LEN).cast("long").alias("span_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style late-interaction retrieval (MaxSim over sub-vectors)
+# ---------------------------------------------------------------------------
+
+_CB_SLICES = [(1, 16), (17, 32), (33, 48), (49, 64)]
+
+
+def _cb_sql_parts() -> tuple[str, str, str]:
+    """(e_cols, q_cols, score_expr) for the DuckDB oracle — generated so
+    the 4x4 MaxSim grid is written once, not hand-copied 16 times."""
+    parts = []
+    for i, (lo, hi) in enumerate(_CB_SLICES):
+        ql = _quant_list(f"embedding[{lo}:{hi}]")
+        parts.append(f"{ql} AS t{i}, {_dot(ql, ql)} AS n{i}")
+    e_cols = ", ".join(parts)
+    q_cols = ", ".join(
+        f"t{i} AS qt{i}, n{i} AS qn{i}" for i in range(len(_CB_SLICES))
+    )
+    cos = (
+        lambda qi, di: f"CAST({_dot(f'q.qt{qi}', f'd.t{di}')} AS DOUBLE) / "
+        f"(sqrt(CAST(q.qn{qi} AS DOUBLE)) * sqrt(CAST(d.n{di} AS DOUBLE)))"
+    )
+    ms = [
+        "greatest(" + ", ".join(cos(qi, di) for di in range(4)) + ")"
+        for qi in range(4)
+    ]
+    score = f"(({ms[0]} + {ms[1]}) + {ms[2]}) + {ms[3]}"
+    return e_cols, q_cols, score
+
+
+_CB_E, _CB_Q, _CB_SCORE = _cb_sql_parts()
+
+_COLBERT_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_CB_E} FROM embeddings),
+q AS (SELECT {_CB_Q} FROM e WHERE vec_id = 0),
+d AS (SELECT * FROM e WHERE vec_id <> 0)
+SELECT d.vec_id, {_CB_SCORE} AS maxsim_score
+FROM d, q
+ORDER BY maxsim_score DESC, d.vec_id
+LIMIT 10
+"""
+
+
+@register("colbert_maxsim_topk", oracle=_COLBERT_ORACLE)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval: treat each 64-dim
+    embedding as 4 sub-vectors of 16 dims; score(query, doc) =
+    Σ_{query sub-vec} max_{doc sub-vec} cosine — the MaxSim kernel that
+    beats single-vector cosine when different parts of a document match
+    different parts of the query. Top-10 for query vec 0.
+
+    Determinism: all 16 cell cosines are integer-dot/fixed-association
+    doubles; the 4-way max is order-free; the 4-term sum is written as
+    one fixed left-assoc expression (NOT a SUM aggregate), so the score
+    is bit-identical across engines. Scale shape: row-local 4×4 grid —
+    a narrow projection over one scan feeding TakeOrderedAndProject; at
+    100 TB the candidate set comes from the IVF/LSH entries first and
+    this kernel re-scores candidates only."""
+    from clean_census_acs_data_spark.operators.similarity import _quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cols = []
+    for i, (lo, _hi) in enumerate(_CB_SLICES):
+        qv = F.transform(F.slice("embedding", lo, 16), lambda x: _quant(x))
+        cols.append(qv.alias(f"t{i}"))
+    e = emb.select("vec_id", *cols)
+    for i in range(4):
+        e = e.withColumn(f"n{i}", S._dot_q(F.col(f"t{i}"), F.col(f"t{i}")))
+    q = e.where(F.col("vec_id") == 0).select(
+        *[F.col(f"t{i}").alias(f"qt{i}") for i in range(4)],
+        *[F.col(f"n{i}").alias(f"qn{i}") for i in range(4)],
+    )
+    d = spread(e.where(F.col("vec_id") != 0)).crossJoin(F.broadcast(q))
+    ms = [
+        F.greatest(
+            *[
+                S.cosine(
+                    S._dot_q(F.col(f"qt{qi}"), F.col(f"t{di}")),
+                    F.col(f"qn{qi}"),
+                    F.col(f"n{di}"),
+                )
+                for di in range(4)
+            ]
+        )
+        for qi in range(4)
+    ]
+    score = ((ms[0] + ms[1]) + ms[2]) + ms[3]
+    return (
+        d.select("vec_id", score.alias("maxsim_score"))
+        .orderBy(F.desc("maxsim_score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RLHF-style preference-pair mining from quality ranks
+# ---------------------------------------------------------------------------
+
+_PREF_ORACLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn_best,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars ASC, doc_id)  AS rn_worst,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT b.source, CAST(b.rn_best AS BIGINT) AS pair_idx,
+       b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+       CAST(b.n_chars AS BIGINT) AS chosen_chars,
+       CAST(w.n_chars AS BIGINT) AS rejected_chars
+FROM ranked b JOIN ranked w
+  ON b.source = w.source AND b.rn_best = w.rn_worst
+WHERE b.rn_best <= b.n // 4
+"""
+
+
+@register("preference_pair_mining", oracle=_PREF_ORACLE)
+def preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training:
+    within each source, pair the i-th highest-quality document with the
+    i-th lowest (quality proxy: n_chars, doc_id tiebreak), taking the
+    top quartile — maximally-separated pairs first, deterministic under
+    re-runs. Production swaps in the model quality score; the plan is
+    identical (two ranks over one partition + an equi self-join on
+    (source, idx), both sides already partitioned by source)."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ww = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wn = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wb).alias("rn_best"),
+        F.row_number().over(ww).alias("rn_worst"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = ranked.select(
+        "source",
+        F.col("rn_best").alias("idx"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("n_chars").alias("chosen_chars"),
+        "n",
+    )
+    w = ranked.select(
+        "source",
+        F.col("rn_worst").alias("idx"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("n_chars").alias("rejected_chars"),
+    )
+    return (
+        b.join(w, ["source", "idx"])
+        .where(F.col("idx") <= F.expr("n div 4"))
+        .select(
+            "source",
+            F.col("idx").cast("long").alias("pair_idx"),
+            "chosen_doc",
+            "rejected_doc",
+            F.col("chosen_chars").cast("long"),
+            F.col("rejected_chars").cast("long"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (target-domain log-ratio selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS c_all FROM tok GROUP BY w),
+tgt AS (SELECT w, COUNT(*) AS c_tgt FROM tok WHERE source = '{_DSIR_TARGET}' GROUP BY w),
+tots AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS t_all,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM tok WHERE source = '{_DSIR_TARGET}') AS t_tgt,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM vocab
+),
+wt AS (
+  SELECT vocab.w,
+         CAST(ROUND(ln(
+           (CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE) / CAST(tots.t_tgt + tots.v AS DOUBLE))
+           / (CAST(vocab.c_all + 1 AS DOUBLE) / CAST(tots.t_all + tots.v AS DOUBLE))
+         ) * 1000000.0) AS BIGINT) AS w_e6
+  FROM vocab LEFT JOIN tgt ON vocab.w = tgt.w, tots
+),
+tf AS (
+  SELECT doc_id, source, w, COUNT(*) AS f FROM tok
+  WHERE source <> '{_DSIR_TARGET}' GROUP BY doc_id, source, w
+),
+scored AS (
+  SELECT tf.doc_id, tf.source,
+         CAST(SUM(tf.f) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.f * wt.w_e6) AS DOUBLE) / CAST(SUM(tf.f) AS DOUBLE)
+           AS avg_logratio_e6
+  FROM tf JOIN wt USING (w)
+  GROUP BY tf.doc_id, tf.source
+)
+SELECT doc_id, source, n_tokens, avg_logratio_e6
+FROM scored
+ORDER BY avg_logratio_e6 DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("dsir_importance_select", oracle=_DSIR_ORACLE)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every non-target document by
+    its average token log-ratio ln(p_target / p_corpus) (add-one
+    smoothed unigram LMs, target domain = source '{target}'), select
+    the top-20 most-target-like — the importance-resampling step that
+    tilts a general crawl toward a target domain before pretraining.
+
+    Determinism: ln quantized to integer micro-nats per TOKEN TYPE
+    (the lm_unigram_surprisal discipline), integer tf-weighted sums,
+    one final division. Scale shape: both LMs are vocab-sized tables
+    built with partial aggregation; scoring a 100-TB crawl is one
+    broadcast join of the weight table onto per-doc tf — no rescan of
+    the target corpus per batch.""".format(target=_DSIR_TARGET)
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_all"))
+    tgt = (
+        tok.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    t_all = vocab.agg(
+        F.sum("c_all").cast("long").alias("t_all"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    t_tgt = (
+        tok.where(F.col("source") == _DSIR_TARGET)
+        .agg(F.count(F.lit(1)).cast("long").alias("t_tgt"))
+    )
+    wt = (
+        vocab.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(t_all))
+        .crossJoin(F.broadcast(t_tgt))
+        .select(
+            "w",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_tgt") + F.col("v")).cast("double")
+                    )
+                    / (
+                        (F.col("c_all") + 1).cast("double")
+                        / (F.col("t_all") + F.col("v")).cast("double")
+                    )
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("w_e6"),
+        )
+    )
+    tf = (
+        tok.where(F.col("source") != _DSIR_TARGET)
+        .groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        tf.join(wt, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("f").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("f") * F.col("w_e6")).cast("double")
+                / F.sum("f").cast("double")
+            ).alias("avg_logratio_e6"),
+        )
+        .orderBy(F.desc("avg_logratio_e6"), F.asc("doc_id"))
+        .limit(20)
+    )
