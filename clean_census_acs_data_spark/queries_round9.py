@@ -762,3 +762,89 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_logratio_e6"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout — space-filling clustering beyond Z-order
+# ---------------------------------------------------------------------------
+
+_HILBERT_N = 256  # 8-bit curve over a 256x256 grid
+
+
+def _hilbert_sql(table: str) -> str:
+    """One SQL text for BOTH engines: the 8 loop iterations of the
+    Wikipedia xy2d conversion unrolled as chained CTE stages. Pure
+    CASE + bitwise-& expressions (the (3*rx) XOR ry quadrant code is a
+    4-way CASE), so the text parses identically in Spark and DuckDB —
+    the sql_interface_rank discipline. Bijectivity + unit-step
+    adjacency of the generated curve are pinned by
+    tests/test_hilbert.py on a full 16x16 grid."""
+    n = _HILBERT_N
+    sql = (
+        f"WITH p0 AS (SELECT o_orderkey AS k, o_orderkey % {n} AS x, "
+        f"CAST(ROUND(o_totalprice * 100) AS BIGINT) % {n} AS y, "
+        f"CAST(0 AS BIGINT) AS d FROM {table})"
+    )
+    prev = "p0"
+    s = n // 2
+    i = 0
+    while s > 0:
+        cur = f"p{i + 1}"
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        quad = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 THEN 1 WHEN {ry} = 0 THEN 3 ELSE 2 END)"
+        )
+        newx = (
+            f"(CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {n - 1} - y ELSE y END) ELSE x END)"
+        )
+        newy = (
+            f"(CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {n - 1} - x ELSE x END) ELSE y END)"
+        )
+        sql += (
+            f", {cur} AS (SELECT k, {newx} AS x, {newy} AS y, "
+            f"d + {s * s} * {quad} AS d FROM {prev})"
+        )
+        prev = cur
+        s //= 2
+        i += 1
+    # locality audit: 16 contiguous curve buckets; a good space-filling
+    # order gives each bucket a small bounding box over the ORIGINAL
+    # coords, so re-derive x/y from p0 by key
+    # bucket = d div 4096; written as floor(d / 4096.0) because Spark
+    # has no // operator and the two engines' CAST-of-fractional rules
+    # differ — d < 2^16 and 4096 = 2^12 make the double division exact
+    sql += f"""
+SELECT CAST(floor({prev}.d / 4096.0) AS BIGINT) AS curve_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN({prev}.d) AS BIGINT) AS d_min,
+       CAST(MAX({prev}.d) AS BIGINT) AS d_max,
+       CAST((MAX(p0.x) - MIN(p0.x) + 1) * (MAX(p0.y) - MIN(p0.y) + 1) AS BIGINT)
+         AS bbox_area
+FROM {prev} JOIN p0 ON {prev}.k = p0.k
+GROUP BY CAST(floor({prev}.d / 4096.0) AS BIGINT)
+"""
+    return sql
+
+
+@register("hilbert_curve_layout", oracle=_hilbert_sql("orders"))
+def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert space-filling layout code over (o_orderkey, cents) mod
+    256 — the locality-preserving alternative to zorder_morton (Hilbert
+    has no Z-order diagonal jumps, so range scans touch fewer files):
+    the xy2d bit loop unrolled into 8 CTE stages, then a 16-bucket
+    locality audit (points per contiguous curve range + the bounding
+    box they span in the original key space).
+
+    Identical SQL text runs in both engines (pure CASE + bitwise-&,
+    generated once — no dialect fork to drift). Scale shape: the curve
+    code is row-local integer math (zero shuffles until the audit agg);
+    as a WRITE layout it's sortWithinPartitions(hilbert_d) exactly like
+    write_zorder_layout, giving parquet min/max stats 2-D locality."""
+    from clean_census_acs_data_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_hilbert_sql("orders"))
