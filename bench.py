@@ -258,6 +258,12 @@ SECONDARY = [
     "hll_merge_across_sources",
 ]
 
+# every registered query not already listed joins SECONDARY — the
+# registry is the source of truth, so a new entry can never be silently
+# unbenched (the r4 additions were invisible to the static list)
+_listed = set(HEADLINE) | set(SECONDARY)
+SECONDARY += [n for n in QUERIES if n not in _listed]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -268,6 +274,15 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not first-touch JIT
     QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    # likewise the two session-level one-time costs that otherwise land
+    # on whichever SECONDARY entry runs first: the streaming engine's
+    # first-query init (~7 s: state-store + micro-batch machinery) and
+    # the Python-datasource first use (~3 s: worker-pool spawn). Warmed
+    # at the smallest fixture so the cost is the init, not data.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        QUERIES["streaming_tumbling_watermark"](spark, warm_dir).collect()
+        QUERIES["streaming_replay_source"](spark, warm_dir).collect()
 
     def run(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
