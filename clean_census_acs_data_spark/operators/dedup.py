@@ -373,9 +373,19 @@ def standard_near_dup_pairs(
     pairs = _STD_PAIRS_MEMO.get(key)
     if pairs is None:
         docs = plant_near_dups(load_table(spark, sf_dir, "documents"))
-        pairs = minhash_lsh_pairs(
-            docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.0
-        ).cache()
+        # the superset is dimension-sized (collisions, not corpus), but
+        # uncoalesced it inherits ~2x shuffle partitions from the band
+        # union — every consumer then pays 64 scan tasks per cached
+        # read. One tiny extra shuffle down to 8 partitions here makes
+        # all ~12 downstream iterative/join consumers cheap; at 100 TB
+        # this is the compaction step before persisting the pair table.
+        pairs = (
+            minhash_lsh_pairs(
+                docs, num_hashes=8, bands=4, shingle_n=3, threshold=0.0
+            )
+            .repartition(8)
+            .cache()
+        )
         _STD_PAIRS_MEMO[key] = pairs
     if threshold > 0.0:
         return pairs.where(F.col("jaccard") >= threshold)

@@ -211,4 +211,8 @@ def sessionize_events_availablenow(
         .option("pathGlobFilter", "b*.parquet")
         .parquet(stage)
     )
+    # default state partitions (8 via _run_to_memory): unlike the JVM
+    # streaming entries this one is bound by per-GROUP pandas apply
+    # cost in the Python state workers, so it wants the parallelism —
+    # 4 partitions measured slower, not faster
     return _run_to_memory(sessionize_with_state(stream, gap=gap, watermark=watermark))
