@@ -848,3 +848,192 @@ def hilbert_curve_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_hilbert_sql("orders"))
+
+
+# ---------------------------------------------------------------------------
+# XML source round-trip (Spark 4 built-in XML reader/writer)
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation
+"""
+
+
+@register("xml_source_roundtrip", oracle=_XML_ORACLE)
+def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 built-in XML connector, proven lossless end-to-end: the
+    nation table written as XML (one <nation> element per row) and read
+    back through the schema-inferring XML reader; the oracle reads the
+    original parquet, so a hash match certifies the round-trip. The
+    third self-describing text format after CSV/JSON — the ingestion
+    path for feed-style enterprise data.
+
+    Scale shape: the XML write is one file per task like any Spark
+    sink; reads split by element boundary. Typed columns are re-cast
+    explicitly because XML carries no type system (everything the
+    reader infers must be pinned, or drift in inference rules would
+    change the schema under us)."""
+    import hashlib
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/sparkgraft_xml_{tag}"
+    n.coalesce(1).write.mode("overwrite").format("xml").option(
+        "rowTag", "nation"
+    ).save(path)
+    back = spark.read.format("xml").option("rowTag", "nation").load(path)
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# observation metrics (in-flight data-quality counters)
+# ---------------------------------------------------------------------------
+
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+"""
+
+
+@register("observed_write_metrics", oracle=_OBSERVE_ORACLE)
+def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API: data-quality counters harvested from a
+    query IN FLIGHT (df.observe + accumulator-backed metrics), not by a
+    second scan — how a production write job reports row counts and
+    domain violations at zero extra cost. The observed metrics are
+    returned as a one-row DataFrame and hash-checked against a plain
+    aggregate oracle, proving observe() counts exactly what a second
+    aggregation pass would.
+
+    Scale shape: observe adds a CollectMetrics node over the streaming
+    pass — no extra shuffle, no extra scan; the noop-sink action below
+    is the write such a job performs anyway."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    obs = Observation("write_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_sum"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("long")
+        .alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["cents_sum"]), int(m["n_discounted"]))],
+        "n_rows bigint, cents_sum bigint, n_discounted bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# parameterized SQL (named-argument queries)
+# ---------------------------------------------------------------------------
+
+_PARAM_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0
+GROUP BY o_orderstatus
+"""
+
+
+@register("parameterized_sql_query", oracle=_PARAM_ORACLE)
+def parameterized_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): parameter
+    markers bind as literal expressions AFTER parsing, so user values
+    can never splice into the query text — the injection-safe surface a
+    multi-tenant engine endpoint needs (vs the f-string SQL it
+    replaces). Values here are the oracle's literals, proving binding
+    semantics match inlining."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents_sum
+        FROM __param_orders
+        WHERE o_orderpriority = :prio AND o_totalprice > :min_price
+        GROUP BY o_orderstatus
+        """,
+        args={"prio": "1-URGENT", "min_price": 1000.0},
+    )
+
+
+# ---------------------------------------------------------------------------
+# curriculum phase assignment (quality-ordered NTILE)
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = """
+WITH phased AS (
+  SELECT doc_id, n_chars,
+         NTILE(3) OVER (ORDER BY n_chars, doc_id) AS phase
+  FROM documents
+)
+SELECT CAST(phase AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM phased
+GROUP BY phase
+"""
+
+
+@register("curriculum_phase_assign", oracle=_CURRICULUM_ORACLE)
+def curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: documents ordered by a
+    difficulty proxy (length, doc_id tiebreak) and cut into 3 equal
+    phases with NTILE — short/easy documents first. Output is the
+    per-phase profile a dataloader manifest records.
+
+    Scale note: a single global NTILE is a total sort; at 100 TB the
+    same cut comes from range_partition_boundaries (exact rank cuts on
+    an aggregated histogram) — this entry pins the semantics, that one
+    the scalable plan."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "n_chars", F.ntile(3).over(w).alias("phase"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.col("phase").cast("long").alias("phase"),
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            "total_chars",
+        )
+    )
