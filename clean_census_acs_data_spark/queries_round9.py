@@ -1005,6 +1005,112 @@ GROUP BY phase
 """
 
 
+_CASCADE_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), "
+    "' +', ' '))"
+)
+
+
+def _cascade_oracle() -> str:
+    from clean_census_acs_data_spark.queries_ext import _MINHASH_ORACLE, _PLANTED_DOCS
+
+    return f"""
+WITH base AS ({_PLANTED_DOCS}),
+s1 AS (SELECT MIN(doc_id) AS doc_id, text FROM base GROUP BY text),
+s2 AS (SELECT MIN(doc_id) AS doc_id
+       FROM s1 GROUP BY {_CASCADE_NORM}),
+pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.strip()})
+          WHERE jaccard >= 0.8),
+s3 AS (
+  SELECT s.doc_id FROM s2 s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p JOIN s2 keeper ON keeper.doc_id = p.doc_a
+    WHERE p.doc_b = s.doc_id AND p.doc_a < s.doc_id
+  )
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM base) AS n0,
+         (SELECT COUNT(*) FROM s1)   AS n1,
+         (SELECT COUNT(*) FROM s2)   AS n2,
+         (SELECT COUNT(*) FROM s3)   AS n3
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'exact' AS method,
+       CAST(n0 AS BIGINT) AS docs_in, CAST(n0 - n1 AS BIGINT) AS docs_removed,
+       CAST(n1 AS BIGINT) AS docs_out FROM counts
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'normalized', CAST(n1 AS BIGINT),
+       CAST(n1 - n2 AS BIGINT), CAST(n2 AS BIGINT) FROM counts
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'near_dup', CAST(n2 AS BIGINT),
+       CAST(n2 - n3 AS BIGINT), CAST(n3 AS BIGINT) FROM counts
+"""
+
+
+@register("dedup_cascade_report", oracle=_cascade_oracle())
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production dedup shape as one report: the three-stage
+    escalation ladder (byte-exact → normalized-exact → MinHash
+    near-dup) run as a cascade — each stage sees only the previous
+    stage's survivors — with per-stage marginal removal counts, the
+    numbers a corpus-cleaning run is judged by (each stage must earn
+    its cost on what the cheaper stages missed).
+
+    Runs on the planted corpus (plant_near_dups); its token-dropped
+    variants are invisible to stages 1-2 by design (removed 0 here —
+    those stages' own removal behavior is pinned by dedup_exact /
+    dedup_exact_normalized), so the report shows stage 3 earning its
+    keep on exactly what exact matching cannot catch. Stage 3 uses the
+    pairwise min-keep rule (drop a survivor iff
+    a smaller-id surviving partner exists at Jaccard ≥ 0.8) — the
+    single-pass greedy form; the transitive-component form is
+    dedup_survivor_selection. Scale shape: stages 1-2 are partial-agg
+    groupBys; stage 3 joins the dimension-sized session-cached pair
+    table twice (semi + anti) — no stage rescans text the previous
+    stage already collapsed."""
+    from clean_census_acs_data_spark.operators.dedup import (
+        plant_near_dups,
+        standard_near_dup_pairs,
+    )
+
+    base = plant_near_dups(_t(spark, sf_dir, "documents"))
+    s1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    s2 = s1.groupBy(F.expr(_CASCADE_NORM).alias("__norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    surviving_pairs = pairs.join(
+        s2.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+    )
+    s3 = s2.join(
+        surviving_pairs.select(F.col("doc_b").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    n0 = base.agg(F.count(F.lit(1)).alias("n0"))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    counts = (
+        n0.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+    )
+    stage = lambda i, m, a, b: counts.select(  # noqa: E731
+        F.lit(i).cast("long").alias("stage"),
+        F.lit(m).alias("method"),
+        F.col(a).cast("long").alias("docs_in"),
+        (F.col(a) - F.col(b)).cast("long").alias("docs_removed"),
+        F.col(b).cast("long").alias("docs_out"),
+    )
+    return (
+        stage(1, "exact", "n0", "n1")
+        .unionAll(stage(2, "normalized", "n1", "n2"))
+        .unionAll(stage(3, "near_dup", "n2", "n3"))
+    )
+
+
 @register("curriculum_phase_assign", oracle=_CURRICULUM_ORACLE)
 def curriculum_phase_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum-learning phase assignment: documents ordered by a
