@@ -1005,6 +1005,102 @@ GROUP BY phase
 """
 
 
+# ---------------------------------------------------------------------------
+# grouped applyInArrow (Arrow-native grouped map, no pandas hop)
+# ---------------------------------------------------------------------------
+
+_ARROW_GROUPED_ORACLE = """
+SELECT o_orderpriority AS prio,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("arrow_grouped_extrema", oracle=_ARROW_GROUPED_ORACLE)
+def arrow_grouped_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow: the Arrow-NATIVE grouped-map path (the
+    group arrives as a pyarrow.Table, compute runs in pyarrow.compute,
+    no pandas conversion hop) — closing the last cell of the Python-API
+    matrix next to grouped-map applyInPandas (queries_round8b) and
+    mapInArrow (multimodal_arrow_stats). Integer extrema only, so the
+    result is hash-exact.
+
+    Scale shape: same plan as any grouped map — one shuffle on the
+    group key, then per-group Arrow batches; built-in min/max would
+    beat it (partial agg), which is exactly what the oracle shows —
+    this entry exists for custom per-group logic that aggregates can't
+    express, with the trivial kernel keeping it verifiable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # NOTE: no type annotations on the kernel — pyspark's
+    # infer_group_arrow_eval_type_from_func raises on string-form
+    # annotations and the fallback path has an UnboundLocalError bug
+    def extrema(key, table):
+        cents = pc.round(pc.multiply(table["o_totalprice"], 100.0))
+        cents = pc.cast(cents, pa.int64())
+        return pa.table(
+            {
+                "prio": [key[0]],
+                "n_orders": pa.array([table.num_rows], pa.int64()),
+                "min_cents": pa.array([pc.min(cents).as_py()], pa.int64()),
+                "max_cents": pa.array([pc.max(cents).as_py()], pa.int64()),
+            }
+        )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return o.groupBy("o_orderpriority").applyInArrow(
+        extrema, schema="prio string, n_orders long, min_cents long, max_cents long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# partitioned write + partition-pruned read-back (our own layout)
+# ---------------------------------------------------------------------------
+
+_PART_PRUNE_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE source = 'src1'
+GROUP BY lang
+"""
+
+
+@register("partitioned_write_prune_scan", oracle=_PART_PRUNE_ORACLE)
+def partitioned_write_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout round-trip: documents written
+    partitionBy(source), read back with a source predicate — the scan
+    then LISTS only the matching partition directory (PartitionFilters
+    in the plan, asserted by tests/test_plans_round9.py), so the other
+    sources' files are never opened. This is the write-side half of
+    partition pruning: scan_project_filter proves the engine prunes
+    GIVEN a partitioned layout; this proves the engine PRODUCES that
+    layout. Hash-checked against the unpartitioned original, so the
+    round-trip is lossless including the partition column itself.
+
+    At 100 TB: partitionBy on a low-cardinality column is the first
+    layout decision of any corpus store (source/date); high-cardinality
+    keys go to bucketing (tests/test_bucketing.py) or range layout
+    (zorder/hilbert entries)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/sparkgraft_part_{tag}"
+    d = _t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("source").parquet(path)
+    back = spark.read.parquet(path).where(F.col("source") == "src1")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 _CASCADE_NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), "
     "' +', ' '))"
