@@ -136,6 +136,12 @@ def test_no_degenerate_joins_anywhere(plans):
         "recsys_item_item_topk",  # market_basket_lift's 1-row n_orders scalar
         "funnel_time_constrained",  # cross of three 1-row stage-count frames
         "keyword_topk_per_doc",  # text_tfidf's 1-row corpus-size scalar
+        "mmr_rerank_topk",  # broadcast ≤8-row candidate/pick crosses (greedy tail)
+        "colbert_maxsim_topk",  # broadcast 1-row query sub-vector frame
+        "dsir_importance_select",  # broadcast 1-row LM totals scalars
+        "dedup_cascade_report",  # cross of four 1-row stage-count frames
+        "hard_negative_mining",  # inherits knn_join_ivf's broadcast codebook cross
+        "similarity_topk",  # broadcast 1-row query vector (nk scalar joined in r4)
     }
     for name, p in plans.items():
         base = name.split("/")[0]
