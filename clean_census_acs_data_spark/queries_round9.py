@@ -1006,6 +1006,284 @@ GROUP BY phase
 
 
 # ---------------------------------------------------------------------------
+# Matryoshka (MRL) truncation audit — short-prefix embeddings vs full
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16  # prefix dims kept by the truncated representation
+
+
+def _mrl_oracle() -> str:
+    qfull = _quant_list("embedding")
+    qpre = _quant_list(f"embedding[1:{_MRL_DIM}]")
+    return f"""
+WITH e AS (SELECT vec_id, {qfull} AS qf, {qpre} AS qp FROM embeddings),
+qq AS (SELECT qf AS qvf, qp AS qvp, {_dot("qf", "qf")} AS nf,
+              {_dot("qp", "qp")} AS np FROM e WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id,
+         CAST({_dot("e.qf", "qq.qvf")} AS DOUBLE) /
+         (sqrt(CAST({_dot("e.qf", "e.qf")} AS DOUBLE)) * sqrt(CAST(qq.nf AS DOUBLE))) AS cos_full,
+         CAST({_dot("e.qp", "qq.qvp")} AS DOUBLE) /
+         (sqrt(CAST({_dot("e.qp", "e.qp")} AS DOUBLE)) * sqrt(CAST(qq.np AS DOUBLE))) AS cos_pre
+  FROM e, qq WHERE e.vec_id <> 0
+),
+tf AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_full DESC, vec_id) AS r_full FROM sc),
+tp AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_pre DESC, vec_id) AS r_pre FROM sc)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST({_MRL_DIM} AS BIGINT) AS prefix_dim,
+       CAST((SELECT COUNT(*) FROM tf JOIN tp USING (vec_id)
+             WHERE r_full <= 10 AND r_pre <= 10) AS BIGINT) AS overlap_at_10,
+       CAST((SELECT MAX(r_pre) FROM tf JOIN tp USING (vec_id)
+             WHERE r_full <= 10) AS BIGINT) AS worst_pre_rank_of_true_top10
+"""
+
+
+@register("matryoshka_recall_audit", oracle=_mrl_oracle())
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: how much of the TRUE cosine
+    top-10 (full 64 dims) survives when retrieval uses only the first
+    16 dims — overlap@10 plus the worst prefix-rank any true top-10
+    member falls to. The measurement behind the MRL serving pattern
+    (retrieve wide with cheap short prefixes, re-rank the short list
+    with full vectors): worst_pre_rank tells you how wide the first
+    stage must fetch to keep recall 1.0.
+
+    Scale shape: one scan computes both scores; the two rank columns
+    are window functions over the same driver-bounded score table; at
+    corpus scale the prefix ranking is the IVF/LSH candidate stage and
+    this audit runs on a sampled query set."""
+    from clean_census_acs_data_spark.operators.similarity import _quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: _quant(x)).alias("qf"),
+        F.transform(F.slice("embedding", 1, _MRL_DIM), lambda x: _quant(x)).alias(
+            "qp"
+        ),
+    )
+    qq = e.where(F.col("vec_id") == 0).select(
+        F.col("qf").alias("qvf"),
+        F.col("qp").alias("qvp"),
+        S._dot_q(F.col("qf"), F.col("qf")).alias("nf"),
+        S._dot_q(F.col("qp"), F.col("qp")).alias("np"),
+    )
+    sc = (
+        spread(e.where(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            S.cosine(
+                S._dot_q(F.col("qf"), F.col("qvf")),
+                S._dot_q(F.col("qf"), F.col("qf")),
+                F.col("nf"),
+            ).alias("cos_full"),
+            S.cosine(
+                S._dot_q(F.col("qp"), F.col("qvp")),
+                S._dot_q(F.col("qp"), F.col("qp")),
+                F.col("np"),
+            ).alias("cos_pre"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    ranked = sc.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_full"), F.asc("vec_id")))
+        .alias("r_full"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_pre"), F.asc("vec_id")))
+        .alias("r_pre"),
+    ).where(F.col("r_full") <= 10)
+    return ranked.agg(
+        F.lit(10).cast("long").alias("k"),
+        F.lit(_MRL_DIM).cast("long").alias("prefix_dim"),
+        F.sum(F.when(F.col("r_pre") <= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("overlap_at_10"),
+        F.max("r_pre").cast("long").alias("worst_pre_rank_of_true_top10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-flavored domain reweighting (learnability-gap proxy)
+# ---------------------------------------------------------------------------
+
+_DOREMI_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
+  FROM (
+    SELECT doc_id, source,
+           unnest(string_split(text, ' ')) AS w,
+           unnest(generate_series(1, length(string_split(text, ' ')))) AS pos
+    FROM documents
+  )
+),
+uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+utot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+us AS (SELECT w, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0)
+                 AS BIGINT) AS s_e6 FROM uni, utot),
+bi AS (SELECT w, nw, COUNT(*) AS c FROM tok WHERE nw IS NOT NULL GROUP BY w, nw),
+bs AS (
+  SELECT bi.w, bi.nw,
+         CAST(ROUND(-ln(CAST(bi.c AS DOUBLE) / CAST(uni.c AS DOUBLE)) * 1000000.0)
+              AS BIGINT) AS s_e6
+  FROM bi JOIN uni ON bi.w = uni.w
+),
+per_src AS (
+  SELECT tok.source,
+         CAST(SUM(us.s_e6) AS BIGINT) AS uni_e6,
+         CAST(SUM(bs.s_e6) AS BIGINT) AS bi_e6,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM tok
+  JOIN us ON tok.w = us.w
+  JOIN bs ON tok.w = bs.w AND tok.nw = bs.nw
+  WHERE tok.nw IS NOT NULL
+  GROUP BY tok.source
+),
+gaps AS (
+  SELECT source, n_bigrams, uni_e6 - bi_e6 AS gap_e6 FROM per_src
+),
+tot AS (SELECT CAST(SUM(gap_e6) AS BIGINT) AS tg FROM gaps)
+SELECT gaps.source,
+       gaps.n_bigrams,
+       CAST(gaps.gap_e6 AS BIGINT) AS gap_e6,
+       CAST((gaps.gap_e6 * 1000000) // tot.tg AS BIGINT) AS weight_ppm
+FROM gaps, tot
+"""
+
+
+@register("doremi_domain_weights", oracle=_DOREMI_ORACLE)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain reweighting with a statistical proxy:
+    per source, the total learnability gap = unigram surprisal −
+    bigram surprisal over its bigram positions (how much a 1-step
+    context model improves on no context — structure a model can learn
+    from that domain), normalized to parts-per-million mixture weights
+    by integer division. Real DoReMi uses proxy-model excess loss; the
+    gap proxy keeps the exact same downstream shape (per-domain score
+    → normalized sampling weights) hash-checkable.
+
+    Determinism: ln quantized to micro-nats per TYPE (unigram) / per
+    BIGRAM TYPE, integer sums, integer ppm division. Scale shape: both
+    LMs are vocab-sized aggregates; the per-source reduce is one
+    partial agg; weights are a |sources|-row broadcast at train time."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        F.lead("w").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ).alias("nw"),
+    )
+    tok = tok.cache()
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = uni.agg(F.sum("c").cast("long").alias("t"))
+    us = uni.crossJoin(F.broadcast(utot)).select(
+        "w",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("s_e6"),
+    )
+    bi = (
+        tok.where(F.col("nw").isNotNull())
+        .groupBy("w", "nw")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bs = bi.join(uni.withColumnRenamed("c", "cw"), "w").select(
+        "w",
+        "nw",
+        F.round(
+            -F.log(F.col("c").cast("double") / F.col("cw").cast("double"))
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("s_e6"),
+    )
+    per_src = (
+        tok.where(F.col("nw").isNotNull())
+        .join(us.withColumnRenamed("s_e6", "u_e6"), "w")
+        .join(bs.withColumnRenamed("s_e6", "b_e6"), ["w", "nw"])
+        .groupBy("source")
+        .agg(
+            F.sum("u_e6").cast("long").alias("uni_e6"),
+            F.sum("b_e6").cast("long").alias("bi_e6"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )
+    gaps = per_src.select(
+        "source", "n_bigrams", (F.col("uni_e6") - F.col("bi_e6")).alias("gap_e6")
+    )
+    tot = gaps.agg(F.sum("gap_e6").cast("long").alias("tg"))
+    return gaps.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_bigrams",
+        F.col("gap_e6").cast("long").alias("gap_e6"),
+        F.expr("(gap_e6 * 1000000) div tg").cast("long").alias("weight_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate prefix groups (shared-opening detection)
+# ---------------------------------------------------------------------------
+
+_PREFIX_N = 2
+_BOILER_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:{_PREFIX_N}], ' ') AS prefix
+  FROM documents
+  WHERE length(string_split(text, ' ')) >= {_PREFIX_N}
+)
+SELECT prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM p GROUP BY prefix HAVING COUNT(*) > 1
+"""
+
+
+@register("boilerplate_prefix_groups", oracle=_BOILER_ORACLE)
+def boilerplate_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-opening detection: documents grouped by their first
+    {n}-token prefix, keeping groups with more than one member — the
+    cheap screen for boilerplate headers/templates (license blocks,
+    nav bars, form letters) that exact dedup misses because the tails
+    differ. Production uses 10-50-token prefixes (and suffixes, same
+    plan reversed); n={n} here so the fixture vocabulary produces
+    groups.
+
+    Scale shape: one narrow projection to (hashable prefix) + one
+    partial-agg groupBy — strictly cheaper than any shingling pass, so
+    it runs FIRST in a cleaning cascade.""".format(n=_PREFIX_N)
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        d.where(F.size(toks) >= _PREFIX_N)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(toks, 1, _PREFIX_N)).alias("prefix"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
 # grouped applyInArrow (Arrow-native grouped map, no pandas hop)
 # ---------------------------------------------------------------------------
 
