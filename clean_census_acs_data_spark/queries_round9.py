@@ -394,6 +394,89 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# contrastive triplet manifest (anchor, positive, hard negative)
+# ---------------------------------------------------------------------------
+
+
+def _triplet_oracle() -> str:
+    from clean_census_acs_data_spark.queries_round7 import _KNN_JOIN_ORACLE
+
+    return f"""
+WITH knn AS ({_KNN_JOIN_ORACLE}),
+pos AS (
+  SELECT vec_id, neighbor_id AS positive_id, cosine AS pos_cos FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM knn WHERE cosine > {_HARDNEG_DUP_T}
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT vec_id, neighbor_id AS negative_id, cosine AS neg_cos FROM (
+    SELECT vec_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM knn WHERE cosine <= {_HARDNEG_DUP_T}
+  ) WHERE rn = 1
+)
+SELECT pos.vec_id AS anchor_id, pos.positive_id, neg.negative_id,
+       pos.pos_cos, neg.neg_cos,
+       pos.pos_cos - neg.neg_cos AS margin
+FROM pos JOIN neg ON pos.vec_id = neg.vec_id
+"""
+
+
+@register("contrastive_triplets", oracle=_triplet_oracle())
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet manifest: per anchor vector, its
+    strongest above-duplicate-threshold neighbor as the POSITIVE and
+    its strongest below-threshold neighbor as the HARD NEGATIVE, with
+    the similarity margin between them — the (anchor, positive,
+    negative) rows an embedding-model trainer consumes, emitted only
+    where both sides exist. One pass over knn_join_ivf's bounded
+    candidate lists feeds both sides (Catalyst reuses the subtree);
+    threshold split + per-anchor WindowGroupLimit is all that differs.
+
+    The margin column is the curriculum knob: small margins are the
+    hardest (most informative) triplets, so ORDER BY margin ASC LIMIT k
+    on this output IS hard-triplet mining."""
+    from pyspark.sql.window import Window
+
+    from clean_census_acs_data_spark.queries_round7 import knn_join_ivf
+
+    knn = knn_join_ivf(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    pos = (
+        knn.where(F.col("cosine") > float(_HARDNEG_DUP_T))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("neighbor_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    neg = (
+        knn.where(F.col("cosine") <= float(_HARDNEG_DUP_T))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("neighbor_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "vec_id").select(
+        F.col("vec_id").alias("anchor_id"),
+        "positive_id",
+        "negative_id",
+        "pos_cos",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T5-style span-corruption mask layout (deterministic)
 # ---------------------------------------------------------------------------
 

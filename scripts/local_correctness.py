@@ -118,14 +118,24 @@ def main() -> None:
         print(f"{name}: {status}", flush=True)
 
     out_path = os.path.join(REPO, "LOCAL_CORRECTNESS.json")
+    from datetime import datetime, timezone
+
+    results["__meta__"] = {
+        "sf_dir": sf_dir,
+        "n_queries": len(QUERIES),
+        "n_oracles": len(ORACLES),
+        "generated_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "format": "driver CORRECTNESS row format; __meta__ key is local-only",
+    }
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    n_green = sum(1 for r in results.values() if r["hash_match"])
-    n_no = sum(1 for r in results.values() if r["err"] == "no_oracle")
-    n_bad = len(results) - n_green - n_no
+    rows = [r for k, r in results.items() if k != "__meta__"]
+    n_green = sum(1 for r in rows if r["hash_match"])
+    n_no = sum(1 for r in rows if r["err"] == "no_oracle")
+    n_bad = len(rows) - n_green - n_no
     print(
         f"\nwrote {out_path}: {n_green} hash-green, {n_no} no_oracle, "
-        f"{n_bad} failures of {len(results)}"
+        f"{n_bad} failures of {len(rows)}"
     )
     spark.stop()
 
