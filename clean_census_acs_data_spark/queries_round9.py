@@ -1190,6 +1190,134 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NDCG@10 of prefix-16 retrieval against the full-vector ranking
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_oracle() -> str:
+    qfull = _quant_list("embedding")
+    qpre = _quant_list(f"embedding[1:{_MRL_DIM}]")
+    return f"""
+WITH e AS (SELECT vec_id, {qfull} AS qf, {qpre} AS qp FROM embeddings),
+qq AS (SELECT qf AS qvf, qp AS qvp, {_dot("qf", "qf")} AS nf,
+              {_dot("qp", "qp")} AS np FROM e WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id,
+         CAST({_dot("e.qf", "qq.qvf")} AS DOUBLE) /
+         (sqrt(CAST({_dot("e.qf", "e.qf")} AS DOUBLE)) * sqrt(CAST(qq.nf AS DOUBLE))) AS cos_full,
+         CAST({_dot("e.qp", "qq.qvp")} AS DOUBLE) /
+         (sqrt(CAST({_dot("e.qp", "e.qp")} AS DOUBLE)) * sqrt(CAST(qq.np AS DOUBLE))) AS cos_pre
+  FROM e, qq WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY cos_full DESC, vec_id) AS r_full,
+         ROW_NUMBER() OVER (ORDER BY cos_pre DESC, vec_id) AS r_pre
+  FROM sc
+),
+dcg AS (
+  SELECT CAST(SUM(CASE WHEN r_full <= 10 THEN
+           (11 - r_full) * CAST(ROUND(1000000.0 / log2(CAST(r_pre + 1 AS DOUBLE))) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS dcg_u,
+         CAST(SUM(CASE WHEN r_full <= 10 THEN
+           (11 - r_full) * CAST(ROUND(1000000.0 / log2(CAST(r_full + 1 AS DOUBLE))) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS idcg_u
+  FROM ranked
+)
+SELECT CAST(10 AS BIGINT) AS k, dcg_u, idcg_u,
+       CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) AS ndcg
+FROM dcg
+"""
+
+
+@register("ndcg_eval_prefix_retrieval", oracle=_ndcg_oracle())
+def ndcg_eval_prefix_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the truncated-embedding (prefix-16) ranking against
+    graded relevance from the full-vector ranking (rel = 11 − true
+    rank): the position-sensitive companion to matryoshka_recall_audit
+    — overlap@k says WHETHER the true top-10 survive truncation, NDCG
+    says WHERE they land. Ideal DCG uses the same quantized discount
+    table, so ndcg = 1.0 iff the prefix ordering preserves the top-10
+    order exactly.
+
+    Determinism: the 1/log2(1+r) discount is quantized to integer
+    micro-units PER RANK (the ln-micro-nat discipline), gains and
+    discounts multiply as int64, and ndcg is one final double
+    division. Scale shape: identical to the recall audit — one scan,
+    two window ranks, one aggregate."""
+    from pyspark.sql.window import Window
+
+    from clean_census_acs_data_spark.operators.similarity import _quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: _quant(x)).alias("qf"),
+        F.transform(F.slice("embedding", 1, _MRL_DIM), lambda x: _quant(x)).alias(
+            "qp"
+        ),
+    )
+    qq = e.where(F.col("vec_id") == 0).select(
+        F.col("qf").alias("qvf"),
+        F.col("qp").alias("qvp"),
+        S._dot_q(F.col("qf"), F.col("qf")).alias("nf"),
+        S._dot_q(F.col("qp"), F.col("qp")).alias("np"),
+    )
+    sc = (
+        spread(e.where(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            S.cosine(
+                S._dot_q(F.col("qf"), F.col("qvf")),
+                S._dot_q(F.col("qf"), F.col("qf")),
+                F.col("nf"),
+            ).alias("cos_full"),
+            S.cosine(
+                S._dot_q(F.col("qp"), F.col("qvp")),
+                S._dot_q(F.col("qp"), F.col("qp")),
+                F.col("np"),
+            ).alias("cos_pre"),
+        )
+    )
+    ranked = sc.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_full"), F.asc("vec_id")))
+        .alias("r_full"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_pre"), F.asc("vec_id")))
+        .alias("r_pre"),
+    )
+    disc = lambda r: (  # noqa: E731 — micro-unit discount per rank
+        F.round(F.lit(1000000.0) / F.log2((F.col(r) + 1).cast("double"))).cast(
+            "long"
+        )
+    )
+    gain = F.lit(11) - F.col("r_full")
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("r_full") <= 10, gain * disc("r_pre")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_u"),
+        F.sum(
+            F.when(F.col("r_full") <= 10, gain * disc("r_full")).otherwise(0)
+        )
+        .cast("long")
+        .alias("idcg_u"),
+    )
+    return agg.select(
+        F.lit(10).cast("long").alias("k"),
+        "dcg_u",
+        "idcg_u",
+        (F.col("dcg_u").cast("double") / F.col("idcg_u").cast("double")).alias(
+            "ndcg"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DoReMi-flavored domain reweighting (learnability-gap proxy)
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,8 @@ def test_no_degenerate_joins_anywhere(plans):
         "keyword_topk_per_doc",  # text_tfidf's 1-row corpus-size scalar
         "mmr_rerank_topk",  # broadcast ≤8-row candidate/pick crosses (greedy tail)
         "colbert_maxsim_topk",  # broadcast 1-row query sub-vector frame
+        "matryoshka_recall_audit",  # broadcast 1-row dual query-vector frame
+        "ndcg_eval_prefix_retrieval",  # broadcast 1-row dual query-vector frame
         "dsir_importance_select",  # broadcast 1-row LM totals scalars
         "dedup_cascade_report",  # cross of four 1-row stage-count frames
         "hard_negative_mining",  # inherits knn_join_ivf's broadcast codebook cross
