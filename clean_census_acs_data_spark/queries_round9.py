@@ -863,9 +863,15 @@ def _hilbert_sql(table: str) -> str:
     adjacency of the generated curve are pinned by
     tests/test_hilbert.py on a full 16x16 grid."""
     n = _HILBERT_N
+    # x0/y0 (the ORIGINAL coordinates) ride along through every stage so
+    # the final bbox audit needs no join back to p0 — the first cut
+    # self-joined the last stage to p0 on the row key, a pointless
+    # full-table shuffle at scale when two narrow columns cost nothing
     sql = (
         f"WITH p0 AS (SELECT o_orderkey AS k, o_orderkey % {n} AS x, "
         f"CAST(ROUND(o_totalprice * 100) AS BIGINT) % {n} AS y, "
+        f"o_orderkey % {n} AS x0, "
+        f"CAST(ROUND(o_totalprice * 100) AS BIGINT) % {n} AS y0, "
         f"CAST(0 AS BIGINT) AS d FROM {table})"
     )
     prev = "p0"
@@ -888,7 +894,7 @@ def _hilbert_sql(table: str) -> str:
             f"(CASE WHEN {rx} = 1 THEN {n - 1} - x ELSE x END) ELSE y END)"
         )
         sql += (
-            f", {cur} AS (SELECT k, {newx} AS x, {newy} AS y, "
+            f", {cur} AS (SELECT k, {newx} AS x, {newy} AS y, x0, y0, "
             f"d + {s * s} * {quad} AS d FROM {prev})"
         )
         prev = cur
@@ -896,19 +902,19 @@ def _hilbert_sql(table: str) -> str:
         i += 1
     # locality audit: 16 contiguous curve buckets; a good space-filling
     # order gives each bucket a small bounding box over the ORIGINAL
-    # coords, so re-derive x/y from p0 by key
+    # coords (x0/y0, carried through the stages).
     # bucket = d div 4096; written as floor(d / 4096.0) because Spark
     # has no // operator and the two engines' CAST-of-fractional rules
     # differ — d < 2^16 and 4096 = 2^12 make the double division exact
     sql += f"""
-SELECT CAST(floor({prev}.d / 4096.0) AS BIGINT) AS curve_bucket,
+SELECT CAST(floor(d / 4096.0) AS BIGINT) AS curve_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_points,
-       CAST(MIN({prev}.d) AS BIGINT) AS d_min,
-       CAST(MAX({prev}.d) AS BIGINT) AS d_max,
-       CAST((MAX(p0.x) - MIN(p0.x) + 1) * (MAX(p0.y) - MIN(p0.y) + 1) AS BIGINT)
+       CAST(MIN(d) AS BIGINT) AS d_min,
+       CAST(MAX(d) AS BIGINT) AS d_max,
+       CAST((MAX(x0) - MIN(x0) + 1) * (MAX(y0) - MIN(y0) + 1) AS BIGINT)
          AS bbox_area
-FROM {prev} JOIN p0 ON {prev}.k = p0.k
-GROUP BY CAST(floor({prev}.d / 4096.0) AS BIGINT)
+FROM {prev}
+GROUP BY CAST(floor(d / 4096.0) AS BIGINT)
 """
     return sql
 

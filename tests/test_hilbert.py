@@ -54,7 +54,7 @@ def test_sql_matches_reference_on_full_grid():
     )
     # pull per-point d by rewriting the final agg into a raw projection
     sql = _hilbert_sql("orders")
-    head = sql[: sql.index("SELECT CAST(floor(p8.d / 4096.0)")]
+    head = sql[: sql.index("SELECT CAST(floor(d / 4096.0)")]
     raw = head + "SELECT p8.k AS k, p8.d AS d FROM p8"
     rows = con.execute(raw).fetchall()
     assert len(rows) == 1024
@@ -76,8 +76,10 @@ def test_bucket_bbox_locality():
     sql = _hilbert_sql("orders").replace(
         "SELECT o_orderkey AS k, o_orderkey % 256 AS x, "
         "CAST(ROUND(o_totalprice * 100) AS BIGINT) % 256 AS y, "
+        "o_orderkey % 256 AS x0, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) % 256 AS y0, "
         "CAST(0 AS BIGINT) AS d FROM orders",
-        "SELECT x0 * 256 + y0 AS k, x0 AS x, y0 AS y, "
+        "SELECT x0 * 256 + y0 AS k, x0 AS x, y0 AS y, x0, y0, "
         "CAST(0 AS BIGINT) AS d FROM pts",
     )
     rows = con.execute(sql).fetchall()
