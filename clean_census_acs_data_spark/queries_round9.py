@@ -394,6 +394,132 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multi-probe IVF kNN join (nprobe=2 — the recall lever)
+# ---------------------------------------------------------------------------
+
+_KNN_P2_CAP = 64
+
+
+def _knn_probe2_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
+nk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings),
+cent AS (
+  SELECT vec_id AS centroid_id, q AS cq, {_dot("q", "q")} AS cn2
+  FROM e WHERE vec_id < (SELECT k FROM nk)
+),
+sc AS (
+  SELECT e.vec_id, e.q, {_dot("e.q", "e.q")} AS n2, cent.centroid_id,
+         CAST({_dot("e.q", "cent.cq")} AS DOUBLE) /
+         (sqrt(CAST({_dot("e.q", "e.q")} AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS c_cos
+  FROM e, cent
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY c_cos DESC, centroid_id) AS rn
+  FROM sc
+),
+members AS (
+  SELECT * FROM (
+    SELECT vec_id, q, n2, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS list_rn
+    FROM ranked WHERE rn = 1
+  ) WHERE list_rn <= {_KNN_P2_CAP}
+),
+probes AS (SELECT vec_id, q, n2, centroid_id FROM ranked WHERE rn <= 2),
+pairs AS (
+  SELECT p.vec_id, m.vec_id AS neighbor_id,
+         CAST({_dot("p.q", "m.q")} AS DOUBLE) /
+         (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(m.n2 AS DOUBLE))) AS cosine
+  FROM probes p JOIN members m
+    ON p.centroid_id = m.centroid_id AND p.vec_id <> m.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, CAST(nn_rank AS BIGINT) AS nn_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cosine DESC, neighbor_id) AS nn_rank
+  FROM pairs
+) WHERE nn_rank <= 3
+"""
+
+
+@register("knn_join_ivf_probe2", oracle=_knn_probe2_oracle())
+def knn_join_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_join_ivf's recall lever, implemented: every vector PROBES
+    its top-2 nearest centroids' inverted lists (members still live in
+    exactly their top-1 list, capped as in knn_join_ivf), so a vector
+    near a Voronoi boundary sees the neighbors the single-probe join
+    misses. Candidates per vector ≤ 2·cap — double the probe-1 bound,
+    still constant; the pair join still shuffles on centroid_id only.
+    tests/test_knn_bounds.py asserts probe-2 candidate coverage is a
+    superset of probe-1's (recall is monotone in nprobe)."""
+    from pyspark.sql.window import Window
+
+    base = S._quantized(spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding")
+    nk = F.broadcast(
+        _t(spark, sf_dir, "embeddings").agg(
+            F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("__k")
+        )
+    )
+    cent = (
+        base.crossJoin(nk)
+        .where(F.col("vec_id") < F.col("__k"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("__q").alias("__cq"),
+            F.col("__n2").alias("__cn2"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "__q",
+        "__n2",
+        "centroid_id",
+        S.cosine(
+            S._dot_q(F.col("__q"), F.col("__cq")), F.col("__n2"), F.col("__cn2")
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    wl = Window.partitionBy("centroid_id").orderBy(F.asc("vec_id"))
+    members = (
+        ranked.where(F.col("rn") == 1)
+        .withColumn("list_rn", F.row_number().over(wl))
+        .where(F.col("list_rn") <= _KNN_P2_CAP)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("__q").alias("__qb"),
+            F.col("__n2").alias("__nb"),
+            "centroid_id",
+        )
+    )
+    probes = ranked.where(F.col("rn") <= 2).select(
+        "vec_id",
+        F.col("__q").alias("__qa"),
+        F.col("__n2").alias("__na"),
+        "centroid_id",
+    )
+    pairs = (
+        probes.join(members, "centroid_id")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            S.cosine(
+                S._dot_q(F.col("__qa"), F.col("__qb")),
+                F.col("__na"),
+                F.col("__nb"),
+            ).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(wk))
+        .where(F.col("nn_rank") <= 3)
+        .select("vec_id", "neighbor_id", "cosine", F.col("nn_rank").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # contrastive triplet manifest (anchor, positive, hard negative)
 # ---------------------------------------------------------------------------
 

@@ -11,6 +11,10 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+# import the registry FIRST: queries_round9 pulls oracle text from
+# queries_round7 at module level, so importing round7 directly would
+# re-enter it partially initialized (registry import order is safe)
+import clean_census_acs_data_spark.queries  # noqa: F401
 from clean_census_acs_data_spark.queries_round7 import (
     _KNN_CAP,
     _knn_ivf_stages,
@@ -63,3 +67,24 @@ def test_query_still_returns_topk(spark):
     out = knn_join_ivf(spark, SF_DIR).limit(50).collect()
     assert out, "knn_join_ivf returned no rows"
     assert all(r.nn_rank <= 3 for r in out)
+
+
+def test_probe2_recall_is_monotone(spark):
+    """nprobe=2 candidate coverage is a superset of nprobe=1's: every
+    probe-1 neighbor at rank 1 still appears in probe-2's candidate
+    set, and probe-2's best cosine per vector is >= probe-1's."""
+    from clean_census_acs_data_spark.queries_round9 import knn_join_ivf_probe2
+
+    p1 = {
+        r.vec_id: r.cosine
+        for r in knn_join_ivf(spark, SF_DIR).collect()
+        if r.nn_rank == 1
+    }
+    p2 = {
+        r.vec_id: r.cosine
+        for r in knn_join_ivf_probe2(spark, SF_DIR).collect()
+        if r.nn_rank == 1
+    }
+    assert set(p1) <= set(p2), "probe-2 lost vectors probe-1 served"
+    worse = {v for v in p1 if p2[v] < p1[v]}
+    assert not worse, f"probe-2 best neighbor worse than probe-1 for {worse}"

@@ -144,6 +144,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "dedup_cascade_report",  # cross of four 1-row stage-count frames
         "hard_negative_mining",  # inherits knn_join_ivf's broadcast codebook cross
         "contrastive_triplets",  # inherits knn_join_ivf's broadcast codebook cross
+        "knn_join_ivf_probe2",  # same broadcast codebook cross, nprobe=2
         "similarity_topk",  # broadcast 1-row query vector (nk scalar joined in r4)
     }
     for name, p in plans.items():
