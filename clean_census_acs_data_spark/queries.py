@@ -744,9 +744,10 @@ def json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup as a deterministic group-by (keep lowest doc_id per
     identical text) rather than dropDuplicates, whose surviving row is
-    nondeterministic. Groups on (sha2(text), text) so at 100 TB the
-    shuffle hash keys are 32 bytes, not document bodies
-    (operators.dedup.exact_dedup)."""
+    nondeterministic. Groups on the (sha2, text) PAIR — bodies do ride
+    the shuffle, bounded by map-side partial agg (see
+    operators.dedup.exact_dedup); the hash-only-shuffle variant is
+    dedup_exact_hash_rejoin."""
     from clean_census_acs_data_spark.operators.dedup import exact_dedup
 
     d = _t(spark, sf_dir, "documents")

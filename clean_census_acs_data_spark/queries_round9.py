@@ -394,6 +394,113 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact dedup, hash-only shuffle (digest exchange + id join-back)
+# ---------------------------------------------------------------------------
+
+_HASH_REJOIN_ORACLE = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, MIN(n_chars) AS n_chars
+FROM documents
+GROUP BY text
+"""
+
+
+@register("dedup_exact_hash_rejoin", oracle=_HASH_REJOIN_ORACLE)
+def dedup_exact_hash_rejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_exact's 100-TB variant, as promised by its docstring: the
+    dedup groupBy keys on sha2(text) ALONE, so the exchange carries
+    32-byte digests + ids — never document bodies — and the survivors'
+    payload columns come from ONE equi join back to the corpus on the
+    winning doc_id (8-byte keys). Same result as grouping on the pair
+    (collision probability ~2^-256); one extra scan buys a
+    body-free shuffle, the right trade once documents outweigh their
+    digests ~100:1.
+
+    The joined-back payload here is n_chars standing in for any set of
+    survivor columns (text itself would work identically — n_chars
+    keeps the oracle's float discipline trivial)."""
+    d = _t(spark, sf_dir, "documents")
+    winners = (
+        d.select("doc_id", F.sha2("text", 256).alias("__h"))
+        .groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("__h")
+    )
+    return winners.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id", "n_copies", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded BFS over the near-dup graph (min-plus distance, 3 rounds)
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+_BFS_SEED = 0  # doc_id of the source vertex
+
+
+def _bfs_oracle() -> str:
+    from clean_census_acs_data_spark.queries_ext import _MINHASH_ORACLE
+
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE.strip()}) WHERE jaccard >= 0.5),
+edges AS (
+  SELECT doc_a AS v, doc_b AS w FROM pairs
+  UNION
+  SELECT doc_b AS v, doc_a AS w FROM pairs
+),
+walk(v, d) AS (
+  SELECT CAST({_BFS_SEED} AS BIGINT), 0
+  UNION ALL
+  SELECT e.w, walk.d + 1 FROM walk JOIN edges e ON e.v = walk.v
+  WHERE walk.d < {_BFS_DEPTH}
+)
+SELECT v AS doc_id, CAST(MIN(d) AS BIGINT) AS distance
+FROM walk GROUP BY v
+"""
+
+
+@register("graph_bfs_distance", oracle=_bfs_oracle())
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS from a seed document over the verified near-dup
+    graph (Jaccard ≥ 0.5): min-plus distance, {k} unrolled frontier
+    rounds — 'how far does contamination spread from this document
+    through near-duplicate links', the reachability question behind
+    takedown-propagation and leakage audits. Distances are exact
+    integers; unreachable-within-{k} vertices are absent (same
+    semantics as the recursive-CTE oracle's bounded walk).
+
+    Scale shape: each round is one equi join frontier⋈edges + a min
+    aggregation (the connected-components discipline, depth-bounded so
+    no convergence loop); the frontier never exceeds the ball's size.
+    """.format(k=_BFS_DEPTH)
+    from clean_census_acs_data_spark.operators.dedup import standard_near_dup_pairs
+
+    pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
+    edges = (
+        pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
+        .unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("w")))
+        .distinct()
+    )
+    dist = spark.createDataFrame(
+        [(int(_BFS_SEED), 0)], "doc_id bigint, distance bigint"
+    )
+    frontier = dist
+    for step in range(1, _BFS_DEPTH + 1):
+        reached = (
+            frontier.join(edges, frontier.doc_id == edges.v)
+            .select(F.col("w").alias("doc_id"), F.lit(step).cast("long").alias("distance"))
+            .distinct()
+        )
+        dist = dist.unionAll(reached)
+        frontier = reached
+    return dist.groupBy("doc_id").agg(F.min("distance").alias("distance"))
+
+
+# ---------------------------------------------------------------------------
 # multi-probe IVF kNN join (nprobe=2 — the recall lever)
 # ---------------------------------------------------------------------------
 
