@@ -240,13 +240,18 @@ def _knn_ivf_stages(
     sf_dir: str,
     n_centroids: int | None = None,
     list_cap: int = _KNN_CAP,
+    probes: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF assignment + capped candidate lists (shared by knn_join_ivf
-    and tests/test_knn_bounds.py so the bound is asserted on the SAME
-    dataframes the query joins). Returns (assigned, candidates):
-    assigned = one (vec_id, __q, __n2, centroid_id) row per vector;
-    candidates = at most ``list_cap`` members per centroid, first-k by
-    vec_id (deterministic), renamed to the neighbor side."""
+    """IVF assignment + capped candidate lists (shared by knn_join_ivf,
+    knn_join_ivf_probe2 and tests/test_knn_bounds.py so bounds are
+    asserted on the SAME dataframes the queries join). Returns
+    (probe_rows, candidates): probe_rows = one row per (vector,
+    probed centroid) — rank ≤ ``probes`` by centroid cosine, so
+    probes=1 is the classic single assignment; candidates = members of
+    each centroid's TOP-1 list only (inverted lists are built on the
+    best assignment regardless of nprobe), at most ``list_cap`` per
+    centroid, first-k by vec_id (deterministic), renamed to the
+    neighbor side."""
     base = S._quantized(spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding")
     if n_centroids is None:
         # same k as the oracle's scalar subquery: ceil(sqrt(count))
@@ -273,10 +278,12 @@ def _knn_ivf_stages(
         ).alias("c_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "__q", "__n2", "centroid_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    probe_rows = ranked.where(F.col("rn") <= probes).select(
+        "vec_id", "__q", "__n2", "centroid_id"
+    )
+    assigned = ranked.where(F.col("rn") == 1).select(
+        "vec_id", "__q", "__n2", "centroid_id"
     )
     wl = Window.partitionBy("centroid_id").orderBy(F.asc("vec_id"))
     candidates = (
@@ -289,7 +296,7 @@ def _knn_ivf_stages(
             "centroid_id",
         )
     )
-    return assigned, candidates
+    return probe_rows, candidates
 
 
 @register("knn_join_ivf", oracle=_KNN_JOIN_ORACLE)

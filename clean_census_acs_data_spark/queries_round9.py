@@ -272,6 +272,13 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(8)
     )
+    # the greedy tail references cand from ~6 plan branches (p1/s1/p2/
+    # s2/p3 × the 3-way union) and TakeOrderedAndProject subtrees are
+    # not exchange-reused — uncached, the CORPUS scan reruns per
+    # branch. 8 rows; eager count so sibling branches can't race a
+    # lazy cache inside one job (the lsh_parameter_sweep discipline).
+    cand = cand.cache()
+    cand.count()
     p1 = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
     s1 = (
         cand.crossJoin(
@@ -386,7 +393,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = knn_join_ivf(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        knn.where(F.col("cosine") <= float(_HARDNEG_DUP_T))
+        knn.where(F.col("cosine") <= float(_HARDNEG_DUP_T))  # single ref — no cache
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", F.col("neighbor_id").alias("hard_negative_id"), "cosine")
@@ -504,10 +511,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-probe IVF kNN join (nprobe=2 — the recall lever)
 # ---------------------------------------------------------------------------
 
-_KNN_P2_CAP = 64
-
-
 def _knn_probe2_oracle() -> str:
+    from clean_census_acs_data_spark.queries_round7 import _KNN_CAP
+
     return f"""
 WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
 nk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM embeddings),
@@ -531,7 +537,7 @@ members AS (
     SELECT vec_id, q, n2, centroid_id,
            ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY vec_id) AS list_rn
     FROM ranked WHERE rn = 1
-  ) WHERE list_rn <= {_KNN_P2_CAP}
+  ) WHERE list_rn <= {_KNN_CAP}
 ),
 probes AS (SELECT vec_id, q, n2, centroid_id FROM ranked WHERE rn <= 2),
 pairs AS (
@@ -558,48 +564,16 @@ def knn_join_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses. Candidates per vector ≤ 2·cap — double the probe-1 bound,
     still constant; the pair join still shuffles on centroid_id only.
     tests/test_knn_bounds.py asserts probe-2 candidate coverage is a
-    superset of probe-1's (recall is monotone in nprobe)."""
+    superset of probe-1's (recall is monotone in nprobe). Assignment,
+    codebook, and list cap are SHARED with knn_join_ivf via
+    _knn_ivf_stages — one tuning point, no drift between the probe
+    variants."""
     from pyspark.sql.window import Window
 
-    base = S._quantized(spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding")
-    nk = F.broadcast(
-        _t(spark, sf_dir, "embeddings").agg(
-            F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("__k")
-        )
-    )
-    cent = (
-        base.crossJoin(nk)
-        .where(F.col("vec_id") < F.col("__k"))
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("__q").alias("__cq"),
-            F.col("__n2").alias("__cn2"),
-        )
-    )
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "__q",
-        "__n2",
-        "centroid_id",
-        S.cosine(
-            S._dot_q(F.col("__q"), F.col("__cq")), F.col("__n2"), F.col("__cn2")
-        ).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    wl = Window.partitionBy("centroid_id").orderBy(F.asc("vec_id"))
-    members = (
-        ranked.where(F.col("rn") == 1)
-        .withColumn("list_rn", F.row_number().over(wl))
-        .where(F.col("list_rn") <= _KNN_P2_CAP)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("__q").alias("__qb"),
-            F.col("__n2").alias("__nb"),
-            "centroid_id",
-        )
-    )
-    probes = ranked.where(F.col("rn") <= 2).select(
+    from clean_census_acs_data_spark.queries_round7 import _knn_ivf_stages
+
+    probe_rows, members = _knn_ivf_stages(spark, sf_dir, probes=2)
+    probes = probe_rows.select(
         "vec_id",
         F.col("__q").alias("__qa"),
         F.col("__n2").alias("__na"),
@@ -677,7 +651,11 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clean_census_acs_data_spark.queries_round7 import knn_join_ivf
 
-    knn = knn_join_ivf(spark, sf_dir)
+    # the pos and neg branches both consume the full kNN subtree; the
+    # output is ≤ 3n tiny rows — cache + eager count so the bounded-
+    # list pair join runs once, not twice
+    knn = knn_join_ivf(spark, sf_dir).cache()
+    knn.count()
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     pos = (
         knn.where(F.col("cosine") > float(_HARDNEG_DUP_T))
@@ -1334,11 +1312,13 @@ GROUP BY phase
 _MRL_DIM = 16  # prefix dims kept by the truncated representation
 
 
-def _mrl_oracle() -> str:
+def _prefix_scores_sql() -> str:
+    """Shared WITH-clause prefix (e/qq/sc CTEs) producing
+    (vec_id, cos_full, cos_pre) — ONE definition feeding both the
+    matryoshka and NDCG oracles so the scoring text cannot drift."""
     qfull = _quant_list("embedding")
     qpre = _quant_list(f"embedding[1:{_MRL_DIM}]")
-    return f"""
-WITH e AS (SELECT vec_id, {qfull} AS qf, {qpre} AS qp FROM embeddings),
+    return f"""e AS (SELECT vec_id, {qfull} AS qf, {qpre} AS qp FROM embeddings),
 qq AS (SELECT qf AS qvf, qp AS qvp, {_dot("qf", "qf")} AS nf,
               {_dot("qp", "qp")} AS np FROM e WHERE vec_id = 0),
 sc AS (
@@ -1348,7 +1328,52 @@ sc AS (
          CAST({_dot("e.qp", "qq.qvp")} AS DOUBLE) /
          (sqrt(CAST({_dot("e.qp", "e.qp")} AS DOUBLE)) * sqrt(CAST(qq.np AS DOUBLE))) AS cos_pre
   FROM e, qq WHERE e.vec_id <> 0
-),
+)"""
+
+
+def _prefix_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cos_full, cos_pre) for every non-query vector — the
+    Spark twin of _prefix_scores_sql, shared by matryoshka_recall_audit
+    and ndcg_eval_prefix_retrieval (a fix to one scoring path reaches
+    both entries and both oracles)."""
+    from clean_census_acs_data_spark.operators.similarity import _quant
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: _quant(x)).alias("qf"),
+        F.transform(F.slice("embedding", 1, _MRL_DIM), lambda x: _quant(x)).alias(
+            "qp"
+        ),
+    )
+    qq = e.where(F.col("vec_id") == 0).select(
+        F.col("qf").alias("qvf"),
+        F.col("qp").alias("qvp"),
+        S._dot_q(F.col("qf"), F.col("qf")).alias("nf"),
+        S._dot_q(F.col("qp"), F.col("qp")).alias("np"),
+    )
+    return (
+        spread(e.where(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id",
+            S.cosine(
+                S._dot_q(F.col("qf"), F.col("qvf")),
+                S._dot_q(F.col("qf"), F.col("qf")),
+                F.col("nf"),
+            ).alias("cos_full"),
+            S.cosine(
+                S._dot_q(F.col("qp"), F.col("qvp")),
+                S._dot_q(F.col("qp"), F.col("qp")),
+                F.col("np"),
+            ).alias("cos_pre"),
+        )
+    )
+
+
+def _mrl_oracle() -> str:
+    return f"""
+WITH {_prefix_scores_sql()},
 tf AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_full DESC, vec_id) AS r_full FROM sc),
 tp AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_pre DESC, vec_id) AS r_pre FROM sc)
 SELECT CAST(10 AS BIGINT) AS k,
@@ -1374,39 +1399,7 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are window functions over the same driver-bounded score table; at
     corpus scale the prefix ranking is the IVF/LSH candidate stage and
     this audit runs on a sampled query set."""
-    from clean_census_acs_data_spark.operators.similarity import _quant
-
-    emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: _quant(x)).alias("qf"),
-        F.transform(F.slice("embedding", 1, _MRL_DIM), lambda x: _quant(x)).alias(
-            "qp"
-        ),
-    )
-    qq = e.where(F.col("vec_id") == 0).select(
-        F.col("qf").alias("qvf"),
-        F.col("qp").alias("qvp"),
-        S._dot_q(F.col("qf"), F.col("qf")).alias("nf"),
-        S._dot_q(F.col("qp"), F.col("qp")).alias("np"),
-    )
-    sc = (
-        spread(e.where(F.col("vec_id") != 0))
-        .crossJoin(F.broadcast(qq))
-        .select(
-            "vec_id",
-            S.cosine(
-                S._dot_q(F.col("qf"), F.col("qvf")),
-                S._dot_q(F.col("qf"), F.col("qf")),
-                F.col("nf"),
-            ).alias("cos_full"),
-            S.cosine(
-                S._dot_q(F.col("qp"), F.col("qvp")),
-                S._dot_q(F.col("qp"), F.col("qp")),
-                F.col("np"),
-            ).alias("cos_pre"),
-        )
-    )
+    sc = _prefix_scores(spark, sf_dir)
     from pyspark.sql.window import Window
 
     ranked = sc.select(
@@ -1434,20 +1427,8 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ndcg_oracle() -> str:
-    qfull = _quant_list("embedding")
-    qpre = _quant_list(f"embedding[1:{_MRL_DIM}]")
     return f"""
-WITH e AS (SELECT vec_id, {qfull} AS qf, {qpre} AS qp FROM embeddings),
-qq AS (SELECT qf AS qvf, qp AS qvp, {_dot("qf", "qf")} AS nf,
-              {_dot("qp", "qp")} AS np FROM e WHERE vec_id = 0),
-sc AS (
-  SELECT e.vec_id,
-         CAST({_dot("e.qf", "qq.qvf")} AS DOUBLE) /
-         (sqrt(CAST({_dot("e.qf", "e.qf")} AS DOUBLE)) * sqrt(CAST(qq.nf AS DOUBLE))) AS cos_full,
-         CAST({_dot("e.qp", "qq.qvp")} AS DOUBLE) /
-         (sqrt(CAST({_dot("e.qp", "e.qp")} AS DOUBLE)) * sqrt(CAST(qq.np AS DOUBLE))) AS cos_pre
-  FROM e, qq WHERE e.vec_id <> 0
-),
+WITH {_prefix_scores_sql()},
 ranked AS (
   SELECT vec_id,
          ROW_NUMBER() OVER (ORDER BY cos_full DESC, vec_id) AS r_full,
@@ -1483,42 +1464,11 @@ def ndcg_eval_prefix_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units PER RANK (the ln-micro-nat discipline), gains and
     discounts multiply as int64, and ndcg is one final double
     division. Scale shape: identical to the recall audit — one scan,
-    two window ranks, one aggregate."""
+    two window ranks, one aggregate (the scan/score pipeline IS
+    _prefix_scores, shared with matryoshka_recall_audit)."""
     from pyspark.sql.window import Window
 
-    from clean_census_acs_data_spark.operators.similarity import _quant
-
-    emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: _quant(x)).alias("qf"),
-        F.transform(F.slice("embedding", 1, _MRL_DIM), lambda x: _quant(x)).alias(
-            "qp"
-        ),
-    )
-    qq = e.where(F.col("vec_id") == 0).select(
-        F.col("qf").alias("qvf"),
-        F.col("qp").alias("qvp"),
-        S._dot_q(F.col("qf"), F.col("qf")).alias("nf"),
-        S._dot_q(F.col("qp"), F.col("qp")).alias("np"),
-    )
-    sc = (
-        spread(e.where(F.col("vec_id") != 0))
-        .crossJoin(F.broadcast(qq))
-        .select(
-            "vec_id",
-            S.cosine(
-                S._dot_q(F.col("qf"), F.col("qvf")),
-                S._dot_q(F.col("qf"), F.col("qf")),
-                F.col("nf"),
-            ).alias("cos_full"),
-            S.cosine(
-                S._dot_q(F.col("qp"), F.col("qvp")),
-                S._dot_q(F.col("qp"), F.col("qp")),
-                F.col("np"),
-            ).alias("cos_pre"),
-        )
-    )
+    sc = _prefix_scores(spark, sf_dir)
     ranked = sc.select(
         "vec_id",
         F.row_number()

@@ -313,7 +313,9 @@ med AS (
 SELECT hll.prio AS o_orderpriority,
        hll.approx_customers,
        CAST(exact.exact_customers AS BIGINT) AS exact_customers,
-       CAST(3 * (CAST(1 AS BIGINT) << (med.med_bkt - 1)) AS BIGINT)
+       CAST(CASE WHEN med.med_bkt >= 1
+                 THEN 3 * (CAST(1 AS BIGINT) << (med.med_bkt - 1))
+                 ELSE 1 END AS BIGINT)
          AS approx_median_cents
 FROM hll JOIN exact ON hll.prio = exact.prio JOIN med ON hll.prio = med.prio
 """
@@ -403,7 +405,13 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bkt").alias("med_bkt"))
         .select(
             "prio",
-            (F.lit(3) * p2("med_bkt - 1")).cast("long").alias("approx_median_cents"),
+            # med_bkt = 0 (cents of 0/1) would shift by -1: DuckDB
+            # raises, Spark's shiftleft masks to 63 and returns garbage
+            # — guard identically on both sides
+            F.when(F.col("med_bkt") >= 1, F.lit(3) * p2("med_bkt - 1"))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("approx_median_cents"),
         )
     )
     return (

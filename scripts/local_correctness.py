@@ -48,24 +48,7 @@ def value_hash(df) -> str:
     return hashlib.md5("\x02".join(rows).encode()).hexdigest()
 
 
-def schema_kinds(df) -> list[tuple[str, str]]:
-    import pandas as pd
-
-    out = []
-    for c in sorted(df.columns):
-        dt = df[c].dtype
-        if pd.api.types.is_bool_dtype(dt):
-            k = "b"
-        elif pd.api.types.is_integer_dtype(dt):
-            k = "i"
-        elif pd.api.types.is_float_dtype(dt):
-            k = "f"
-        elif pd.api.types.is_datetime64_any_dtype(dt):
-            k = "M"
-        else:
-            k = "O"
-        out.append((c, k))
-    return out
+from clean_census_acs_data_spark.compare import schema_kinds  # noqa: E402
 
 
 def main() -> None:

@@ -31,18 +31,9 @@ def ddb():
     con.close()
 
 
-def _kind(dtype) -> str:
-    """Collapse a pandas dtype to a comparison kind: i=int, f=float,
-    b=bool, M=datetime, O=everything else."""
-    if pd.api.types.is_bool_dtype(dtype):
-        return "b"
-    if pd.api.types.is_integer_dtype(dtype):
-        return "i"
-    if pd.api.types.is_float_dtype(dtype):
-        return "f"
-    if pd.api.types.is_datetime64_any_dtype(dtype):
-        return "M"
-    return "O"
+# one shared definition of dtype-kind with the driver-format sweep
+# (scripts/local_correctness.py) so the two verdicts cannot diverge
+from clean_census_acs_data_spark.compare import dtype_kind as _kind  # noqa: E402
 
 
 def assert_dtype_kinds_match(a: pd.DataFrame, b: pd.DataFrame, name: str) -> None:

@@ -53,7 +53,26 @@ def test_rotation_reattests_formerly_rows_only():
         assert names.index("approx_distinct_sketch") < 50
 
 
-def test_rotation_survives_missing_artifacts(monkeypatch, tmp_path):
-    # with no CORRECTNESS artifacts, everything is fresh → registry order
+def test_rotation_survives_missing_artifacts(monkeypatch):
+    """With NO CORRECTNESS artifacts, every entry is fresh and the
+    rotation must return a permutation with oracle-backed entries first
+    (actually exercising the empty-`latest` path — the prior version of
+    this test ran against the real repo artifacts)."""
+    import glob as _glob
+
+    monkeypatch.setattr(_glob, "glob", lambda *a, **k: [])
     order = entrymod._rotation_order(list(QUERIES))
     assert sorted(order) == sorted(QUERIES)
+    n_oracle = len([n for n in QUERIES if n in ORACLES])
+    assert all(n in ORACLES for n in order[:n_oracle])
+
+
+def test_rotation_survives_unreadable_artifacts(monkeypatch, tmp_path):
+    """A corrupt artifact must fall back to registry order, not raise."""
+    import glob as _glob
+
+    bad = tmp_path / "CORRECTNESS_r99.json"
+    bad.write_text("{not json")
+    monkeypatch.setattr(_glob, "glob", lambda *a, **k: [str(bad)])
+    order = entrymod._rotation_order(list(QUERIES))
+    assert order == list(QUERIES)
