@@ -67,6 +67,44 @@ def test_rotation_survives_missing_artifacts(monkeypatch):
     assert all(n in ORACLES for n in order[:n_oracle])
 
 
+def test_rotation_self_advances_across_rounds(monkeypatch, tmp_path):
+    """Simulate the driver writing a CORRECTNESS artifact for the
+    CURRENT sample window: the next round's window must be disjoint
+    from everything attested so far — the self-advancing property the
+    attestation-gap fix depends on."""
+    import glob as _glob
+    import json
+
+    real = {p for p in _glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))}
+    current_window = list(entrymod.queries())[:50]
+    fake = tmp_path / "CORRECTNESS_r98.json"
+    fake.write_text(
+        json.dumps(
+            {
+                n: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                }
+                for n in current_window
+            }
+        )
+    )
+    monkeypatch.setattr(
+        _glob, "glob", lambda *a, **k: sorted(real) + [str(fake)]
+    )
+    next_window = list(entrymod.queries())[:50]
+    already = _attested() | set(current_window)
+    fresh_remaining = [
+        n for n in QUERIES if n not in already and n in ORACLES
+    ]
+    overlap = set(next_window) & set(current_window)
+    assert not overlap or len(fresh_remaining) < 50, (
+        f"window did not advance: {sorted(overlap)[:5]}..."
+    )
+
+
 def test_rotation_survives_unreadable_artifacts(monkeypatch, tmp_path):
     """A corrupt artifact must fall back to registry order, not raise."""
     import glob as _glob
