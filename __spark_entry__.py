@@ -43,11 +43,22 @@ def _rotation_order(names: list[str]) -> list[str]:
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, dict] = {}  # name -> row from the newest round seen
+
+    def _round_no(path: str) -> int:
+        # Numeric merge order: lexicographic filename sort would place an
+        # unpadded CORRECTNESS_r7.json AFTER r10+, letting an older round
+        # overwrite a newer one. Keep the glob results; sort by parsed
+        # round number (unparsable names sort first, so real rounds win).
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     try:
-        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no)
+        for path in paths:
             with open(path) as f:
                 latest.update(json.load(f))
     except (OSError, ValueError):
