@@ -515,20 +515,24 @@ def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # few state partitions: every micro-batch runs one task per state
     # partition, so 32 over a test-sized stream is pure scheduling
-    # overhead (same rationale as streaming/windows._run_to_memory)
+    # overhead (same rationale and conf-override LOCK as
+    # streaming/windows._run_to_memory — see its concurrency note)
+    from clean_census_acs_data_spark.streaming.windows import _CONF_OVERRIDE_LOCK
+
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(processingTime="0 seconds")
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _CONF_OVERRIDE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

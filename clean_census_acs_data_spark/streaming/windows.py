@@ -15,6 +15,7 @@ kafka/delta/parquet via the same writeStream.
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,6 +97,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+_CONF_OVERRIDE_LOCK = threading.Lock()
+
+
 def _run_to_memory(
     agg: DataFrame, mode: str = "append", state_partitions: int | None = 8
 ) -> DataFrame:
@@ -108,24 +112,35 @@ def _run_to_memory(
     scheduling overhead (~4x wall clock on the stream-stream join at
     sf0.1 — VERDICT r3 ask #5). Results are partitioning-independent;
     production sizing ties this to cluster cores via the same knob.
+
+    Concurrency: there is no per-query scope for this conf (streaming
+    state partitioning reads the SESSION value at first micro-batch),
+    so the override is session-global while the stream drains. A lock
+    serializes concurrent ``_run_to_memory`` calls so two streaming
+    entries can't interleave overrides; BATCH queries planned on the
+    same session during a streaming run would still observe the lowered
+    value — callers running streaming + batch concurrently must use
+    separate sessions (``SparkSession.newSession()`` shares the
+    SparkContext but isolates conf).
     """
     spark = agg.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
+    with _CONF_OVERRIDE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
         if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
