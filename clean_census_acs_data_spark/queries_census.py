@@ -1,17 +1,146 @@
-"""Reference-parity pipeline as a driver-contract entry (rows-only:
-the input is the deterministic offline Census-API fake, not the sf
-parquet tables, so no DuckDB oracle applies)."""
+"""Reference-parity pipelines as driver-contract entries, WITH DuckDB
+oracles (VERDICT r4 ask #5): the fake Census fetchers are deterministic
+pure functions, so the exact wire bodies the Spark pipeline ingests are
+embedded as VALUES literals and the whole
+decode → normalize → rename → align → cast chain is re-expressed in
+DuckDB SQL over them (JSON array-of-arrays parse, header-position
+lookup, NULL-fill alignment, blank/sentinel→NULL typed tier). The wire
+bytes are shared input — same as both engines reading one parquet file;
+every transform is independently implemented on each side."""
 
 from __future__ import annotations
+
+import csv
 
 from pyspark.sql import DataFrame, SparkSession
 
 from clean_census_acs_data_spark.plans.census_pipeline import run_census_pipeline
 from clean_census_acs_data_spark.queries import register
-from clean_census_acs_data_spark.sources.fake_census import fake_census_fetcher
+from clean_census_acs_data_spark.sources import census as C
+from clean_census_acs_data_spark.sources.fake_census import (
+    RETIRED_VARIABLE,
+    fake_census_fetcher,
+    fake_zcta_fetcher,
+)
+
+# ---------------------------------------------------------------------------
+# oracle construction (import-time, pure Python — no Spark, no network)
+# ---------------------------------------------------------------------------
+
+_SENTINELS = "('-888888888', '-999999999', '-666666666', '-222222222')"
 
 
-@register("census_pipeline_e2e")  # rows-only check
+def _mapping() -> dict[str, str]:
+    with open(C.MAPPING_CSV, newline="") as f:
+        return {r["api_code"]: r["label"] for r in csv.DictReader(f)}
+
+
+def _chunks(size: int = 3) -> list[str]:
+    fips = C.STATE_FIPS
+    return [",".join(fips[i : i + size]) for i in range(0, len(fips), size)]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _clean_cast(cell: str) -> str:
+    """cast_clean in DuckDB: trim → ''→NULL → sentinel→NULL → BIGINT."""
+    trimmed = f"NULLIF(TRIM({cell}), '')"
+    return (
+        f"CAST(CASE WHEN {trimmed} IN {_SENTINELS} THEN NULL "
+        f"ELSE {trimmed} END AS BIGINT)"
+    )
+
+
+def _census_tract_oracle(variables: list[str], *, null_measures: list[str] = []) -> str:
+    """The tract pipeline chain over the 17-chunk wire table.
+
+    ``variables`` = the vars actually REQUESTED (preflight may have
+    dropped some); ``null_measures`` = labels aligned in as NULL
+    because their variable was never requested."""
+    mapping = _mapping()
+    get_csv = ",".join(["NAME"] + list(dict.fromkeys(variables)))
+    values = []
+    for chunk in _chunks():
+        status, _h, body = fake_census_fetcher(
+            "oracle", {"get": get_csv, "for": "tract:*", "in": f"state:{chunk}"}
+        )
+        values.append(f"({_sql_str(chunk)}, {status}, {_sql_str(body)})")
+    measure_cols = []
+    for v in variables:
+        label = mapping.get(v, v)
+        cell = f"r[list_position(h, {_sql_str(v)})]"
+        measure_cols.append(f'{_clean_cast(cell)} AS "{label}"')
+    for label in null_measures:
+        measure_cols.append(f'CAST(NULL AS BIGINT) AS "{label}"')
+    values_sql = ",\n  ".join(values)
+    measures_sql = ",\n  ".join(measure_cols)
+    return f"""
+WITH wire(state_chunk, status, body) AS (VALUES
+  {values_sql}
+),
+ok AS (
+  SELECT state_chunk, body::JSON AS j FROM wire
+  WHERE status >= 200 AND status < 300
+),
+hdr AS (SELECT state_chunk, j, CAST(j -> 0 AS VARCHAR[]) AS h FROM ok),
+dat AS (
+  SELECT state_chunk, h,
+         CAST(j -> unnest(generate_series(1, json_array_length(j)::INT - 1))
+              AS VARCHAR[]) AS r
+  FROM hdr
+)
+SELECT
+  'dp02' AS "TABLE_NAME",
+  r[list_position(h, 'NAME')] AS "NAME",
+  {measures_sql},
+  state_chunk AS "STATE_FIPS",
+  r[list_position(h, 'DPXX_9999E')] AS "DPXX_9999E",
+  r[list_position(h, 'state')] AS "STATE",
+  r[list_position(h, 'county')] AS "COUNTY",
+  r[list_position(h, 'tract')] AS "TRACT"
+FROM dat
+"""
+
+
+def _census_zcta_oracle() -> str:
+    mapping = _mapping()
+    variables = list(dict.fromkeys(C.DATASETS["dp02"]["variables"]))
+    get_csv = ",".join(["NAME"] + variables)
+    status, _h, body = fake_zcta_fetcher("oracle", {"get": get_csv})
+    measure_cols = []
+    for v in variables:
+        label = mapping.get(v, v)
+        cell = f"r[list_position(h, {_sql_str(v)})]"
+        measure_cols.append(f'{_clean_cast(cell)} AS "{label}"')
+    measures_sql = ",\n  ".join(measure_cols)
+    return f"""
+WITH wire(status, body) AS (VALUES ({status}, {_sql_str(body)})),
+ok AS (
+  SELECT body::JSON AS j FROM wire WHERE status >= 200 AND status < 300
+),
+hdr AS (SELECT j, CAST(j -> 0 AS VARCHAR[]) AS h FROM ok),
+dat AS (
+  SELECT h,
+         CAST(j -> unnest(generate_series(1, json_array_length(j)::INT - 1))
+              AS VARCHAR[]) AS r
+  FROM hdr
+)
+SELECT
+  'dp02' AS "TABLE_NAME",
+  r[list_position(h, 'NAME')] AS "NAME",
+  {measures_sql},
+  r[list_position(h, 'zip code tabulation area')] AS "ZIP CODE TABULATION AREA"
+FROM dat
+"""
+
+
+_DP02_VARS = list(dict.fromkeys(C.DATASETS["dp02"]["variables"]))
+_PREFLIGHT_VARS = [v for v in _DP02_VARS if v != RETIRED_VARIABLE]
+
+
+@register("census_pipeline_e2e", oracle=_census_tract_oracle(_DP02_VARS))
 def census_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's flagship ETL end-to-end on Spark: request-spec
     DataFrame → parallel mapInPandas fetch (deterministic offline fake,
@@ -25,7 +154,7 @@ def census_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean
 
 
-@register("census_zcta_pipeline_e2e")  # rows-only check
+@register("census_zcta_pipeline_e2e", oracle=_census_zcta_oracle())
 def census_zcta_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's second pipeline (test_final_zcta.py): single-shot
     all-ZCTA fetch, geography column probed from the response. Offline
@@ -37,7 +166,13 @@ def census_zcta_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean
 
 
-@register("census_preflight_pipeline")  # rows-only check
+@register(
+    "census_preflight_pipeline",
+    oracle=_census_tract_oracle(
+        _PREFLIGHT_VARS,
+        null_measures=[_mapping()[RETIRED_VARIABLE]],
+    ),
+)
 def census_preflight_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline with the variables.json availability pre-flight
     (reference filter_available_variables, Test_census_tract.py:

@@ -37,6 +37,8 @@ association, identical aliases both sides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1182,8 +1184,11 @@ def xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+    # per-process path component: two sessions sweeping the same sf_dir
+    # concurrently (driver sweep + local_correctness) must not race on
+    # overwrite-vs-readback of a shared directory (ADVICE r4 #5)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/sparkgraft_xml_{tag}"
+    path = f"{tempfile.gettempdir()}/sparkgraft_xml_{tag}_{os.getpid()}"
     n.coalesce(1).write.mode("overwrite").format("xml").option(
         "rowTag", "nation"
     ).save(path)
@@ -1768,8 +1773,10 @@ def partitioned_write_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
+    # per-process path component — same race rationale as the XML
+    # round-trip above (ADVICE r4 #5)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/sparkgraft_part_{tag}"
+    path = f"{tempfile.gettempdir()}/sparkgraft_part_{tag}_{os.getpid()}"
     d = _t(spark, sf_dir, "documents")
     d.write.mode("overwrite").partitionBy("source").parquet(path)
     back = spark.read.parquet(path).where(F.col("source") == "src1")
