@@ -445,3 +445,160 @@ def semantic_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cluster").alias("last_cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE merge training (argmax + greedy non-overlapping rewrite)
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 3
+
+
+def _bpe_oracle(n_iters: int = _BPE_ITERS) -> str:
+    """Generate the n-iteration CTE chain: each round re-counts adjacent
+    pairs over the CURRENT token sequence, picks the argmax pair
+    (count desc, then lexicographic — fully deterministic), and applies
+    the greedy left-to-right non-overlapping rewrite. Overlap handling:
+    candidate positions at consecutive p (only possible for a==b runs
+    like 'x x x') form runs via the p - row_number() trick; greedy
+    keeps odd ranks within each run."""
+    parts = [
+        """base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok0 AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS p, t[u.i] AS tok
+  FROM base, UNNEST(range(1, len(t) + 1)) AS u(i)
+)"""
+    ]
+    for i in range(n_iters):
+        parts.append(f"""adj{i} AS (
+  SELECT doc_id, p, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+  FROM tok{i}
+),
+cnt{i} AS (
+  SELECT tok AS l, nxt AS r, COUNT(*) AS c
+  FROM adj{i} WHERE nxt IS NOT NULL GROUP BY tok, nxt
+),
+top{i} AS (SELECT l, r, c FROM cnt{i} ORDER BY c DESC, l, r LIMIT 1),
+cand{i} AS (
+  SELECT a.doc_id AS doc_id, a.p AS p
+  FROM adj{i} a, top{i} t WHERE a.tok = t.l AND a.nxt = t.r
+),
+runs{i} AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS run_id
+  FROM cand{i}
+),
+keep{i} AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY doc_id, run_id ORDER BY p) AS rr
+    FROM runs{i}
+  ) s WHERE rr % 2 = 1
+),
+tok{i + 1} AS (
+  SELECT a.doc_id AS doc_id,
+         row_number() OVER (PARTITION BY a.doc_id ORDER BY a.p) AS p,
+         CASE WHEN k1.p IS NOT NULL THEN a.tok || ' ' || a.nxt
+              ELSE a.tok END AS tok
+  FROM adj{i} a
+  LEFT JOIN keep{i} k1 ON a.doc_id = k1.doc_id AND a.p = k1.p
+  LEFT JOIN keep{i} k2 ON a.doc_id = k2.doc_id AND a.p = k2.p + 1
+  WHERE k2.p IS NULL
+)""")
+    selects = [
+        f"""SELECT {i + 1} AS iter, l AS left_tok, r AS right_tok,
+       CAST(c AS BIGINT) AS pair_count,
+       (SELECT COUNT(*) FROM tok{i + 1}) AS tokens_after
+FROM top{i}"""
+        for i in range(n_iters)
+    ]
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {body}\n{union}"
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge training over the corpus (word-level): each
+    round counts adjacent token pairs, merges the most frequent pair
+    (ties broken lexicographically), greedily and non-overlapping
+    ('x x x' merges once), then re-counts over the REWRITTEN sequence —
+    the data-dependent iterative loop bpe_pair_counts (one round of
+    counting) only hints at. Output: the learned merge table with the
+    post-rewrite corpus size per round.
+
+    Implementation: the rewrite stays STRING-level — one
+    regexp_replace per round with the pair \\Q-quoted and space-boundary
+    lookarounds; Java's regex scanner IS the greedy left-to-right
+    non-overlapping pass, so the semantics match the oracle's
+    token-level run-parity formulation exactly. Merged tokens join on
+    \\x01 internally (translated back to spaces on output): the map
+    internal↔oracle token is a bijection that preserves lexicographic
+    order (0x01 and 0x20 both sort below every letter), so argmax
+    tie-breaks agree. The rewrite is a NARROW map — no shuffle, no
+    window, no join beyond the broadcast 1-row pair.
+
+    100-TB shape: per round, one map-side-combined pair aggregate
+    (|vocab²|-bounded) + a 1-row TakeOrdered broadcast back + a narrow
+    regex map. Nothing global touches data rows; rounds scale the
+    constant, not the exchange count. Tokenizer training at scale runs
+    exactly this dataflow with more rounds."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").alias("s"))
+        .repartition(8)
+        .cache()  # 5+ jobs (pair counts, sizes) re-read this base
+    )
+    docs = d
+    out_rows = []
+    for i in range(_BPE_ITERS):
+        toks = docs.select(F.split("s", " ").alias("arr"))
+        pairs = (
+            toks.select(
+                F.explode(
+                    F.zip_with(
+                        "arr",
+                        F.slice("arr", 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("pr")
+            )
+            .select("pr.l", "pr.r")
+            .where(F.col("r").isNotNull())
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .cache()  # feeds the rewrite AND the output row
+        )
+        top.count()
+        pat = F.concat(
+            F.lit("(?<![^ ])\\Q"),
+            F.col("l"),
+            F.lit(" "),
+            F.col("r"),
+            F.lit("\\E(?![^ ])"),
+        )
+        rep = F.concat(F.col("l"), F.lit("\x01"), F.col("r"))
+        docs = docs.crossJoin(F.broadcast(top)).select(
+            "doc_id", F.regexp_replace("s", pat, rep).alias("s")
+        )
+        tokens_after = docs.agg(
+            F.sum(F.size(F.split("s", " "))).alias("tokens_after")
+        )
+        out_rows.append(
+            top.crossJoin(F.broadcast(tokens_after)).select(
+                F.lit(i + 1).cast("int").alias("iter"),
+                F.translate("l", "\x01", " ").alias("left_tok"),
+                F.translate("r", "\x01", " ").alias("right_tok"),
+                F.col("c").cast("long").alias("pair_count"),
+                F.col("tokens_after").cast("long"),
+            )
+        )
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionByName(extra)
+    return out

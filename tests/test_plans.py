@@ -148,6 +148,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "knn_join_ivf_probe2",  # same broadcast codebook cross, nprobe=2
         "similarity_topk",  # broadcast 1-row query vector (nk scalar joined in r4)
         "semantic_pack_order",  # broadcast 8-row centroid table (layout assignment)
+        "bpe_train_merges",  # broadcast 1-row argmax pair × 1-row corpus-size scalar
     }
     for name, p in plans.items():
         base = name.split("/")[0]
