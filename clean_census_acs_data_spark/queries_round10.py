@@ -128,17 +128,23 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("doc_id", 2).over(win).alias("nid2"),
         F.lead("text", 2).over(win).alias("ntext2"),
     )
+    # banded edit distance (threshold arg → O(len·k) not len²; returns
+    # -1 above the band, and the exact distance within it, so the
+    # filtered result is identical to the oracle's full levenshtein
+    # with dist <= k — measured 9.9 s → ~2 s at sf0.1)
     c1 = w.where(F.col("nid1").isNotNull()).select(
         F.col("doc_id").alias("a"),
         F.col("nid1").alias("b"),
-        F.levenshtein("text", "ntext1").alias("dist"),
+        F.levenshtein("text", "ntext1", _SNM_MAXDIST).alias("dist"),
     )
     c2 = w.where(F.col("nid2").isNotNull()).select(
         F.col("doc_id").alias("a"),
         F.col("nid2").alias("b"),
-        F.levenshtein("text", "ntext2").alias("dist"),
+        F.levenshtein("text", "ntext2", _SNM_MAXDIST).alias("dist"),
     )
-    cand = c1.unionByName(c2).where(F.col("dist") <= _SNM_MAXDIST)
+    cand = c1.unionByName(c2).where(
+        (F.col("dist") >= 0) & (F.col("dist") <= _SNM_MAXDIST)
+    )
     return cand.select(
         F.least("a", "b").alias("doc_a"),
         F.greatest("a", "b").alias("doc_b"),
@@ -602,3 +608,302 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in out_rows[1:]:
         out = out.unionByName(extra)
     return out
+
+
+# ---------------------------------------------------------------------------
+# statistics tier: Poisson bootstrap / CUPED / grouped OLS
+# ---------------------------------------------------------------------------
+
+_H15_SQL = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+
+# inverse-CDF thresholds for Poisson(1) on a uniform 0..999999 draw,
+# ×1e6 and truncated — exact integer comparisons, engine-identical
+_POIS_T = (367879, 735758, 919698, 981011, 996340)
+_BOOT_B = 32
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+# one md5 per ROW, then per-replica draws by exact integer mixing
+# (MINSTD step + replica offset) — 32 md5s/row would dominate the scan
+_BOOT_MIX = (
+    "(((h2 + b * 2654435761) * 48271) % 2147483647) % 1000000"
+)
+
+_BOOT_ORACLE = f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+h AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         ({_H15_SQL.format(x="concat('boot#', CAST(o_orderkey AS VARCHAR))")}
+          % 1000003) * 48271 % 2147483647 AS h2
+  FROM orders
+),
+w AS (
+  SELECT b, cents, {_pois_case_sql(_BOOT_MIX)} AS wt
+  FROM h CROSS JOIN reps
+),
+rep_means AS (
+  SELECT b,
+         CAST(SUM(wt * cents) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS m
+  FROM w GROUP BY b
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM rep_means
+),
+point AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS est
+  FROM orders
+)
+SELECT est AS mean_cents,
+       (SELECT m FROM ranked WHERE rk = 2) AS boot_lo,
+       (SELECT m FROM ranked WHERE rk = {_BOOT_B - 1}) AS boot_hi,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicas
+FROM point
+"""
+
+
+@register("poisson_bootstrap_ci", oracle=_BOOT_ORACLE)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value:
+    every (row, replica) pair gets a deterministic pseudo-Poisson(1)
+    weight from a 60-bit md5 draw against exact inverse-CDF integer
+    thresholds, so the whole B-replica bootstrap is ONE pass over the
+    data with a (B × groups)-sized aggregate — the resampling-free
+    bootstrap of Chamandy et al., the only form that works when the
+    data can't be materialized B times. CI = order statistics (2nd /
+    B-1th) of the replica means.
+
+    100-TB shape: the cross with the B-row replica spine is a broadcast
+    expansion feeding a map-side-combined aggregate keyed by b (B cells
+    per mapper); no shuffle of data rows, no second pass, and the
+    replica-mean table is B rows on one reducer."""
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("long").alias("b"))
+    h = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            md5_long(F.concat(F.lit("boot#"), F.col("o_orderkey").cast("string")))
+            % 1_000_003
+            * 48271
+            % 2147483647
+        ).alias("h2"),
+    )
+    draw = ((F.col("h2") + F.col("b") * 2654435761) * 48271) % 2147483647 % 1_000_000
+    wt = F.when(draw < _POIS_T[0], 0)
+    for k, t in enumerate(_POIS_T[1:], start=1):
+        wt = wt.when(draw < t, k)
+    wt = wt.otherwise(5).cast("long")
+    # spread the 32× expansion: the orders scan is one file → one
+    # partition, and the whole replica fan-out would run on one task
+    w = (
+        h.repartition(16)
+        .crossJoin(F.broadcast(reps))
+        .select("b", "cents", wt.alias("wt"))
+    )
+    rep_means = w.groupBy("b").agg(
+        (
+            F.sum(F.col("wt") * F.col("cents")).cast("double")
+            / F.sum("wt").cast("double")
+        ).alias("m")
+    )
+    ranked = rep_means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rk")
+    )
+    lo = ranked.where(F.col("rk") == 2).select(F.col("m").alias("boot_lo"))
+    hi = ranked.where(F.col("rk") == _BOOT_B - 1).select(F.col("m").alias("boot_hi"))
+    point = o.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_cents")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .withColumn("n_replicas", F.lit(_BOOT_B).cast("long"))
+    )
+
+
+_CUPED_SPLIT = "TIMESTAMP '2024-02-01 00:00:00'"
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < {_CUPED_SPLIT}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= {_CUPED_SPLIT}
+                       THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y,
+         {_H15_SQL.format(x="concat('cuped#', CAST(user_id AS VARCHAR))")} % 2
+           AS grp
+  FROM events GROUP BY user_id
+),
+gmom AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM per_user
+),
+theta AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE) /
+         CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+  FROM gmom
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(y) AS BIGINT) AS sum_y_cents,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_y,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         - th * (CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) - mean_x)
+         AS mean_y_adj
+FROM per_user CROSS JOIN theta
+GROUP BY grp, th, mean_x
+"""
+
+
+@register("cuped_adjusted_lift", oracle=_CUPED_ORACLE)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout: per-user pre-period
+    covariate X and post-period metric Y (integer cents), deterministic
+    hash assignment to arms, θ = cov(X,Y)/var(X) from EXACT integer
+    moment sums (n·Σxy − ΣxΣy over n·Σx² − (Σx)²; one double division),
+    adjusted arm means Ŷ_g − θ·(X̄_g − X̄). The industry-standard
+    experiment-sensitivity op (Deng et al.) as one aggregation tree.
+
+    100-TB shape: one shuffle to per-user grain, then a 1-row global
+    moment frame broadcast back over the 2-row arm aggregate; the
+    integer moment sums are map-side combined and overflow-safe to
+    ~10^18 (documented bound: |x| ≤ ~3·10^5 cents·events per user at
+    sf0.1 ⇒ Σx² ≈ 10^14)."""
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(F.lit(0))).alias("y"),
+    ).withColumn(
+        "grp",
+        md5_long(F.concat(F.lit("cuped#"), F.col("user_id").cast("string"))) % 2,
+    )
+    dec = "decimal(38,0)"
+    glob = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    theta = glob.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mean_x"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("grp", "th", "mean_x")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("y").alias("sum_y_cents"),
+            F.sum("x").alias("sum_x"),
+        )
+        .select(
+            F.col("grp").cast("long"),
+            F.col("n_users").cast("long"),
+            F.col("sum_y_cents").cast("long"),
+            (F.col("sum_y_cents").cast("double") / F.col("n_users").cast("double")).alias(
+                "mean_y"
+            ),
+            (
+                F.col("sum_y_cents").cast("double") / F.col("n_users").cast("double")
+                - F.col("th")
+                * (
+                    F.col("sum_x").cast("double") / F.col("n_users").cast("double")
+                    - F.col("mean_x")
+                )
+            ).alias("mean_y_adj"),
+        )
+    )
+
+
+_OLS_ORACLE = """
+WITH xy AS (
+  SELECT c_nationkey AS nation,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+mom AS (
+  SELECT nation, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM xy GROUP BY nation
+)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(n * sxy - sx * sy AS DOUBLE) /
+       CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE) /
+           CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM mom
+"""
+
+
+@register("ols_slope_per_group", oracle=_OLS_ORACLE)
+def ols_slope_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (order value on customer balance, per
+    nation): slope and intercept from exact integer moment sums with
+    the two double divisions as the ONLY float ops — grouped linear
+    regression without MLlib, the feature-vs-target drift probe of a
+    feature-store audit.
+
+    100-TB shape: moments are map-side combined on the join output
+    (grouped to |nations| rows before any wide exchange); the join
+    itself broadcasts customer when small or sort-merges on the shared
+    key. Overflow bound documented: Σxy ≲ 10^17 at sf0.1 grain."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    xy = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    # moment sums in DECIMAL(38,0): per-element products fit int64, but
+    # n·Σxy and Σx·Σy reach ~10^21 at sf0.1 — exact int128-class
+    # arithmetic on both sides (DuckDB SUM(BIGINT)→HUGEINT does the
+    # same), one correctly-rounded cast to double at the end
+    dec = "decimal(38,0)"
+    mom = xy.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return mom.select(
+        F.col("nation"),
+        F.col("n").cast("long").alias("n_orders"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )

@@ -149,6 +149,8 @@ def test_no_degenerate_joins_anywhere(plans):
         "similarity_topk",  # broadcast 1-row query vector (nk scalar joined in r4)
         "semantic_pack_order",  # broadcast 8-row centroid table (layout assignment)
         "bpe_train_merges",  # broadcast 1-row argmax pair × 1-row corpus-size scalar
+        "poisson_bootstrap_ci",  # broadcast 32-row replica spine + 1-row CI bounds
+        "cuped_adjusted_lift",  # broadcast 1-row theta/mean_x moment frame
     }
     for name, p in plans.items():
         base = name.split("/")[0]
