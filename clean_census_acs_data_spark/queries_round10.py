@@ -907,3 +907,253 @@ def ols_slope_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML-evaluation tier: exact AUC / calibration bins / multi-touch credit
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH scored AS (
+  SELECT n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+per_score AS (
+  SELECT score, COUNT(*) AS cnt,
+         CAST(SUM(label) AS BIGINT) AS pos_cnt
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score, cnt, pos_cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS before
+  FROM per_score
+),
+tot AS (
+  SELECT CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) - SUM(pos_cnt) AS BIGINT) AS n_neg,
+         CAST(SUM(pos_cnt * (2 * before + cnt + 1)) AS BIGINT) AS two_rank_sum
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CAST(two_rank_sum - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+       CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM tot
+"""
+
+
+@register("auc_exact_rank", oracle=_AUC_ORACLE)
+def auc_exact_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC with tie handling via the Mann–Whitney rank-sum
+    identity: AUC = (Σ2r̄_pos − n₊(n₊+1)) / (2·n₊·n₋), where twice the
+    tied-average rank of a score group is the integer 2·before+cnt+1 —
+    the whole statistic is integer until one final division (the exact
+    numerator/denominator are in the output too). The classifier-eval
+    op every model-quality gate needs, without sampling or
+    approximation.
+
+    100-TB shape: one aggregate to |distinct scores| rows, one
+    prefix-sum window over that (score-ordered, tiny), one 1-row
+    reduction. Never sorts or ranks the raw rows — the rank sums come
+    from group counts, so 10^11 rows cost one map-side-combined
+    aggregate."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    per_score = d.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("label").alias("pos_cnt")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.select(
+        "cnt",
+        "pos_cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before"),
+    )
+    tot = cum.agg(
+        F.sum("pos_cnt").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos_cnt")).alias("n_neg"),
+        F.sum(
+            F.col("pos_cnt") * (F.lit(2) * F.col("before") + F.col("cnt") + 1)
+        ).alias("two_rank_sum"),
+    )
+    num = F.col("two_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    return tot.select(
+        F.col("n_pos").cast("long"),
+        F.col("n_neg").cast("long"),
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        (num.cast("double") / den.cast("double")).alias("auc"),
+    )
+
+
+_CAL_ORACLE = """
+WITH scored AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) % 1000 AS p_mil,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+  FROM orders
+)
+SELECT CAST(p_mil // 100 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST(SUM(p_mil) AS BIGINT) AS sum_p_mil,
+       CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy,
+       CAST(SUM(p_mil) AS DOUBLE) / (999.0 * CAST(COUNT(*) AS DOUBLE))
+         AS confidence
+FROM scored
+GROUP BY 1
+"""
+
+
+@register("calibration_bins_audit", oracle=_CAL_ORACLE)
+def calibration_bins_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-audit bins (the per-bin table behind expected
+    calibration error): a pseudo-probability in integer thousandths
+    bucketed into 10 bins, per-bin accuracy vs mean confidence from
+    exact integer sums. ECE = Σ (n_b/N)·|acc_b − conf_b| is one
+    weighted fold over these 10 rows — kept out of the result so every
+    emitted value stays a single-division double.
+
+    100-TB shape: a 10-cell map-side-combined aggregate; nothing else.
+    The audit any deployed scorer runs per batch."""
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 1000).alias("p_mil"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    return (
+        scored.groupBy(F.floor(F.col("p_mil") / 100).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+            F.sum("p_mil").alias("sum_p_mil"),
+        )
+        .select(
+            "bin",
+            F.col("n").cast("long"),
+            F.col("n_pos").cast("long"),
+            F.col("sum_p_mil").cast("long"),
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "accuracy"
+            ),
+            (
+                F.col("sum_p_mil").cast("double")
+                / (F.lit(999.0) * F.col("n").cast("double"))
+            ).alias("confidence"),
+        )
+    )
+
+
+_MTA_ORACLE = """
+WITH purchases AS (
+  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.purchase_id, e.event_type, e.ts, e.event_id
+  FROM purchases p
+  JOIN events e
+    ON e.user_id = p.user_id
+   AND e.event_type IN ('click', 'view', 'signup')
+   AND e.ts >= p.purchase_ts - INTERVAL 7 DAY
+   AND e.ts < p.purchase_ts
+),
+ranked AS (
+  SELECT purchase_id, event_type,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY purchase_id) AS n
+  FROM touches
+),
+credited AS (
+  SELECT event_type,
+         -- linear: floor ppm share, remainder to the FIRST touch
+         CASE WHEN pos = 1
+              THEN 1000000 - (n - 1) * (1000000 // n)
+              ELSE 1000000 // n END AS linear_ppm,
+         -- U-shaped: 40/20/40 with degenerate n=1,2 cases; middle
+         -- remainder to the first middle touch
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN pos = 1 OR pos = n THEN 400000
+              WHEN pos = 2
+              THEN 200000 - (n - 3) * (200000 // (n - 2))
+              ELSE 200000 // (n - 2) END AS u_ppm
+  FROM ranked
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(linear_ppm) AS BIGINT) AS linear_credit_ppm,
+       CAST(SUM(u_ppm) AS BIGINT) AS u_credit_ppm
+FROM credited
+GROUP BY event_type
+"""
+
+
+@register("attribution_multi_touch", oracle=_MTA_ORACLE)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution with linear and U-shaped (40/20/40)
+    credit over the 7-day pre-purchase touch window — the marketing
+    twin of attribution_first_last, which only credits endpoints.
+    Credit is integer ppm with floor shares and the remainder pinned
+    deterministically (first touch / first middle touch), so per-
+    conversion credit sums to exactly 1,000,000 and the aggregate is
+    bit-exact — no float redistribution drift.
+
+    100-TB shape: the touch join is a per-user range join (both sides
+    hash on user_id, the 7-day predicate prunes state), window ranks
+    are per-purchase partitions, and the final aggregate is
+    |event_types| cells. Degenerate fan-out is bounded by touches-per-
+    purchase, not corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    touches = ev.where(
+        F.col("event_type").isin("click", "view", "signup")
+    ).join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS"))
+        & (F.col("ts") < F.col("purchase_ts")),
+    )
+    pw = Window.partitionBy("purchase_id").orderBy("ts", "event_id")
+    cw = Window.partitionBy("purchase_id")
+    ranked = touches.select(
+        "purchase_id",
+        "event_type",
+        F.row_number().over(pw).alias("pos"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    lin_share = F.floor(F.lit(1_000_000) / F.col("n")).cast("long")
+    linear_ppm = F.when(
+        F.col("pos") == 1, F.lit(1_000_000) - (F.col("n") - 1) * lin_share
+    ).otherwise(lin_share)
+    mid_share = F.floor(F.lit(200_000) / (F.col("n") - 2)).cast("long")
+    u_ppm = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400_000))
+        .when(F.col("pos") == 2, F.lit(200_000) - (F.col("n") - 3) * mid_share)
+        .otherwise(mid_share)
+    )
+    return (
+        ranked.select(
+            "event_type",
+            linear_ppm.cast("long").alias("linear_ppm"),
+            u_ppm.cast("long").alias("u_ppm"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("linear_ppm").alias("linear_credit_ppm"),
+            F.sum("u_ppm").alias("u_credit_ppm"),
+        )
+    )
