@@ -1157,3 +1157,130 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("u_ppm").alias("u_credit_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join with prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_SETSIM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                       i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+  FROM tok WHERE len(t) >= 3
+),
+shr AS (SELECT doc_id, unnest(s) AS g FROM sh),
+dfreq AS (SELECT g, COUNT(*) AS df FROM shr GROUP BY g),
+pos AS (
+  SELECT shr.doc_id, shr.g,
+         row_number() OVER (PARTITION BY shr.doc_id ORDER BY df, shr.g)
+           AS pos,
+         COUNT(*) OVER (PARTITION BY shr.doc_id) AS sz
+  FROM shr JOIN dfreq USING (g)
+),
+pref AS (SELECT doc_id, g FROM pos WHERE pos <= sz // 2 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT da AS doc_a, db AS doc_b,
+         len(list_intersect(sa.s, sb.s)) AS inter,
+         len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS uni
+  FROM cand
+  JOIN sh sa ON sa.doc_id = da
+  JOIN sh sb ON sb.doc_id = db
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(uni AS BIGINT) AS uni,
+       CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+FROM ver WHERE 2 * inter >= uni
+"""
+
+
+@register("setsim_join_prefix_filter", oracle=_SETSIM_ORACLE)
+def setsim_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (shingle Jaccard ≥ 0.5) with PPJoin
+    prefix filtering: order each doc's shingles by ascending global
+    document frequency, keep only the first |s| − ⌈t·|s|⌉ + 1 as the
+    candidate-generating prefix — two sets can reach threshold t only
+    if their prefixes share an element, so the equi-join on prefix
+    shingles finds EVERY qualifying pair (unlike MinHash banding, which
+    is probabilistic) while never forming the n² cross. The ≥-threshold
+    test is the integer 2·|∩| ≥ |∪| — no float boundary.
+
+    100-TB shape: rarest-first prefixes make the candidate join key
+    distribution anti-correlated with shingle popularity (the rare
+    shingles that define prefixes have tiny postings), so the
+    bucket-join fan-out stays bounded where a join on ALL shingles
+    would explode on stopword-like keys; df ranking is one
+    vocab-grained aggregate joined back on the same key."""
+    from clean_census_acs_data_spark.operators.text import shingles
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .repartition(8)  # one input file otherwise serializes the HOFs
+    )
+    # cache: three consumers (posting list + both verify sides)
+    sh = (
+        d.where(F.size("t") >= 3)
+        .select("doc_id", F.array_distinct(shingles(F.col("t"))).alias("s"))
+        .cache()
+    )
+    # set size travels WITH the exploded rows (array is in hand) — no
+    # second count-over-partition window pass
+    # posting path runs on a 60-bit hash of the shingle, not the ~20-char
+    # string: cheaper shuffle keys and sort. Any consistent global order
+    # keeps the prefix-filter completeness theorem, and a (rare) hash
+    # collision only ADDS a candidate pair, which the exact verify
+    # removes — output is invariant
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    shr = sh.select(
+        "doc_id",
+        F.size("s").cast("long").alias("sz"),
+        F.explode("s").alias("g0"),
+    ).select("doc_id", "sz", md5_long(F.col("g0")).alias("g"))
+    dfreq = shr.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    pw = Window.partitionBy("doc_id").orderBy("df", "g")
+    pos = shr.join(dfreq, "g").withColumn("pos", F.row_number().over(pw))
+    pref = pos.where(
+        F.col("pos") <= F.floor(F.col("sz") / 2).cast("long") + 1
+    ).select("doc_id", "sz", "g")
+    # length filter rides the candidate join: J ≥ 1/2 needs
+    # 2·min(|a|,|b|) ≥ max(|a|,|b|) — prunes before verify
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.least("a.sz", "b.sz") >= F.greatest("a.sz", "b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    uni = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            inter.cast("long").alias("inter"),
+            uni.cast("long").alias("uni"),
+            (inter.cast("double") / uni.cast("double")).alias("jaccard"),
+        )
+        .where(F.lit(2) * F.col("inter") >= F.col("uni"))
+    )
