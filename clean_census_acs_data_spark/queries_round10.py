@@ -1284,3 +1284,20 @@ def setsim_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.lit(2) * F.col("inter") >= F.col("uni"))
     )
+
+
+@register("streaming_rate_limiter")  # rows-only check
+def streaming_rate_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom stateful operator: per-user EVENT-TIME token
+    bucket (capacity 5, one token per 10 minutes) over the staged
+    deterministic micro-batch replay — admission depends on the running
+    balance, which no built-in windowed aggregate expresses
+    (streaming/stateful.py: integer µtoken state, exact and
+    replay-deterministic). Emits admitted events with their
+    post-admission balance; semantics + determinism pinned in
+    tests/test_streaming.py."""
+    from clean_census_acs_data_spark.streaming.stateful import (
+        rate_limit_events_availablenow,
+    )
+
+    return rate_limit_events_availablenow(spark, sf_dir)

@@ -346,3 +346,138 @@ def sessionize_events_availablenow(
         sessionize_with_state(stream, gap=gap, watermark=watermark),
         state_partitions=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# per-entity token-bucket rate limiter (second custom stateful operator)
+# ---------------------------------------------------------------------------
+
+RATE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value_cents", LongType()),
+        StructField("tokens_left_micro", LongType()),
+    ]
+)
+
+# state: (tokens_micro, last_ts_us); 1 token = 1_000_000 µtokens
+RATE_STATE_SCHEMA = "tokens_micro LONG, last_ts_us LONG"
+
+
+def _rate_limit_fn(capacity_micro: int, accrual_div: int):
+    """Token bucket per key: integer µtoken arithmetic (1 token =
+    10^6 µtokens; accrual = elapsed_µs // accrual_div) — exact and
+    replay-deterministic, no float drift. The admission recurrence
+    (tokens_i = min(cap, tokens_{i-1} + accrual) − admit_i) is
+    sequential by nature; the loop runs per KEY per batch over that
+    key's events only."""
+    import numpy as np
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # no timeouts registered — defensive
+            state.remove()
+            return
+        tokens, last_us = (
+            state.get if state.exists else (capacity_micro, None)
+        )
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        ts_us = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        )
+        cents = pdf["value_cents"].to_numpy(dtype=np.int64)
+        order = np.argsort(ts_us, kind="stable")
+        ts_us, cents = ts_us[order], cents[order]
+        adm_ts, adm_cents, adm_left = [], [], []
+        for t, v in zip(ts_us, cents):
+            if last_us is not None and t > last_us:
+                tokens = min(
+                    capacity_micro, tokens + (int(t) - last_us) // accrual_div
+                )
+            last_us = int(t)
+            if tokens >= 1_000_000:
+                tokens -= 1_000_000
+                adm_ts.append(t)
+                adm_cents.append(v)
+                adm_left.append(tokens)
+        state.update((int(tokens), int(last_us)))
+        if adm_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(adm_ts), user_id, dtype=np.int64),
+                    "ts": np.asarray(adm_ts, dtype=np.int64).view("datetime64[us]"),
+                    "value_cents": np.asarray(adm_cents, dtype=np.int64),
+                    "tokens_left_micro": np.asarray(adm_left, dtype=np.int64),
+                },
+                copy=False,
+            )
+
+    return fn
+
+
+def rate_limit_with_state(
+    events: DataFrame,
+    *,
+    capacity: int = 5,
+    refill_period: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Admit at most ``capacity`` burst events per user, refilling one
+    token per ``refill_period`` of EVENT time — the per-entity
+    throttling shape (API quotas, abuse control, crawl politeness)
+    that needs arbitrary state: the admission decision depends on the
+    running token balance, which no built-in windowed aggregate can
+    express. Emits admitted events with their post-admission balance."""
+    unit_ms = {"minutes": 60_000, "minute": 60_000, "hours": 3_600_000, "hour": 3_600_000}
+    qty, unit = refill_period.split()
+    period_us = int(qty) * unit_ms[unit] * 1000
+    # accrual_div: µs of elapsed time per µtoken = period_us / 1e6
+    accrual_div = max(1, period_us // 1_000_000)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _rate_limit_fn(capacity * 1_000_000, accrual_div),
+            outputStructType=RATE_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def rate_limit_events_availablenow(
+    spark,
+    sf_dir: str,
+    *,
+    capacity: int = 5,
+    refill_period: str = "10 minutes",
+    n_splits: int = 2,
+) -> DataFrame:
+    """End-to-end: the staged deterministic micro-batch replay (same
+    harness as the sessionizer) through the token-bucket limiter."""
+    import tempfile
+
+    from clean_census_acs_data_spark.streaming.windows import _run_to_memory
+
+    stage = tempfile.mkdtemp(prefix="rate_stage_")
+    stage_event_batches(spark, sf_dir, stage, n_splits)
+    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(stage)
+    )
+    return _run_to_memory(
+        rate_limit_with_state(stream, capacity=capacity, refill_period=refill_period),
+        state_partitions=16,
+    )

@@ -466,3 +466,64 @@ def test_rocksdb_state_store_provider_equivalence(spark):
             spark.conf.set(key, prev)
     assert rocks_rows == default_rows
     assert len(rocks_rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState token-bucket rate limiter (streaming/stateful.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rate_limiter_semantics(spark, tmp_path):
+    """Burst capacity admits, exhaustion drops, event-time refill
+    re-admits, and state carries across micro-batches."""
+    from clean_census_acs_data_spark.streaming.stateful import rate_limit_with_state
+
+    path = str(tmp_path / "rate")
+    d = lambda h, m=0: TS(2024, 1, 1, h, m)  # noqa: E731
+    # batch0: user1 fires 7 events in one minute → capacity 2 admits
+    # the first 2, drops 5
+    _write_session_batch(
+        path, [(1, d(10, i), 10 + i) for i in range(7)]
+    )
+    # batch1: 30 minutes later → 3 tokens accrued (1/10min), capped at
+    # capacity 2 → admits exactly 2 of the next 3
+    _write_session_batch(
+        path, [(1, d(10, 40 + i), 50 + i) for i in range(3)]
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    import uuid as _uuid
+
+    name = f"r_{_uuid.uuid4().hex[:10]}"
+    q = (
+        rate_limit_with_state(stream, capacity=2, refill_period="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.ts, r.value_cents, r.tokens_left_micro)
+        for r in spark.table(name).collect()
+    )
+    assert [v for _, v, _ in rows] == [10, 11, 50, 51]
+    # balances after admission: burst admit leaves 1 token, the second
+    # admit happens on the 0.1-token/minute accrual (1.1 → 0.1); the
+    # 34-minute gap re-fills to the 2-token cap before batch1
+    assert [b for _, _, b in rows] == [1_000_000, 100_000, 1_000_000, 100_000]
+
+
+def test_rate_limiter_query_deterministic(spark):
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    a = QUERIES["streaming_rate_limiter"](spark, "/root/testdata/sf0.001")
+    rows_a = sorted(map(tuple, a.collect()))
+    assert len(rows_a) > 0
+    b = QUERIES["streaming_rate_limiter"](spark, "/root/testdata/sf0.001")
+    assert rows_a == sorted(map(tuple, b.collect()))
