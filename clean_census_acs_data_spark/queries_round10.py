@@ -1301,3 +1301,185 @@ def streaming_rate_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rate_limit_events_availablenow(spark, sf_dir)
+
+
+_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier
+"""
+
+
+@register("orc_source_roundtrip", oracle=_ORC_ORACLE)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → read round-trip of the supplier dim, hash-checked
+    against the original parquet (the oracle reads the source table, so
+    a hash match certifies losslessness through the columnar sibling
+    format). Completes the self-describing-format set: CSV, JSON, XML,
+    parquet, ORC — the enterprise-ingest matrix.
+
+    100-TB shape: ORC brings its own stripe-level statistics and
+    predicate pushdown; one file per task on write, splittable on read,
+    same as the parquet path."""
+    import hashlib
+    import os
+    import tempfile
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/sparkgraft_orc_{tag}_{os.getpid()}"
+    s.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        F.col("s_suppkey").cast("long"),
+        F.col("s_name").cast("string"),
+        F.col("s_nationkey").cast("int"),
+        F.col("acctbal_cents").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval fusion + forensic audit
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r_lex
+  FROM documents
+),
+emb AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(concat('0x', substring(md5(concat('rrf#',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id
+         ) AS r_emb
+  FROM documents
+),
+fused AS (
+  SELECT doc_id, r_lex, r_emb,
+         1.0 / ({_RRF_K} + r_lex) + 1.0 / ({_RRF_K} + r_emb) AS rrf
+  FROM lex JOIN emb USING (doc_id)
+)
+SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex,
+       CAST(r_emb AS BIGINT) AS r_emb, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("rrf_fusion_topk", oracle=_RRF_ORACLE)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval orderings (a 'lexical'
+    length-ranked list and a deterministic hash-scored stand-in for an
+    embedding list): RRF = Σ 1/(k + rank_i), the standard zero-tuning
+    hybrid-search combiner. Fully rank-based, so the two float terms
+    are single divisions of exact integers — engine-identical.
+
+    100-TB shape: each leg is a per-list global rank — at scale these
+    are per-shard top-k lists unioned (rank over a bounded candidate
+    pool, not the corpus); the fuse itself is a join on doc_id + a
+    10-row TakeOrdered."""
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    lex = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    emb = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                md5_long(F.concat(F.lit("rrf#"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .cast("long")
+        .alias("r_emb"),
+    )
+    fused = lex.join(emb, "doc_id").select(
+        "doc_id",
+        "r_lex",
+        "r_emb",
+        (
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_emb"))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+# Benford expected first-digit proportions in ppm: floor(1e6·log10(1+1/d))
+# — fixed integer constants, no runtime log on either engine
+_BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991, 51152, 45757)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+exp AS (
+  SELECT unnest(range(1, 10)) AS d,
+         unnest({list(_BENFORD_PPM)}) AS exp_ppm
+)
+SELECT exp.d AS digit,
+       CAST(COALESCE(obs.n, 0) AS BIGINT) AS n,
+       CAST(exp.exp_ppm AS BIGINT) AS expected_ppm,
+       CAST(COALESCE(obs.n, 0) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+         AS observed_frac
+FROM exp LEFT JOIN obs ON obs.d = exp.d CROSS JOIN tot
+"""
+
+
+@register("benford_first_digit_audit", oracle=_BENFORD_ORACLE)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensic audit of order totals: observed
+    first-digit counts vs the log10(1+1/d) expectation, the latter as
+    FIXED ppm integer constants so neither engine evaluates a log —
+    the classic fraud/synthetic-data detector as one tiny aggregate.
+
+    100-TB shape: a 9-cell map-side-combined aggregate plus a 1-row
+    total broadcast; digit extraction is a string op on the scan."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    exp = spark.createDataFrame(
+        [(i + 1, ppm) for i, ppm in enumerate(_BENFORD_PPM)],
+        "d long, exp_ppm long",
+    )
+    return (
+        exp.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.col("exp_ppm").cast("long").alias("expected_ppm"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("observed_frac"),
+        )
+    )
