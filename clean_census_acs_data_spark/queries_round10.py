@@ -39,6 +39,18 @@ from clean_census_acs_data_spark.queries import _t, register
 _SNM_W = 3  # window width: each record vs its w-1 followers
 _SNM_MAXDIST = 30
 
+_SNM_LEADS = "\n".join(
+    f"         lead(doc_id, {k}) OVER win AS nid{k},\n"
+    f"         lead(text, {k}) OVER win AS ntext{k},"
+    for k in range(1, _SNM_W)
+).rstrip(",")
+
+_SNM_CANDS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id AS a, nid{k} AS b, levenshtein(text, ntext{k}) AS dist\n"
+    f"  FROM w WHERE nid{k} IS NOT NULL"
+    for k in range(1, _SNM_W)
+)
+
 _SNM_ORACLE = f"""
 WITH d AS (SELECT doc_id, text FROM documents),
 k1 AS (
@@ -60,19 +72,12 @@ passes AS (
 ),
 w AS (
   SELECT pass, doc_id, text,
-         lead(doc_id, 1) OVER win AS nid1,
-         lead(text, 1) OVER win AS ntext1,
-         lead(doc_id, 2) OVER win AS nid2,
-         lead(text, 2) OVER win AS ntext2
+{_SNM_LEADS}
   FROM passes
   WINDOW win AS (PARTITION BY pass, blk ORDER BY key, doc_id)
 ),
 cand AS (
-  SELECT doc_id AS a, nid1 AS b, levenshtein(text, ntext1) AS dist
-  FROM w WHERE nid1 IS NOT NULL
-  UNION ALL
-  SELECT doc_id AS a, nid2 AS b, levenshtein(text, ntext2) AS dist
-  FROM w WHERE nid2 IS NOT NULL
+{_SNM_CANDS}
 )
 SELECT DISTINCT
   least(a, b) AS doc_a,
@@ -123,26 +128,31 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = both.select(
         "doc_id",
         "text",
-        F.lead("doc_id", 1).over(win).alias("nid1"),
-        F.lead("text", 1).over(win).alias("ntext1"),
-        F.lead("doc_id", 2).over(win).alias("nid2"),
-        F.lead("text", 2).over(win).alias("ntext2"),
+        *[
+            c
+            for k in range(1, _SNM_W)
+            for c in (
+                F.lead("doc_id", k).over(win).alias(f"nid{k}"),
+                F.lead("text", k).over(win).alias(f"ntext{k}"),
+            )
+        ],
     )
     # banded edit distance (threshold arg → O(len·k) not len²; returns
     # -1 above the band, and the exact distance within it, so the
     # filtered result is identical to the oracle's full levenshtein
     # with dist <= k — measured 9.9 s → ~2 s at sf0.1)
-    c1 = w.where(F.col("nid1").isNotNull()).select(
-        F.col("doc_id").alias("a"),
-        F.col("nid1").alias("b"),
-        F.levenshtein("text", "ntext1", _SNM_MAXDIST).alias("dist"),
-    )
-    c2 = w.where(F.col("nid2").isNotNull()).select(
-        F.col("doc_id").alias("a"),
-        F.col("nid2").alias("b"),
-        F.levenshtein("text", "ntext2", _SNM_MAXDIST).alias("dist"),
-    )
-    cand = c1.unionByName(c2).where(
+    legs = [
+        w.where(F.col(f"nid{k}").isNotNull()).select(
+            F.col("doc_id").alias("a"),
+            F.col(f"nid{k}").alias("b"),
+            F.levenshtein("text", f"ntext{k}", _SNM_MAXDIST).alias("dist"),
+        )
+        for k in range(1, _SNM_W)
+    ]
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionByName(leg)
+    cand = cand.where(
         (F.col("dist") >= 0) & (F.col("dist") <= _SNM_MAXDIST)
     )
     return cand.select(
@@ -235,11 +245,16 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("component"), "n_rows", "rev_cents")
         )
 
+    # empty components are dropped: the oracle's GROUP BY component
+    # emits no row for an empty group, while a Spark global aggregate
+    # always returns one — without the filter an empty delta at some
+    # scale factor would hash-mismatch on a (name, 0, NULL) row
     parts = (
         comp("base", base_o, base_c)
         .unionByName(comp("delta_orders", delta_o, base_c))
         .unionByName(comp("delta_customers", base_o, delta_c))
         .unionByName(comp("delta_both", delta_o, delta_c))
+        .where(F.col("n_rows") > 0)
     )
     full = comp("recomputed_full", o, c)
     maintained = parts.agg(
@@ -404,7 +419,7 @@ def semantic_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort; the centroid score is a broadcast cross with K rows. The
     same manifest drives a repartitionByRange writer at production
     scale."""
-    from clean_census_acs_data_spark.operators.similarity import _quantized
+    from clean_census_acs_data_spark.operators.similarity import _dot_q, _quantized
 
     e = _quantized(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
     cent = e.where(F.col("vec_id") < _PACK_K).select(
@@ -416,11 +431,7 @@ def semantic_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "centroid_id",
         (
-            F.aggregate(
-                F.zip_with("__q", "cq", lambda x, y: x * y),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
+            _dot_q(F.col("__q"), F.col("cq")).cast("double")
             / (F.sqrt(F.col("__n2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
         ).alias("cosine"),
     )
@@ -588,7 +599,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r"),
             F.lit("\\E(?![^ ])"),
         )
-        rep = F.concat(F.col("l"), F.lit("\x01"), F.col("r"))
+        # replacement-side escaping: Java's appendReplacement parses $N
+        # group refs and backslashes in the REPLACEMENT string (the \Q
+        # quoting above only covers the pattern side) — escape both so
+        # a pair containing '$' or a backslash rewrites literally
+        def _rep_quote(c):
+            return F.regexp_replace(c, r"([\\$])", r"\\$1")
+
+        rep = F.concat(_rep_quote(F.col("l")), F.lit("\x01"), _rep_quote(F.col("r")))
         docs = docs.crossJoin(F.broadcast(top)).select(
             "doc_id", F.regexp_replace("s", pat, rep).alias("s")
         )

@@ -61,19 +61,6 @@ def _sessionize_fn(gap_ms: int):
     import numpy as np
 
     gap_us = gap_ms * 1000
-    # One-row emission template for the timeout path: this function runs
-    # once per timed-out KEY, so pd.DataFrame.__init__ (~330 µs) would be
-    # the per-key hot path at scale; template.copy() + in-place numpy
-    # writes is ~3× cheaper (measured 111 µs).
-    _timeout_template = pd.DataFrame(
-        {
-            "user_id": np.zeros(1, np.int64),
-            "session_start": np.zeros(1, "datetime64[us]"),
-            "session_end": np.zeros(1, "datetime64[us]"),
-            "n_events": np.zeros(1, np.int64),
-            "value_cents": np.zeros(1, np.int64),
-        }
-    )
 
     def fn(
         key: tuple[Any, ...],
@@ -85,13 +72,24 @@ def _sessionize_fn(gap_ms: int):
             # watermark passed end + gap: the session is closed — emit it
             start_us, end_us, n, cents = state.get
             state.remove()
-            out = _timeout_template.copy()
-            out["user_id"].to_numpy()[0] = user_id
-            out["session_start"].to_numpy().view(np.int64)[0] = start_us
-            out["session_end"].to_numpy().view(np.int64)[0] = end_us
-            out["n_events"].to_numpy()[0] = n
-            out["value_cents"].to_numpy()[0] = cents
-            yield out
+            # direct construction from 1-element numpy arrays with
+            # datetime64[us] views (~143 µs/call, CoW-safe: no in-place
+            # writes into a copied frame — pandas 3 copy-on-write makes
+            # Series.to_numpy() views read-only)
+            yield pd.DataFrame(
+                {
+                    "user_id": np.array([user_id], dtype=np.int64),
+                    "session_start": np.array([start_us], dtype=np.int64).view(
+                        "datetime64[us]"
+                    ),
+                    "session_end": np.array([end_us], dtype=np.int64).view(
+                        "datetime64[us]"
+                    ),
+                    "n_events": np.array([n], dtype=np.int64),
+                    "value_cents": np.array([cents], dtype=np.int64),
+                },
+                copy=False,
+            )
             return
 
         cur = state.get if state.exists else None
@@ -118,9 +116,15 @@ def _sessionize_fn(gap_ms: int):
             ts_us = ts_us[order]
             cents = cents[order]
             m = len(ts_us)
-            # seg_starts[i] True ⇒ event i opens a new session
+            # seg_brk[i] True ⇒ event i opens a new segment. Index 0 is
+            # ALWAYS a structural segment start (so `starts` always
+            # contains 0 and the fold below can index s_*[0]); whether
+            # that first segment CONTINUES the open session from state
+            # is a separate decision (`continues`) — conflating the two
+            # mis-segmented (or crashed on) batches whose first event
+            # was within the gap of carried state.
             seg_brk = np.empty(m, dtype=bool)
-            seg_brk[0] = cur is None or (ts_us[0] - cur[1]) > gap_us
+            seg_brk[0] = True
             np.greater(np.diff(ts_us), gap_us, out=seg_brk[1:])
             starts = np.flatnonzero(seg_brk)  # first event of each segment
             ends = np.append(starts[1:], m)  # one past last event
@@ -130,8 +134,9 @@ def _sessionize_fn(gap_ms: int):
             s_n = (ends - starts).astype(np.int64)
             s_cents = csum[ends] - csum[starts]
             prev = cur  # open session carried in from state (or None)
-            carry_closed = prev is not None and seg_brk[0]
-            if prev is not None and not seg_brk[0]:
+            continues = prev is not None and (ts_us[0] - prev[1]) <= gap_us
+            carry_closed = prev is not None and not continues
+            if continues:
                 # first segment continues the open session from state
                 s_start[0] = prev[0]
                 s_n[0] += prev[2]

@@ -527,3 +527,52 @@ def test_rate_limiter_query_deterministic(spark):
     assert len(rows_a) > 0
     b = QUERIES["streaming_rate_limiter"](spark, "/root/testdata/sf0.001")
     assert rows_a == sorted(map(tuple, b.collect()))
+
+
+def test_stateful_sessionizer_carry_continuation(spark, tmp_path):
+    """Regression (round-10 review): an open session carried in state
+    whose next batch's FIRST event falls WITHIN the gap must merge into
+    it — the vectorized fold previously crashed (no internal gap) or
+    bridged a real gap and dropped the carried events (internal gap)."""
+    from clean_census_acs_data_spark.streaming.stateful import sessionize_with_state
+
+    path = str(tmp_path / "carry")
+    d = lambda h, m=0: TS(2024, 1, 1, h, m)  # noqa: E731
+    # batch0 opens user1's session (10:00-10:10)
+    _write_session_batch(path, [(1, d(10), 100), (1, d(10, 10), 50)])
+    # batch1: first event 10:20 CONTINUES the carried session (≤ 30 min
+    # gap), then an in-batch gap at 12:00 closes it; user2 advances the
+    # watermark far enough in batch2 to flush nothing extra
+    _write_session_batch(path, [(1, d(10, 20), 7), (1, d(12), 3)])
+    # batch2: user2 events push the watermark past 12:30 so user1's
+    # 12:00 session times out
+    _write_session_batch(path, [(2, d(14), 1)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    import uuid as _uuid
+
+    name = f"c_{_uuid.uuid4().hex[:10]}"
+    q = (
+        sessionize_with_state(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_cents)
+        for r in spark.table(name).collect()
+    }
+    # the carried session (10:00..10:20, 3 events, 157 cents) closes on
+    # the IN-BATCH gap at 12:00; the 12:00 singleton times out via the
+    # batch2 watermark; user2's trailing session stays in state
+    assert got == {
+        (1, d(10), d(10, 20), 3, 157),
+        (1, d(12), d(12), 1, 3),
+    }
