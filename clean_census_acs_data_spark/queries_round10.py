@@ -1501,3 +1501,179 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("observed_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern matching + merkle reconciliation
+# ---------------------------------------------------------------------------
+
+_SEQ_PATTERNS = (
+    ("view_then_purchase", "v[^p]*p"),
+    ("full_funnel", "v[^c]*c[^p]*p"),
+    ("error_recovery", "e[a-z]*p"),
+)
+
+_SEQ_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY user_id
+),
+pats AS (
+  {" UNION ALL ".join(f"SELECT '{n}' AS pattern, '{p}' AS re" for n, p in _SEQ_PATTERNS)}
+)
+SELECT pattern,
+       CAST(COUNT(*) FILTER (regexp_matches(s, re)) AS BIGINT) AS n_users,
+       CAST(SUM(len(regexp_extract_all(s, re))) AS BIGINT) AS n_matches
+FROM pats CROSS JOIN seq
+GROUP BY pattern
+"""
+
+
+@register("sequence_pattern_match", oracle=_SEQ_ORACLE)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per-user event-type sequences as ordered
+    initial-letter strings (event types here have unique initials),
+    matched against funnel regexes — users matched + non-overlapping
+    occurrence counts per pattern. The sequence-mining shape (funnel
+    regex, abuse signatures, clickstream motifs) without a row-per-step
+    self-join explosion.
+
+    100-TB shape: one groupBy to per-user grain with an ordered
+    in-group reduction (sort_array of (ts,id,letter) structs — bounded
+    by events-per-user, not corpus), then |patterns|×|users| regex
+    evaluation that is a narrow map over the user table; output is
+    |patterns| cells."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("l")
+                        )
+                    )
+                ),
+                lambda s: s["l"],
+            ),
+            "",
+        ).alias("s")
+    )
+    pats = spark.createDataFrame(list(_SEQ_PATTERNS), "pattern string, re string")
+    joined = seq.crossJoin(F.broadcast(pats))
+    return joined.groupBy("pattern").agg(
+        F.sum(
+            F.when(F.regexp_like("s", F.col("re")), 1).otherwise(0)
+        ).cast("long").alias("n_users"),
+        F.sum(F.regexp_count("s", F.col("re"))).cast("long").alias("n_matches"),
+    )
+
+
+_MERKLE_BUCKETS = 64
+
+_MERKLE_ORACLE = f"""
+WITH a AS (
+  SELECT o_orderkey % {_MERKLE_BUCKETS} AS bucket,
+         o_orderkey, o_orderstatus
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey % {_MERKLE_BUCKETS} AS bucket, o_orderkey,
+         CASE WHEN o_orderkey % 991 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 997 <> 0
+),
+da AS (
+  SELECT bucket,
+         md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus,
+                        '|' ORDER BY o_orderkey)) AS digest_a,
+         COUNT(*) AS n_a
+  FROM a GROUP BY bucket
+),
+db AS (
+  SELECT bucket,
+         md5(string_agg(CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus,
+                        '|' ORDER BY o_orderkey)) AS digest_b,
+         COUNT(*) AS n_b
+  FROM b GROUP BY bucket
+)
+SELECT da.bucket AS bucket, digest_a, digest_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(CASE WHEN digest_a = digest_b THEN 1 ELSE 0 END AS BIGINT)
+         AS in_sync
+FROM da JOIN db USING (bucket)
+"""
+
+
+@register("merkle_bucket_reconcile", oracle=_MERKLE_ORACLE)
+def merkle_bucket_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation between two table snapshots: rows
+    hash-bucketed, each bucket reduced to an order-insensitive digest
+    (md5 over the key-sorted row encodings), digests compared to find
+    divergent ranges — the replication-repair / cross-region-audit
+    primitive. Snapshot B is a deterministic perturbation (dropped keys
+    % 997, mutated status % 991), so exactly the buckets containing
+    those keys report in_sync = 0.
+
+    100-TB shape: comparing snapshots costs two bucket-grained
+    aggregations + a |buckets|-row join instead of a full-table
+    row-by-row anti join; divergent buckets then scope the expensive
+    row-level diff to ~1/{_MERKLE_BUCKETS} of the data per bad bucket
+    (recursing = a merkle tree)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        (F.col("o_orderkey") % _MERKLE_BUCKETS).alias("bucket"),
+        "o_orderkey",
+        "o_orderstatus",
+    )
+    b = (
+        o.where(F.col("o_orderkey") % 997 != 0)
+        .select(
+            (F.col("o_orderkey") % _MERKLE_BUCKETS).alias("bucket"),
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 991 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+    )
+
+    def digest(df: DataFrame, da: str, na: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "o_orderkey",
+                                    F.concat_ws(
+                                        ":",
+                                        F.col("o_orderkey").cast("string"),
+                                        "o_orderstatus",
+                                    ).alias("enc"),
+                                )
+                            )
+                        ),
+                        lambda s: s["enc"],
+                    ),
+                    "|",
+                )
+            ).alias(da),
+            F.count(F.lit(1)).cast("long").alias(na),
+        )
+
+    da = digest(a, "digest_a", "n_a")
+    db = digest(b, "digest_b", "n_b")
+    return da.join(db, "bucket").select(
+        "bucket",
+        "digest_a",
+        "digest_b",
+        "n_a",
+        "n_b",
+        F.when(F.col("digest_a") == F.col("digest_b"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("in_sync"),
+    )

@@ -152,6 +152,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "poisson_bootstrap_ci",  # broadcast 32-row replica spine + 1-row CI bounds
         "cuped_adjusted_lift",  # broadcast 1-row theta/mean_x moment frame
         "benford_first_digit_audit",  # broadcast 1-row digit-total scalar
+        "sequence_pattern_match",  # broadcast 3-row funnel-pattern spec
     }
     for name, p in plans.items():
         base = name.split("/")[0]
