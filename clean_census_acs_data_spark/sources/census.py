@@ -60,11 +60,22 @@ def load_mapping_df(spark: SparkSession) -> DataFrame:
 
 def load_mapping_dict(spark: SparkSession) -> dict[str, str]:
     """Driver-side dict form with key cleanup (Test_census_tract.py:
-    47-54) and loud collision detection (SURVEY.md §7 risk register)."""
+    47-54) and loud collision detection (SURVEY.md §7 risk register).
+
+    Reads the 62-row fixture with the stdlib csv module: this is
+    driver-side config metadata (the reference reads it with
+    pd.read_excel on the driver too) — a Spark job + collect for it
+    was one avoidable job per pipeline invocation. ``spark`` is kept
+    in the signature for call-site compatibility;
+    ``load_mapping_df`` remains the DataFrame/broadcast form."""
+    import csv
+
     from clean_census_acs_data_spark.transforms import build_mapping
 
-    rows = load_mapping_df(spark).collect()
-    return build_mapping([(r["api_code"], r["label"]) for r in rows])
+    with open(MAPPING_CSV, newline="") as f:
+        return build_mapping(
+            [(r["api_code"], r["label"]) for r in csv.DictReader(f)]
+        )
 
 
 def preflight_available_variables(
