@@ -1677,3 +1677,179 @@ def merkle_bucket_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("in_sync"),
     )
+
+
+# ---------------------------------------------------------------------------
+# differential privacy: deterministic-draw Laplace release
+# ---------------------------------------------------------------------------
+
+_DP_EPS_INV = 1  # b = sensitivity/ε = 1/1
+
+_DP_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+draw AS (
+  SELECT lang, n,
+         (CAST(concat('0x', substring(md5(concat('dp#', lang)), 1, 15))
+               AS BIGINT) % 1000000) AS u_mil
+  FROM counts
+),
+noise AS (
+  SELECT lang, n, u_mil,
+         -- inverse-CDF Laplace(b=1) on u = (u_mil + 0.5)/1e6, emitted
+         -- in micro-units (×1e6, round): ln is libm-dependent at 1 ulp,
+         -- so raw doubles could not hash-match (same discipline as BM25)
+         CAST(ROUND(1000000.0 *
+           (CASE WHEN u_mil < 500000
+                 THEN ln((CAST(u_mil AS DOUBLE) + 0.5) / 500000.0)
+                 ELSE -ln((999999.5 - CAST(u_mil AS DOUBLE)) / 500000.0)
+            END)) AS BIGINT) AS noise_micro
+  FROM draw
+)
+SELECT lang, n, noise_micro,
+       CAST(n AS DOUBLE) + CAST(noise_micro AS DOUBLE) / 1000000.0
+         AS noisy_n
+FROM noise
+"""
+
+
+@register("dp_noisy_release", oracle=_DP_ORACLE)
+def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (ε=1, sensitivity 1):
+    per-group counts plus Laplace noise from the inverse CDF on a
+    deterministic 60-bit hash draw — the mechanism every privacy-
+    preserving stats release runs, with the draw made reproducible so
+    the release is hash-checkable (production swaps the hash for a
+    CSPRNG; the ε accounting and the inverse-CDF algebra are
+    identical). Noise is emitted in micro-units because ``ln`` is
+    libm-dependent at 1 ulp (the BM25 discipline); the released value
+    is one add away.
+
+    100-TB shape: a |groups|-cell aggregate plus a narrow scalar map —
+    the noise draw costs one md5 per GROUP, not per row."""
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u_mil = (
+        md5_long(F.concat(F.lit("dp#"), F.col("lang"))) % 1_000_000
+    ).alias("u_mil")
+    draw = counts.select("lang", "n", u_mil)
+    u = F.col("u_mil").cast("double")
+    lap = F.when(
+        F.col("u_mil") < 500_000, F.log((u + 0.5) / 500000.0)
+    ).otherwise(-F.log((F.lit(999999.5) - u) / 500000.0))
+    noise = draw.select(
+        "lang",
+        "n",
+        "u_mil",
+        F.round(F.lit(1_000_000.0) * lap).cast("long").alias("noise_micro"),
+    )
+    return noise.select(
+        "lang",
+        "n",
+        "noise_micro",
+        (
+            F.col("n").cast("double")
+            + F.col("noise_micro").cast("double") / 1_000_000.0
+        ).alias("noisy_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# data pruning: hardness selection vs own-label centroid (EL2N-style)
+# ---------------------------------------------------------------------------
+
+_PRUNE_KEEP_NUM, _PRUNE_KEEP_DEN = 1, 4  # keep hardest 25% per label
+
+_PRUNE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+tall AS (
+  SELECT vec_id, label, u.i AS pos, q[u.i] AS x
+  FROM e, UNNEST(range(1, len(q) + 1)) AS u(i)
+),
+cent AS (
+  SELECT label, pos, CAST(SUM(x) AS HUGEINT) AS s, COUNT(*) AS n
+  FROM tall GROUP BY label, pos
+),
+d2 AS (
+  SELECT t.vec_id, t.label,
+         SUM((CAST(c.n AS HUGEINT) * t.x - c.s)
+             * (CAST(c.n AS HUGEINT) * t.x - c.s)) AS d2n2,
+         ANY_VALUE(c.n) AS n
+  FROM tall t JOIN cent c ON t.label = c.label AND t.pos = c.pos
+  GROUP BY t.vec_id, t.label
+),
+ranked AS (
+  SELECT vec_id, label, d2n2, n,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY d2n2 DESC, vec_id) AS hardness_rank
+  FROM d2
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(hardness_rank AS BIGINT) AS hardness_rank,
+       CAST(d2n2 AS DOUBLE) AS d2n2
+FROM ranked
+WHERE hardness_rank * {_PRUNE_KEEP_DEN} <= n * {_PRUNE_KEEP_NUM}
+"""
+
+
+@register("embedding_hardness_prune", oracle=_PRUNE_ORACLE)
+def embedding_hardness_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data pruning by hardness: keep the 25% of each label's vectors
+    FARTHEST from their own-label centroid (the EL2N/self-distance
+    proxy — easy examples near the centroid carry least training
+    signal). The distance is kept EXACT: Σ(n·xᵢ − sᵢ)² = n²·‖x − μ‖²
+    in integer arithmetic (decimal128 sums — per-term n·x reaches
+    ~5·10^8, squared ~2.5·10^17, 64-dim sums overflow int64), so the
+    per-label ranking has no float ties; the emitted d2n2 is one
+    correctly-rounded cast away. The keep-fraction test is the integer
+    rank·4 ≤ n.
+
+    100-TB shape: tall component sums are map-side combined to
+    |labels|·dim cells; the join back is keyed (label,pos) — same
+    exchange Catalyst reuses from the centroid aggregate; ranking is
+    per-label. Companion to quality_percentile_filter (text hardness)
+    and dsir_importance_select (distributional importance)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    tall = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "x0"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x0").cast("double") * 1_000_000).cast("long").alias("x"),
+    )
+    cent = tall.groupBy("label", "pos").agg(
+        F.sum("x").cast(dec).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    term = F.col("n").cast(dec) * F.col("x").cast(dec) - F.col("s")
+    d2 = (
+        tall.join(cent, ["label", "pos"])
+        .select("vec_id", "label", "n", (term * term).alias("t2"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t2").alias("d2n2"), F.first("n").alias("n"))
+    )
+    rk = Window.partitionBy("label").orderBy(F.desc("d2n2"), "vec_id")
+    return (
+        d2.withColumn("hardness_rank", F.row_number().over(rk))
+        .where(
+            F.col("hardness_rank") * _PRUNE_KEEP_DEN
+            <= F.col("n") * _PRUNE_KEEP_NUM
+        )
+        .select(
+            "vec_id",
+            F.col("label").cast("long"),
+            F.col("hardness_rank").cast("long"),
+            F.col("d2n2").cast("double").alias("d2n2"),
+        )
+    )
