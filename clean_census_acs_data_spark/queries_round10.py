@@ -1853,3 +1853,127 @@ def embedding_hardness_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2n2").cast("double").alias("d2n2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lakehouse layout tier: shuffle-free bucketed join + compaction planning
+# ---------------------------------------------------------------------------
+
+_BUCK_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("bucketed_join_shuffle_free", oracle=_BUCK_ORACLE)
+def bucketed_join_shuffle_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located join as a first-class query: both sides written
+    bucketBy(8, key) + sortBy into a per-process warehouse database,
+    then joined WITHOUT either side shuffling (SortMergeJoin over
+    pre-bucketed scans — tests/test_bucketing.py machine-asserts zero
+    Exchange nodes on this exact shape). Results equal the plain join,
+    which is what the oracle checks.
+
+    100-TB shape: THE technique for repeated fact-fact joins — the
+    shuffle is paid once at layout time and amortized over every
+    subsequent join/aggregation on the bucket key; bucket count scales
+    with cluster width, and sortBy gives merge-join locality inside
+    each bucket pair."""
+    import os
+
+    from clean_census_acs_data_spark.io import load_table
+
+    db = f"buckq_{os.getpid()}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    li_t, o_t = f"{db}.lineitem_bq", f"{db}.orders_bq"
+    if not spark.catalog.tableExists(li_t):
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(li_t)
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable(o_t)
+    li = spark.table(li_t)
+    o = spark.table(o_t)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+    )
+
+
+_COMPACT_TARGET = 20_000  # target bin size in chars
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS sz
+  FROM documents GROUP BY source, lang
+),
+ordered AS (
+  SELECT source, lang, sz,
+         CAST(COALESCE(SUM(sz) OVER (ORDER BY sz DESC, source, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM files
+),
+binned AS (
+  SELECT source, lang, sz, cum_before // {_COMPACT_TARGET} AS bin
+  FROM ordered
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(sz) AS BIGINT) AS bin_bytes,
+       CAST(MIN(sz) AS BIGINT) AS min_file,
+       CAST(MAX(sz) AS BIGINT) AS max_file
+FROM binned
+GROUP BY bin
+"""
+
+
+@register("compaction_bin_packing", oracle=_COMPACT_ORACLE)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the OPTIMIZE/auto-compaction
+    primitive): per-(source,lang) 'file' sizes, ordered largest-first,
+    grouped into target-size bins by cumulative-sum division — the
+    size-based next-fit grouping lakehouse compactors run per
+    partition (true FFD needs stateful bins; the cumsum//target
+    assignment is the standard streaming-friendly approximation and
+    fully deterministic). Output: the compaction manifest with per-bin
+    fill stats.
+
+    100-TB shape: the plan is a |files|-grained window over the file
+    MANIFEST, never the data; at cluster scale the prefix-sum runs
+    per storage partition (same offsets trick as semantic_pack_order)
+    so no global sort of file entries is needed either."""
+    d = _t(spark, sf_dir, "documents")
+    files = d.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("long").alias("sz")
+    )
+    w = Window.orderBy(F.desc("sz"), "source", "lang").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ordered = files.select(
+        "sz", F.coalesce(F.sum("sz").over(w), F.lit(0)).alias("cum_before")
+    )
+    binned = ordered.select(
+        "sz", F.floor(F.col("cum_before") / _COMPACT_TARGET).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("sz").cast("long").alias("bin_bytes"),
+        F.min("sz").cast("long").alias("min_file"),
+        F.max("sz").cast("long").alias("max_file"),
+    )
