@@ -1977,3 +1977,138 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sz").cast("long").alias("min_file"),
         F.max("sz").cast("long").alias("max_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: novelty scoring + stratified fold assignment
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))) AS g
+  FROM tok WHERE len(t) >= 3
+),
+firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+scored AS (
+  SELECT gr.doc_id,
+         COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM grams gr JOIN firsts f ON gr.g = f.g
+  GROUP BY gr.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_novel,
+       CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+FROM scored
+"""
+
+
+@register("ngram_novelty_score", oracle=_NOVELTY_ORACLE)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles
+    whose FIRST occurrence (by doc_id ingestion order) is this doc —
+    the streaming-ingest curation signal ('how much of this document
+    has the corpus already seen?') that generalizes exact dedup to
+    gradual content reuse. A doc full of previously-seen shingles
+    scores ~0 without being an exact or near duplicate of any single
+    predecessor — the case pairwise dedup structurally misses.
+
+    100-TB shape: one gram-grained MIN aggregate (map-side combined)
+    plus a join back on the same gram key (exchange reuse); no pairwise
+    anything. In production the firsts table is the persisted
+    incremental state, same as dedup_incremental_reference's
+    fingerprint store."""
+    from clean_census_acs_data_spark.operators.text import shingles
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = (
+        d.where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("t")))).alias("g"),
+        )
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias(
+            "novelty"
+        ),
+    )
+
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substring(md5(concat('fold#',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT), doc_id
+         ) AS rk
+  FROM documents
+),
+folds AS (
+  SELECT doc_id, lang, (rk - 1) % {_KFOLD_K} AS fold FROM ranked
+)
+SELECT CAST(fold AS BIGINT) AS fold, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM folds
+GROUP BY fold, lang
+"""
+
+
+@register("stratified_kfold_assign", oracle=_KFOLD_ORACLE)
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold assignment: documents hash-shuffled WITHIN
+    each stratum (lang) then dealt round-robin into k folds — per
+    stratum the fold sizes differ by at most 1, the balance property
+    plain hash-mod splits (hash_sample / stratified_split) cannot
+    guarantee. Evaluation-grade CV assignment; leakage-atomic grouping
+    is the sibling entry (leakage_safe_split).
+
+    100-TB shape: the rank window is per-stratum (bounded by stratum
+    size, and at extreme scale the same rank-from-offsets trick as
+    semantic_pack_order removes even that); output is a k×|strata|
+    manifest."""
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    d = _t(spark, sf_dir, "documents")
+    rk = Window.partitionBy("lang").orderBy(
+        md5_long(F.concat(F.lit("fold#"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    folds = d.select(
+        "doc_id",
+        "lang",
+        ((F.row_number().over(rk) - 1) % _KFOLD_K).alias("fold"),
+    )
+    return folds.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    ).select(F.col("fold").cast("long"), "lang", "n_docs", "min_doc", "max_doc")
