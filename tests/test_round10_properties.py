@@ -185,3 +185,122 @@ def test_semantic_pack_order_shards_partition_corpus(spark):
         assert 0 < r.n_vecs <= 64
         assert r.first_cluster <= r.last_cluster
         assert r.n_clusters >= 1
+
+
+def test_dp_noise_magnitude_and_determinism(spark):
+    """Laplace(b=1) micro-noise: |noise| bounded by ln(1e6)·1e6 (the
+    extreme inverse-CDF draw), deterministic across runs, and the
+    released value is exactly n + noise/1e6."""
+    a = QUERIES["dp_noisy_release"](spark, SF).collect()
+    b = QUERIES["dp_noisy_release"](spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    import math
+
+    bound = int(1_000_000 * math.log(1_000_000)) + 2
+    for r in a:
+        assert abs(r.noise_micro) <= bound
+        assert r.noisy_n == r.n + r.noise_micro / 1_000_000.0
+
+
+def test_hardness_prune_keeps_quarter_per_label(spark):
+    """Per label: kept count == floor(n/4) (rank·4 ≤ n), ranks are
+    1..kept, and kept distances dominate: every kept d2n2 ≥ the label's
+    own kept minimum by construction of the rank filter."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sizes = {
+        r.label: r.n
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = QUERIES["embedding_hardness_prune"](spark, SF).collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        n = sizes[label]
+        assert len(rs) == n // 4
+        assert sorted(r.hardness_rank for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+        rs.sort(key=lambda r: r.hardness_rank)
+        d = [r.d2n2 for r in rs]
+        assert d == sorted(d, reverse=True)
+
+
+def test_compaction_bins_cover_and_fill(spark):
+    """Bins cover every file-group exactly once; every bin except
+    possibly the last (by id) is filled to ≥ target (next-fit by
+    cumulative sum can't leave an earlier bin short unless a single
+    file overshoots, which also satisfies ≥ target for the PREVIOUS
+    boundary)."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n_groups = d.groupBy("source", "lang").count().count()
+    rows = sorted(
+        QUERIES["compaction_bin_packing"](spark, SF).collect(),
+        key=lambda r: r.bin,
+    )
+    assert sum(r.n_files for r in rows) == n_groups
+    assert [r.bin for r in rows] == sorted({r.bin for r in rows})
+
+
+def test_stratified_kfold_balance(spark):
+    """Within every stratum the k fold sizes differ by at most 1, and
+    fold sizes sum to the stratum size."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    strata = {
+        r.lang: r.n
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = QUERIES["stratified_kfold_assign"](spark, SF).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_docs)
+    for lang, sizes in by_lang.items():
+        assert sum(sizes) == strata[lang]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    """The smallest doc_id with ≥3 tokens has novelty exactly 1.0 (all
+    its shingles first occur there), and all novelty values are in
+    [0, 1] with n_novel ≤ n_grams."""
+    rows = QUERIES["ngram_novelty_score"](spark, SF).collect()
+    assert rows
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_grams
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    """The bucketed-layout join must produce exactly the plain join's
+    aggregate (the layout changes the plan, never the answer)."""
+    from pyspark.sql import functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    got = {
+        (r.o_orderpriority, r.n_lines, r.price_cents)
+        for r in QUERIES["bucketed_join_shuffle_free"](spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    want = {
+        (r.o_orderpriority, r.n_lines, r.price_cents)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
