@@ -1,0 +1,426 @@
+"""Round-11 batch: distributed global ranking (the zipWithIndex /
+equi-depth pair), rolling distinct windows, inverted-index compression
+planning, and two corpus-audit operators.
+
+- ``stable_id_assignment``   — contiguous 0..n-1 ids in a total order
+  WITHOUT a single-task global sort: range partition + per-partition
+  offsets (the distributed zipWithIndex every training pipeline needs
+  for stable example ids).
+- ``equi_depth_histogram``   — 8 equal-population price buckets from
+  the same distributed global rank (equi-DEPTH, vs histogram_prices'
+  equi-WIDTH bins); NTILE semantics re-derived as integer arithmetic
+  so both engines agree bucket-for-bucket.
+- ``window_distinct_rolling`` — distinct count over a bounded rows
+  frame per user. Spark has no COUNT(DISTINCT) OVER; the operator is
+  re-expressed as size(array_distinct(collect_list)) — the composition
+  answer to a genuine engine gap.
+- ``postings_varint_size_audit`` — delta-gap + varint byte costing of
+  the inverted index by document-frequency magnitude: the index
+  compression planner's sizing query.
+- ``tokenizer_fertility_by_lang`` — corpus-level BPE-token vs
+  whitespace-token fertility per language (budgeting tokens, not
+  words, per language before a training mix is fixed).
+- ``quality_classifier_linear`` — fixed-weight integer linear scorer
+  applied per document + band assignment: the classifier-APPLICATION
+  step of a C4/FineWeb-style quality filter (text_quality_score is
+  the feature side; this is the model side, exact by construction).
+
+Reference tie: none of this exists in the reference (SURVEY.md §2B —
+its analytics are pre-aggregated census measures only); these are
+engine-extension operators under the repo's exact-integer oracle
+discipline.
+
+Scale notes inline per query; the global-rank helper is the load-
+bearing piece: sampling-based range boundaries + tiny offset
+broadcast instead of the one-partition sort a naive
+``Window.orderBy(...)`` (no partitionBy) would schedule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# distributed global rank (zipWithIndex without a single-task sort)
+# ---------------------------------------------------------------------------
+
+
+def global_rank(df: DataFrame, order_cols: list[str], *, partitions: int = 8) -> DataFrame:
+    """Append ``rank`` (1-based, dense over a TOTAL order) without ever
+    sorting on one task. ``order_cols`` must be a unique key.
+
+    Shape: repartitionByRange on the order key (range partitioner ⇒
+    partition i's keys all precede partition i+1's), local row_number
+    per range partition, then per-partition row counts — a
+    |partitions|-row aggregate — prefix-summed and broadcast back as
+    offsets. A bare ``Window.orderBy`` computes the same rank on ONE
+    task; this computes it on ``partitions`` tasks and scales that
+    knob with the cluster. (The sample pass repartitionByRange runs to
+    pick boundaries is seeded/deterministic; correctness never depends
+    on WHERE the boundaries land, only on range-partitioning's
+    ordering guarantee.)"""
+    ranged = df.repartitionByRange(partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = ranged.withColumn("_rn", F.row_number().over(wp))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rank", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+_STABLE_ID_ORACLE = """
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY source, doc_id) - 1 AS BIGINT)
+         AS stable_id
+FROM documents
+"""
+
+
+@register("stable_id_assignment", oracle=_STABLE_ID_ORACLE)
+def stable_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous stable ids 0..n-1 over (source, doc_id) order — the
+    distributed zipWithIndex. Training pipelines need dense example
+    ids (shard addressing, curriculum order, reproducible shuffles);
+    the naive ``row_number() OVER (ORDER BY ...)`` plans a GLOBAL sort
+    into a single task at any scale. :func:`global_rank` does it with
+    a range shuffle + an 8-row offset broadcast.
+
+    100-TB shape: two wide exchanges of the id columns only (source +
+    doc_id project down at the scan), offset table is |partitions|
+    rows on the driver-free path — no collect, no single task."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_rank(d, ["source", "doc_id"]).select(
+        "doc_id", "source", (F.col("rank") - 1).cast("long").alias("stable_id")
+    )
+
+
+_EQUI_DEPTH_ORACLE = """
+WITH r AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                            l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST(floor(((rn - 1) * 8.0) / n) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(price_cents) AS BIGINT) AS min_cents,
+       CAST(MAX(price_cents) AS BIGINT) AS max_cents,
+       CAST(SUM(price_cents) AS BIGINT) AS sum_cents
+FROM r
+GROUP BY 1
+"""
+
+
+@register("equi_depth_histogram", oracle=_EQUI_DEPTH_ORACLE)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-POPULATION price histogram (8 buckets, each within one row
+    of n/8) — the optimizer-statistics / data-skipping histogram that
+    equi-width bins (histogram_prices) can't provide under skew.
+    Bucket assignment is pure integer arithmetic on the distributed
+    global rank: floor((rank-1)·8/n) — re-derived instead of NTILE so
+    Spark and DuckDB agree on boundary rows bit-for-bit ((rank-1)·8
+    and n are exact in double far below 2^53, so the one division
+    rounds identically).
+
+    100-TB shape: rank comes from :func:`global_rank` (range shuffle +
+    offset broadcast, no single-task sort); the bucket aggregate is
+    8 rows. The tiebreak (l_orderkey, l_linenumber) makes the order
+    total, so ties at bucket boundaries land deterministically."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_rank(li, ["price_cents", "l_orderkey", "l_linenumber"])
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.floor(((F.col("rank") - 1) * 8) / F.col("n"))
+            .cast("long")
+            .alias("bucket"),
+            "price_cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("price_cents").cast("long").alias("min_cents"),
+            F.max("price_cents").cast("long").alias("max_cents"),
+            F.sum("price_cents").cast("long").alias("sum_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct count (a genuine engine gap, answered by composition)
+# ---------------------------------------------------------------------------
+
+_ROLLING_DISTINCT_ORACLE = """
+SELECT event_id, user_id,
+       CAST(len(list_distinct(list(event_type) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT)
+         AS n_distinct_10
+FROM events
+"""
+
+
+@register("window_distinct_rolling", oracle=_ROLLING_DISTINCT_ORACLE)
+def window_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types over each user's trailing 10 events — the
+    behavioral-diversity feature (bot detection, engagement scoring).
+    Spark rejects COUNT(DISTINCT) OVER a frame; the operator is
+    expressed as size(array_distinct(collect_list() OVER)) — exact,
+    JVM-side, and frame-bounded so the intermediate array is ≤10
+    elements regardless of user history length.
+
+    100-TB shape: one hash shuffle on user_id (the window partition),
+    in-partition sort by (ts, event_id); state per row is the bounded
+    frame, never the full partition. Skewed power users are bounded by
+    the same 10-row frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("n_distinct_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted-index compression planning
+# ---------------------------------------------------------------------------
+
+_VARINT_CASE = """CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+         WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4 ELSE 5 END"""
+
+_POSTINGS_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(string_split(lower(text), ' '))) AS token
+  FROM documents
+),
+g AS (
+  SELECT token, doc_id,
+         doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id),
+                           -1) AS gap
+  FROM toks WHERE token <> ''
+),
+v AS (
+  SELECT token, COUNT(*) AS df, MAX(gap) AS max_gap,
+         SUM({_VARINT_CASE}) AS vbytes
+  FROM g GROUP BY token
+)
+SELECT CAST(length(bin(df)) AS BIGINT) AS df_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(df) AS BIGINT) AS total_postings,
+       CAST(SUM(vbytes) AS BIGINT) AS varint_bytes,
+       CAST(SUM(df) * 8 AS BIGINT) AS fixed64_bytes,
+       CAST(MAX(max_gap) AS BIGINT) AS max_gap,
+       CAST(SUM(vbytes) AS DOUBLE) / CAST(SUM(df) * 8 AS DOUBLE)
+         AS compression_ratio
+FROM v
+GROUP BY 1
+"""
+
+
+@register("postings_varint_size_audit", oracle=_POSTINGS_ORACLE)
+def postings_varint_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index sizing: per-token posting lists delta-gap encoded
+    and costed at varint width (1 byte per 7 bits of gap), reported by
+    document-frequency magnitude (bit-length buckets). This is the
+    query an index-compression planner runs before choosing an
+    encoding: rare terms (low df_bits) have huge gaps and compress
+    poorly; stopword-grade terms approach 1 byte/posting. The first
+    posting's gap is its delta from -1 so every gap ≥ 1 and the cost
+    model needs no special case; df bit-length via length(bin(df)) —
+    integer on both engines, no float log2 (same idiom as
+    quantile_log2_sketch).
+
+    100-TB shape: one exchange on token for the lag window (identical
+    key to the df aggregate, so the sort/partitioning is reused), then
+    a ≤64-row report. Posting lists are never materialized as arrays —
+    the gap encoding streams through the window operator row by row."""
+    d = _t(spark, sf_dir, "documents").repartition(8)
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    wt = Window.partitionBy("token").orderBy("doc_id")
+    g = toks.withColumn(
+        "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(wt), F.lit(-1))
+    )
+    v = g.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.max("gap").alias("max_gap"),
+        F.sum(F.expr(_VARINT_CASE)).alias("vbytes"),
+    )
+    return (
+        v.groupBy(F.length(F.bin("df")).cast("long").alias("df_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("total_postings"),
+            F.sum("vbytes").cast("long").alias("varint_bytes"),
+            (F.sum("df") * 8).cast("long").alias("fixed64_bytes"),
+            F.max("max_gap").cast("long").alias("max_gap"),
+        )
+        .withColumn(
+            "compression_ratio",
+            F.col("varint_bytes").cast("double")
+            / F.col("fixed64_bytes").cast("double"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus audits: tokenizer fertility, linear quality classifier
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+_FERTILITY_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE) AS fertility
+FROM t
+GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level tokenizer fertility (subword tokens per whitespace
+    token) per language — the number that decides how a fixed token
+    budget translates into per-language document counts when a
+    training mix is planned (a high-fertility language eats its budget
+    in fewer documents). Complements token_count_bpe_regex (per-doc
+    counts) with the corpus aggregate the mix planner actually uses.
+    Same disjoint-class BPE-ish regex, so Java and RE2 engines extract
+    identical runs; fertility is one post-agg double division.
+
+    100-TB shape: row-local regex counting partial-aggregates map-side
+    to |langs| rows — the shuffle carries a handful of rows."""
+    d = _t(spark, sf_dir, "documents").repartition(8)
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+        F.size(toks).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("bpe_tokens").cast("double") / F.col("ws_tokens").cast("double"),
+        )
+    )
+
+
+# fixed integer weights (micro-units) for the linear quality model:
+# reward word mass, penalize punctuation/digit-run density and raw
+# length. Values are illustrative model parameters — the OPERATOR is
+# the exact integer application + banding.
+_W_WS, _W_ALPHA, _W_PUNCT, _W_DIGIT, _W_CHAR = 120, 45, -260, -130, -2
+
+_QUALITY_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+         len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]+')) AS n_digit,
+         n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_W_WS} * n_ws + {_W_ALPHA} * n_alpha + {_W_PUNCT} * n_punct
+            + {_W_DIGIT} * n_digit + {_W_CHAR} * n_chars AS BIGINT)
+         AS logit_micro,
+       CASE WHEN {_W_WS} * n_ws + {_W_ALPHA} * n_alpha + {_W_PUNCT} * n_punct
+                 + {_W_DIGIT} * n_digit + {_W_CHAR} * n_chars >= 8000
+            THEN 'keep'
+            WHEN {_W_WS} * n_ws + {_W_ALPHA} * n_alpha + {_W_PUNCT} * n_punct
+                 + {_W_DIGIT} * n_digit + {_W_CHAR} * n_chars >= 3000
+            THEN 'review'
+            ELSE 'drop' END AS band
+FROM f
+"""
+
+
+@register("quality_classifier_linear", oracle=_QUALITY_ORACLE)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier applied per document —
+    the model-APPLICATION step of a C4/FineWeb-style quality filter
+    (text_quality_score computes features; this scores and bands
+    them). Weights live in integer micro-units so the logit is exact
+    int64 arithmetic — no dot-product float drift, and the keep/
+    review/drop thresholds are exact integer comparisons (a float
+    logit banded at a threshold flips rows across engines; an integer
+    one cannot).
+
+    100-TB shape: row-local (4 regex run-counts + a dot product),
+    zero shuffles; band counts partial-aggregate if the consumer only
+    wants the report."""
+    d = _t(spark, sf_dir, "documents").repartition(8)
+    runs = lambda pat: F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))  # noqa: E731
+    logit = (
+        F.lit(_W_WS) * F.size(F.split(F.col("text"), " "))
+        + F.lit(_W_ALPHA) * runs("[A-Za-z]+")
+        + F.lit(_W_PUNCT) * runs("[^A-Za-z0-9 ]+")
+        + F.lit(_W_DIGIT) * runs("[0-9]+")
+        + F.lit(_W_CHAR) * F.col("n_chars")
+    )
+    return d.select(
+        "doc_id",
+        logit.cast("long").alias("logit_micro"),
+        F.when(logit >= 8000, "keep")
+        .when(logit >= 3000, "review")
+        .otherwise("drop")
+        .alias("band"),
+    )

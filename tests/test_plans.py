@@ -153,6 +153,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "cuped_adjusted_lift",  # broadcast 1-row theta/mean_x moment frame
         "benford_first_digit_audit",  # broadcast 1-row digit-total scalar
         "sequence_pattern_match",  # broadcast 3-row funnel-pattern spec
+        "equi_depth_histogram",  # broadcast 1-row total-count scalar over ranks
     }
     for name, p in plans.items():
         base = name.split("/")[0]
