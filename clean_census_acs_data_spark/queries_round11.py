@@ -424,3 +424,123 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop")
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# greedy submodular coverage selection (facility-location data pruning)
+# ---------------------------------------------------------------------------
+
+_BIGRAMS_SQL = """
+list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+               i -> concat(t[i], ' ', t[i + 1]))
+"""
+
+_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({_BIGRAMS_SQL}) AS gram FROM toks
+),
+g1 AS (SELECT doc_id, COUNT(*) AS gain FROM grams GROUP BY doc_id),
+p1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+c1 AS (SELECT DISTINCT gram FROM grams
+       WHERE doc_id IN (SELECT doc_id FROM p1)),
+g2 AS (SELECT doc_id, COUNT(*) AS gain FROM grams
+       WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+         AND gram NOT IN (SELECT gram FROM c1)
+       GROUP BY doc_id),
+p2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+c2 AS (SELECT gram FROM c1
+       UNION
+       SELECT gram FROM grams WHERE doc_id IN (SELECT doc_id FROM p2)),
+g3 AS (SELECT doc_id, COUNT(*) AS gain FROM grams
+       WHERE doc_id NOT IN (SELECT doc_id FROM p1)
+         AND doc_id NOT IN (SELECT doc_id FROM p2)
+         AND gram NOT IN (SELECT gram FROM c2)
+       GROUP BY doc_id),
+p3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1),
+c3 AS (SELECT gram FROM c2
+       UNION
+       SELECT gram FROM grams WHERE doc_id IN (SELECT doc_id FROM p3))
+SELECT CAST(1 AS BIGINT) AS sel_round, doc_id,
+       CAST(gain AS BIGINT) AS marginal_gain,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS covered_total
+FROM p1
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, CAST(gain AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c2)
+FROM p2
+UNION ALL
+SELECT CAST(3 AS BIGINT), doc_id, CAST(gain AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c3)
+FROM p3
+"""
+
+
+@register("greedy_coverage_select", oracle=_COVERAGE_ORACLE)
+def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular (facility-location-style) coverage selection:
+    pick k=3 documents that maximize MARGINAL bigram coverage, one per
+    round — the data-selection primitive behind coverage-based corpus
+    pruning and eval-set construction (the greedy algorithm carries
+    the classic 1-1/e guarantee for monotone submodular objectives).
+    Output: one row per round (picked doc, its marginal gain, the
+    cumulative distinct-gram coverage). Tiebreak on doc_id keeps the
+    argmax total.
+
+    Spark shape, per round: gains are one groupBy over the REMAINING
+    (doc, gram) pairs; the argmax is a 1-row TakeOrderedAndProject kept
+    AS a DataFrame and broadcast back (never collected); the covered
+    set — bounded by k·grams/doc, broadcastable for any practical k —
+    prunes the next round via anti-joins. The (doc, gram) table is
+    cached once and reused across rounds (same iterative-consumer
+    discipline as bpe_train_merges; tiny argmax/total frames are
+    cached eagerly because TakeOrdered subtrees aren't exchange-reused).
+
+    100-TB shape: each round is one shuffle of the shrinking pair
+    table plus 1-row broadcasts; nothing driver-side grows with the
+    corpus. For large k the covered-set broadcast swaps to a shuffle
+    anti-join on gram — same plan, one more exchange."""
+    from clean_census_acs_data_spark.operators.text import shingles
+
+    d = _t(spark, sf_dir, "documents").repartition(8)
+    t = F.split(F.lower(F.col("text")), " ")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(t, 2))).alias("gram")
+    ).cache()
+    grams.count()  # eager: scanned by every greedy round
+
+    picked: DataFrame | None = None  # doc_id frame, grows by 1/round
+    covered: DataFrame | None = None  # distinct grams of picked docs
+    rows: list[DataFrame] = []
+    for rnd in range(1, 4):
+        rem = grams
+        if picked is not None:
+            rem = rem.join(F.broadcast(picked), "doc_id", "left_anti")
+        if covered is not None:
+            rem = rem.join(F.broadcast(covered), "gram", "left_anti")
+        gains = rem.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("marginal_gain")
+        )
+        pick = gains.orderBy(F.desc("marginal_gain"), "doc_id").limit(1).cache()
+        pick.count()  # eager: referenced by 3 branches below
+        pick_docs = pick.select("doc_id")
+        picked = pick_docs if picked is None else picked.union(pick_docs)
+        pick_grams = grams.join(F.broadcast(pick_docs), "doc_id").select("gram")
+        covered = (
+            pick_grams
+            if covered is None
+            else covered.union(pick_grams).distinct()
+        ).cache()
+        covered.count()  # eager: anti-join source + total below
+        total = covered.agg(F.count(F.lit(1)).alias("covered_total"))
+        rows.append(
+            pick.crossJoin(F.broadcast(total)).select(
+                F.lit(rnd).cast("long").alias("sel_round"),
+                "doc_id",
+                F.col("marginal_gain").cast("long").alias("marginal_gain"),
+                F.col("covered_total").cast("long").alias("covered_total"),
+            )
+        )
+    return rows[0].unionByName(rows[1]).unionByName(rows[2])

@@ -154,6 +154,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "benford_first_digit_audit",  # broadcast 1-row digit-total scalar
         "sequence_pattern_match",  # broadcast 3-row funnel-pattern spec
         "equi_depth_histogram",  # broadcast 1-row total-count scalar over ranks
+        "greedy_coverage_select",  # 1-row argmax × 1-row coverage-total per round
     }
     for name, p in plans.items():
         base = name.split("/")[0]

@@ -87,6 +87,26 @@ def test_fertility_covers_all_docs(spark):
     assert all(r.fertility > 0 for r in rows)
 
 
+def test_greedy_coverage_is_submodular_and_distinct(spark):
+    """Marginal gains must be non-increasing round over round (the
+    submodularity diminishing-returns property the greedy guarantee
+    rests on), picks distinct, and coverage totals consistent with the
+    gains (covered_total_r = covered_total_{r-1} + gain_r, since a
+    round's gain counts exactly the newly covered grams)."""
+    rows = sorted(
+        QUERIES["greedy_coverage_select"](spark, SF).collect(),
+        key=lambda r: r.sel_round,
+    )
+    assert [r.sel_round for r in rows] == [1, 2, 3]
+    gains = [r.marginal_gain for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert len({r.doc_id for r in rows}) == 3
+    running = 0
+    for r in rows:
+        running += r.marginal_gain
+        assert r.covered_total == running
+
+
 def test_quality_bands_match_thresholds(spark):
     rows = QUERIES["quality_classifier_linear"](spark, SF).collect()
     assert rows
