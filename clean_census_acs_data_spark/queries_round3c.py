@@ -413,8 +413,10 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clean_census_acs_data_spark.streaming.windows import (
         _events_stream,
         _run_to_memory,
+        _streaming_scope,
     )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     clicks = (
         _events_stream(spark, sf_dir)
         .where(F.col("event_type") == "click")

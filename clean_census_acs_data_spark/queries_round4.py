@@ -612,8 +612,12 @@ def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     never grows with the stream."""
     import uuid
 
-    from clean_census_acs_data_spark.streaming.windows import _events_stream
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _streaming_scope,
+    )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     cells = F.array(*[_cms_cell(F.col("event_type"), d) for d in range(CMS_D)])
     agg = (

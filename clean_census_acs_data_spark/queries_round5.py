@@ -695,8 +695,12 @@ def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever."""
     import uuid
 
-    from clean_census_acs_data_spark.streaming.windows import _events_stream
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _streaming_scope,
+    )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     agg = (

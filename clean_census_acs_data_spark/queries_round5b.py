@@ -474,8 +474,12 @@ def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintains incrementally IS the batch leaderboard."""
     import uuid
 
-    from clean_census_acs_data_spark.streaming.windows import _events_stream
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _streaming_scope,
+    )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.groupBy("event_type")

@@ -398,8 +398,12 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full incremental-distinct-count story under the hash gate."""
     import uuid
 
-    from clean_census_acs_data_spark.streaming.windows import _events_stream
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _streaming_scope,
+    )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     h = X.md5_long(F.col("user_id").cast("string"))
     b = ev.select(h.alias("h")).select(

@@ -53,8 +53,12 @@ def streaming_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently. The replayed stream's words are batch-equal, hence
     this hash-checks against the batch oracle (fifth hash-checked
     streaming entry; the batch twin is bitmap_index_status)."""
-    from clean_census_acs_data_spark.streaming.windows import _events_stream
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _streaming_scope,
+    )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     bit = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BM_WORD} AS INT))"
@@ -92,8 +96,12 @@ def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks. Estimation on top of this state is
     distinct_kmv_estimate — with streaming_hll_registers this closes
     the incremental-distinct story for BOTH sketch families."""
-    from clean_census_acs_data_spark.streaming.windows import _events_stream
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _streaming_scope,
+    )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     h = ev.select(X.md5_long(F.col("user_id").cast("string")).alias("h"))
     agg = (

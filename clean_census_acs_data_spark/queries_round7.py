@@ -761,8 +761,12 @@ def streaming_minhash_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration of exactly that estimator)."""
     import uuid
 
-    from clean_census_acs_data_spark.streaming.windows import _events_stream
+    from clean_census_acs_data_spark.streaming.windows import (
+        _events_stream,
+        _streaming_scope,
+    )
 
+    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     h = (X.md5_long(F.col("user_id").cast("string")) % MINHASH_M).alias("h")
     fns = F.array(

@@ -120,6 +120,11 @@ def streaming_ohlc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     five longs forever."""
     import uuid
 
+    from clean_census_acs_data_spark.streaming.windows import _streaming_scope
+
+    # rebind: the memory-sink temp view registers on the session that
+    # starts the query, so the scoped clone must be the one we read from
+    spark = _streaming_scope(spark)
     ev = _events_stream_helper(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     tkey = F.unix_micros("ts") * 4096 + F.col("event_id") % 4096
