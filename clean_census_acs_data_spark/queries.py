@@ -823,3 +823,4 @@ from clean_census_acs_data_spark import queries_round10  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round11  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12b  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round12c  # noqa: E402,F401
