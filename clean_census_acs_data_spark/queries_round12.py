@@ -492,23 +492,30 @@ def tv_distance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
     ).where(F.col("token") != "")
-    c = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # token strings never leave the tokenize stage: the count shuffle and
+    # the pair self-join key on the 8-byte xxhash64 instead (collision
+    # odds ~1e-10 at 100 TB vocab sizes; a collision would merge two
+    # tokens' counts on both legs symmetrically). Same discipline as
+    # ngram_jaccard_pairs.
+    c = toks.groupBy("source", F.xxhash64("token").alias("tok_h")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     n = c.groupBy("source").agg(F.sum("cnt").alias("total"))
     cw = c.join(F.broadcast(n), "source")
     a = cw.select(
         F.col("source").alias("source_a"),
-        F.col("token"),
+        F.col("tok_h"),
         F.col("cnt").alias("ca"),
         F.col("total").alias("na"),
     )
     b = cw.select(
         F.col("source").alias("source_b"),
-        F.col("token"),
+        F.col("tok_h"),
         F.col("cnt").alias("cb"),
         F.col("total").alias("nb"),
     )
     pair = (
-        a.join(b, ["token"])
+        a.join(b, ["tok_h"])
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(
