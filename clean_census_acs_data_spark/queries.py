@@ -824,3 +824,4 @@ from clean_census_acs_data_spark import queries_round11  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12b  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12c  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round12d  # noqa: E402,F401

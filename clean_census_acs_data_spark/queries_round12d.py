@@ -1,0 +1,414 @@
+"""Round-12 wave 4: evaluation/preference statistics — Cohen's kappa,
+a Bradley–Terry preference-strength fit (MM iterations), and a
+stratified average-treatment-effect estimate. Exact-integer oracle
+discipline throughout.
+
+- ``cohens_kappa_labelers``  — inter-annotator agreement between two
+  deterministic document labelers (the linear quality model's band vs
+  a length-band rule): kappa = (n·agree − Σₖaₖbₖ)/(n² − Σₖaₖbₖ) as
+  exact integers + one IEEE division. The agreement audit every
+  labeling/filter-ensemble pipeline runs before trusting a rater.
+- ``bradley_terry_mm``       — Bradley–Terry strengths for the five
+  event types from daily head-to-head "matches" (which type produced
+  more events that day), fitted with TWO MM iterations (Hunter 2004)
+  in micro fixed-point — the preference-model fit under every
+  RLHF-style pairwise-comparison pipeline, exact by integer floor
+  division at each step.
+- ``stratified_ate_estimate`` — average treatment effect stratified
+  by engagement quintile (equi-depth user strata from the distributed
+  global rank): per-stratum treated/control means in micro
+  fixed-point, the effect as their difference, and the
+  population-weighted '(all)' row. The blocking estimator that
+  removes confounding a raw mean-difference keeps.
+
+Reference tie: none (SURVEY.md §2B) — engine-extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.queries_round11 import global_rank
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa between two deterministic labelers
+# ---------------------------------------------------------------------------
+
+# rater A: the linear quality model of quality_classifier_linear
+_W_WS, _W_ALPHA, _W_PUNCT, _W_DIGIT, _W_CHAR = 120, 45, -260, -130, -2
+
+_LOGIT_SQL = (
+    f"{_W_WS} * len(string_split(text, ' '))"
+    f" + {_W_ALPHA} * len(regexp_extract_all(text, '[A-Za-z]+'))"
+    f" + {_W_PUNCT} * len(regexp_extract_all(text, '[^A-Za-z0-9 ]+'))"
+    f" + {_W_DIGIT} * len(regexp_extract_all(text, '[0-9]+'))"
+    f" + {_W_CHAR} * n_chars"
+)
+
+_KAPPA_ORACLE = f"""
+WITH lab AS (
+  SELECT
+    CASE WHEN {_LOGIT_SQL} >= 8000 THEN 'keep'
+         WHEN {_LOGIT_SQL} >= 3000 THEN 'review' ELSE 'drop' END AS ra,
+    CASE WHEN n_chars >= 320 THEN 'keep'
+         WHEN n_chars >= 160 THEN 'review' ELSE 'drop' END AS rb
+  FROM documents
+),
+g AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS agree,
+         SUM(CASE WHEN ra = 'keep' THEN 1 ELSE 0 END) AS a_keep,
+         SUM(CASE WHEN ra = 'review' THEN 1 ELSE 0 END) AS a_review,
+         SUM(CASE WHEN ra = 'drop' THEN 1 ELSE 0 END) AS a_drop,
+         SUM(CASE WHEN rb = 'keep' THEN 1 ELSE 0 END) AS b_keep,
+         SUM(CASE WHEN rb = 'review' THEN 1 ELSE 0 END) AS b_review,
+         SUM(CASE WHEN rb = 'drop' THEN 1 ELSE 0 END) AS b_drop
+  FROM lab
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(agree AS BIGINT) AS n_agree,
+       CAST(a_keep * b_keep + a_review * b_review + a_drop * b_drop
+            AS BIGINT) AS pe_num,
+       CAST(n * agree - (a_keep * b_keep + a_review * b_review
+                         + a_drop * b_drop) AS BIGINT) AS kappa_num,
+       CAST(n * n - (a_keep * b_keep + a_review * b_review
+                     + a_drop * b_drop) AS BIGINT) AS kappa_den,
+       CAST(n * agree - (a_keep * b_keep + a_review * b_review
+                         + a_drop * b_drop) AS DOUBLE)
+         / CAST(n * n - (a_keep * b_keep + a_review * b_review
+                         + a_drop * b_drop) AS DOUBLE) AS kappa
+FROM g
+"""
+
+
+@register("cohens_kappa_labelers", oracle=_KAPPA_ORACLE)
+def cohens_kappa_labelers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the linear quality classifier's band and
+    a pure length-band rule — chance-corrected agreement between two
+    labelers over the same corpus. Since both raters are deterministic
+    row-local functions, the whole statistic is one conditional
+    aggregation; kappa = (n·agree − Σₖ aₖbₖ)/(n² − Σₖ aₖbₖ) stays in
+    exact integers until the single final division. This is the audit
+    run before ensembling quality filters: kappa near 1 means the
+    second filter adds nothing; near 0, it's measuring something else.
+
+    100-TB shape: row-local labeling, eight partial-agg accumulators,
+    a 1-row reduce — the same minimal shape as did_estimator. Exact
+    while n² < 2⁶³ (3·10⁹ docs)."""
+    runs = lambda pat: F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))  # noqa: E731
+    logit = (
+        F.lit(_W_WS) * F.size(F.split(F.col("text"), " "))
+        + F.lit(_W_ALPHA) * runs("[A-Za-z]+")
+        + F.lit(_W_PUNCT) * runs("[^A-Za-z0-9 ]+")
+        + F.lit(_W_DIGIT) * runs("[0-9]+")
+        + F.lit(_W_CHAR) * F.col("n_chars")
+    )
+    ra = (
+        F.when(logit >= 8000, "keep")
+        .when(logit >= 3000, "review")
+        .otherwise("drop")
+    )
+    rb = (
+        F.when(F.col("n_chars") >= 320, "keep")
+        .when(F.col("n_chars") >= 160, "review")
+        .otherwise("drop")
+    )
+    lab = _t(spark, sf_dir, "documents").select(
+        ra.alias("ra"), rb.alias("rb")
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    g = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt(F.col("ra") == F.col("rb")).alias("agree"),
+        cnt(F.col("ra") == "keep").alias("a_keep"),
+        cnt(F.col("ra") == "review").alias("a_review"),
+        cnt(F.col("ra") == "drop").alias("a_drop"),
+        cnt(F.col("rb") == "keep").alias("b_keep"),
+        cnt(F.col("rb") == "review").alias("b_review"),
+        cnt(F.col("rb") == "drop").alias("b_drop"),
+    )
+    pe = (
+        F.col("a_keep") * F.col("b_keep")
+        + F.col("a_review") * F.col("b_review")
+        + F.col("a_drop") * F.col("b_drop")
+    )
+    knum = F.col("n") * F.col("agree") - pe
+    kden = F.col("n") * F.col("n") - pe
+    return g.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        pe.cast("long").alias("pe_num"),
+        knum.cast("long").alias("kappa_num"),
+        kden.cast("long").alias("kappa_den"),
+        (knum.cast("double") / kden.cast("double")).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry strengths, two MM iterations (micro fixed-point)
+# ---------------------------------------------------------------------------
+
+_BT_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS dy, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+duels AS (
+  SELECT a.event_type AS i, b.event_type AS j,
+         SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS w_ij,
+         SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS w_ji
+  FROM daily a JOIN daily b ON a.dy = b.dy AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+m AS (  -- mirrored: one row per ordered (i, j), decided matches only
+  SELECT i, j, w_ij AS wins_i, w_ij + w_ji AS n_ij FROM duels
+  UNION ALL
+  SELECT j, i, w_ji, w_ij + w_ji FROM duels
+),
+it AS (SELECT i, SUM(wins_i) AS w, SUM(n_ij) AS n FROM m GROUP BY i),
+s1 AS (  -- MM round 1 from uniform s = 1e6
+  SELECT it.i, it.w, it.n,
+         (it.w * 1000000000000) //
+           (SELECT SUM((m.n_ij * 1000000000000) // (1000000 + 1000000))
+            FROM m WHERE m.i = it.i) AS s1
+  FROM it
+),
+s2 AS (  -- MM round 2 from s1
+  SELECT a.i, a.w, a.n, a.s1,
+         (a.w * 1000000000000) //
+           (SELECT SUM((m.n_ij * 1000000000000) // (a.s1 + b.s1))
+            FROM m JOIN s1 b ON b.i = m.j WHERE m.i = a.i) AS s2
+  FROM s1 a
+)
+SELECT i AS event_type,
+       CAST(w AS BIGINT) AS wins,
+       CAST(n AS BIGINT) AS n_matches,
+       CAST(s1 AS BIGINT) AS s1_micro,
+       CAST(s2 AS BIGINT) AS s2_micro,
+       CAST((s2 * 1000000) // (SELECT SUM(s2) FROM s2) AS BIGINT)
+         AS share_ppm
+FROM s2
+"""
+
+
+@register("bradley_terry_mm", oracle=_BT_ORACLE)
+def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths for event types from daily
+    head-to-head outcomes (a type "beats" another on days it produced
+    more events; ties are undecided and excluded) — two MM iterations
+    (Hunter 2004: sᵢ ← Wᵢ / Σⱼ nᵢⱼ/(sᵢ+sⱼ)) from a uniform start, in
+    micro fixed-point so every step is integer floor division and both
+    engines agree exactly. This is the fit under pairwise-preference
+    reward modeling; share_ppm is the normalized strength.
+
+    100-TB shape: the expensive part — reducing raw events to daily
+    duel outcomes — is one partial-agg shuffle plus a within-day pair
+    join bounded by |types|² per day. The MM iterations then run on
+    the |types|-row strength table joined to the |types|²-row duel
+    table: iteration cost is independent of event volume (same
+    argument as ipf_raking_weights). Strengths stay exact while
+    W·10¹² < 2⁶³ (~9·10⁶ wins — days·types², not events)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("ts").cast("date").alias("dy"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = daily.select("dy", F.col("event_type").alias("i"), F.col("c").alias("ca"))
+    b = daily.select("dy", F.col("event_type").alias("j"), F.col("c").alias("cb"))
+    duels = (
+        a.join(b, ["dy"])
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.when(F.col("ca") > F.col("cb"), 1).otherwise(0)).alias("w_ij"),
+            F.sum(F.when(F.col("cb") > F.col("ca"), 1).otherwise(0)).alias("w_ji"),
+        )
+    )
+    m = duels.select(
+        "i", "j", F.col("w_ij").alias("wins_i"),
+        (F.col("w_ij") + F.col("w_ji")).alias("n_ij"),
+    ).unionByName(
+        duels.select(
+            F.col("j").alias("i"), F.col("i").alias("j"),
+            F.col("w_ji").alias("wins_i"),
+            (F.col("w_ij") + F.col("w_ji")).alias("n_ij"),
+        )
+    )
+    it = m.groupBy("i").agg(
+        F.sum("wins_i").alias("w"), F.sum("n_ij").alias("n")
+    )
+
+    SCALE = 1_000_000_000_000
+    # round 1: opponents all sit at the uniform s = 1e6
+    d1 = m.groupBy("i").agg(
+        F.sum(F.expr(f"(n_ij * {SCALE}) DIV 2000000")).alias("d1")
+    )
+    s1 = (
+        it.join(d1, "i")
+        .select("i", "w", "n", F.expr(f"(w * {SCALE}) DIV d1").alias("s1"))
+    )
+    # round 2: each pair term uses (s1_i + s1_j)
+    mj = m.join(
+        s1.select(F.col("i").alias("j"), F.col("s1").alias("s1_j")), "j"
+    ).join(s1.select("i", F.col("s1").alias("s1_i")), "i")
+    d2 = mj.groupBy("i").agg(
+        F.sum(F.expr(f"(n_ij * {SCALE}) DIV (s1_i + s1_j)")).alias("d2")
+    )
+    s2 = (
+        s1.join(d2, "i")
+        .select(
+            "i", "w", "n", "s1", F.expr(f"(w * {SCALE}) DIV d2").alias("s2")
+        )
+    )
+    tot = s2.agg(F.sum("s2").alias("s2_tot"))
+    return (
+        s2.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("w").cast("long").alias("wins"),
+            F.col("n").cast("long").alias("n_matches"),
+            F.col("s1").cast("long").alias("s1_micro"),
+            F.col("s2").cast("long").alias("s2_micro"),
+            F.expr("(s2 * 1000000) DIV s2_tot").cast("long").alias("share_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified ATE (engagement-quintile blocking)
+# ---------------------------------------------------------------------------
+
+_ATE_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY n_events, user_id) AS rk,
+         COUNT(*) OVER () AS nu
+  FROM u
+),
+s AS (SELECT *, ((rk - 1) * 5) // nu AS stratum FROM r),
+g AS (
+  SELECT stratum,
+         COUNT(*) AS n_users,
+         SUM(treated) AS n_treated,
+         SUM(1 - treated) AS n_control,
+         SUM(CASE WHEN treated = 1 THEN cents ELSE 0 END) AS s_t,
+         SUM(CASE WHEN treated = 0 THEN cents ELSE 0 END) AS s_c
+  FROM s GROUP BY stratum
+),
+k AS (
+  SELECT stratum, n_users, n_treated, n_control,
+         (s_t * 10000) // NULLIF(n_treated, 0) AS mean_t,
+         (s_c * 10000) // NULLIF(n_control, 0) AS mean_c
+  FROM g
+)
+SELECT CAST(stratum AS BIGINT) AS stratum,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_treated AS BIGINT) AS n_treated,
+       CAST(n_control AS BIGINT) AS n_control,
+       CAST(mean_t AS BIGINT) AS mean_treated_micro,
+       CAST(mean_c AS BIGINT) AS mean_control_micro,
+       CAST(mean_t - mean_c AS BIGINT) AS effect_micro
+FROM k
+UNION ALL
+SELECT -1, CAST(SUM(n_users) AS BIGINT),
+       CAST(SUM(n_treated) AS BIGINT), CAST(SUM(n_control) AS BIGINT),
+       NULL, NULL,
+       CAST(SUM(n_users * (mean_t - mean_c)) // SUM(n_users) AS BIGINT)
+FROM k
+"""
+
+
+@register("stratified_ate_estimate", oracle=_ATE_ORACLE)
+def stratified_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect estimate: users are blocked
+    into engagement quintiles (equi-depth over event count via the
+    distributed global rank — the same no-single-task-sort shape as
+    equi_depth_histogram), treatment is the deterministic even-uid
+    assignment shared with did_estimator, outcome is total spend.
+    Per-stratum means are exact micro fixed-point; the '(all)' row is
+    the population-weighted effect Σ nₛ·Δₛ / n — blocking removes the
+    engagement confounder a raw difference keeps. NULLIF guards keep
+    an all-treated stratum NULL on both engines instead of raising.
+
+    100-TB shape: one shuffle to per-user aggregates, the quintile
+    rank from global_rank (range exchange + 8-row offset broadcast),
+    then a |strata|-row aggregate. Nothing driver-side."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .withColumn(
+            "treated", F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+        )
+    )
+    ranked = global_rank(u, ["n_events", "user_id"])
+    nu = ranked.agg(F.count(F.lit(1)).alias("nu"))
+    s = ranked.crossJoin(F.broadcast(nu)).withColumn(
+        "stratum", F.expr("((rank - 1) * 5) DIV nu")
+    )
+    g = s.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("treated").alias("n_treated"),
+        F.sum(F.lit(1) - F.col("treated")).alias("n_control"),
+        F.sum(F.when(F.col("treated") == 1, F.col("cents")).otherwise(0)).alias("s_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("cents")).otherwise(0)).alias("s_c"),
+    )
+    k = g.select(
+        "stratum",
+        "n_users",
+        "n_treated",
+        "n_control",
+        F.expr("(s_t * 10000) DIV NULLIF(n_treated, 0)").alias("mean_t"),
+        F.expr("(s_c * 10000) DIV NULLIF(n_control, 0)").alias("mean_c"),
+    )
+    per = k.select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_treated").cast("long").alias("n_treated"),
+        F.col("n_control").cast("long").alias("n_control"),
+        F.col("mean_t").cast("long").alias("mean_treated_micro"),
+        F.col("mean_c").cast("long").alias("mean_control_micro"),
+        (F.col("mean_t") - F.col("mean_c")).cast("long").alias("effect_micro"),
+    )
+    total = k.agg(
+        F.sum("n_users").alias("nu"),
+        F.sum("n_treated").alias("nt"),
+        F.sum("n_control").alias("nc"),
+        F.sum(F.col("n_users") * (F.col("mean_t") - F.col("mean_c"))).alias(
+            "wsum"
+        ),
+    ).select(
+        F.lit(-1).cast("long").alias("stratum"),
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("nt").cast("long").alias("n_treated"),
+        F.col("nc").cast("long").alias("n_control"),
+        F.lit(None).cast("long").alias("mean_treated_micro"),
+        F.lit(None).cast("long").alias("mean_control_micro"),
+        F.expr("wsum DIV nu").cast("long").alias("effect_micro"),
+    )
+    return per.unionByName(total)

@@ -155,6 +155,8 @@ def test_no_degenerate_joins_anywhere(plans):
         "sequence_pattern_match",  # broadcast 3-row funnel-pattern spec
         "equi_depth_histogram",  # broadcast 1-row total-count scalar over ranks
         "greedy_coverage_select",  # 1-row argmax × 1-row coverage-total per round
+        "bradley_terry_mm",  # broadcast 1-row strength-total scalar (|types| rows)
+        "stratified_ate_estimate",  # broadcast 1-row user-count scalar over ranks
     }
     for name, p in plans.items():
         base = name.split("/")[0]
