@@ -825,3 +825,4 @@ from clean_census_acs_data_spark import queries_round12  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12b  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12c  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round12d  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round12e  # noqa: E402,F401
