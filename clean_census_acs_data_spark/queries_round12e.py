@@ -217,3 +217,21 @@ def forecast_naive_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wape_lag7"
         ),
     )
+
+
+@register("streaming_cusum_monitor")  # rows-only check
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third custom stateful operator: per-metric streaming CUSUM
+    drift monitor over the staged deterministic micro-batch replay —
+    S = max(0, S + (value_cents − k)) carried across batches in exact
+    integer state, alarms at S > h the moment a batch closes
+    (streaming/stateful.py:cusum_with_state). The batch twin
+    cusum_changepoint proves the closed form against a DuckDB oracle;
+    this operator is the unbounded-stream form, cross-checked against
+    that closed form and for replay determinism in
+    tests/test_streaming_cusum.py."""
+    from clean_census_acs_data_spark.streaming.stateful import (
+        cusum_events_availablenow,
+    )
+
+    return cusum_events_availablenow(spark, sf_dir)

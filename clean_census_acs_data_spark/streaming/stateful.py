@@ -37,7 +37,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -247,12 +249,22 @@ def _ts_bounds_us(sf_dir: str) -> tuple[int | None, int | None]:
         return None, None
 
 
-def stage_event_batches(spark, sf_dir: str, stage_dir: str, n_splits: int = 3) -> None:
+def stage_event_batches(
+    spark,
+    sf_dir: str,
+    stage_dir: str,
+    n_splits: int = 3,
+    *,
+    extra_cols: tuple[str, ...] = (),
+) -> None:
     """Split the events table into ``n_splits`` time-ordered parquet
     files under ``stage_dir`` with increasing mtimes, so a file stream
     with maxFilesPerTrigger=1 replays them as successive micro-batches
     in event-time order — each batch advances the watermark and fires
-    the previous batches' session timeouts deterministically."""
+    the previous batches' session timeouts deterministically.
+    ``extra_cols`` appends further event columns (e.g. event_type for
+    the CUSUM monitor) without changing the default staging schema the
+    sessionizer/rate-limiter consumers rely on."""
     import glob
     import os
     import shutil
@@ -264,7 +276,9 @@ def stage_event_batches(spark, sf_dir: str, stage_dir: str, n_splits: int = 3) -
 
     ev = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", "ts", cents("value").alias("value_cents"))
+        .select(
+            "user_id", "ts", cents("value").alias("value_cents"), *extra_cols
+        )
         # Pin the pre-r5 semantics explicitly: the old per-split range
         # filters (ts >= a AND ts < b) dropped NULL-ts rows; the bucket
         # expression below would route them to b0 instead (greatest
@@ -509,4 +523,137 @@ def rate_limit_events_availablenow(
     )
     return _run_to_memory(
         rate_limit_with_state(stream, capacity=capacity, refill_period=refill_period)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-metric streaming CUSUM monitor (third custom stateful operator)
+# ---------------------------------------------------------------------------
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value_cents", LongType()),
+        StructField("cusum_cents", LongType()),
+        StructField("alarm", BooleanType()),
+    ]
+)
+
+# state: the running one-sided CUSUM statistic, in exact cents
+CUSUM_STATE_SCHEMA = "s_cents LONG"
+
+
+def _cusum_fn(k_cents: int, h_cents: int):
+    """One-sided upper CUSUM per key: S_i = max(0, S_{i-1} + (v_i − k)),
+    alarm when S > h. Exact integer cents — the statistic is the same
+    recursion cusum_changepoint expresses in closed form for batch, so
+    the streaming output is cross-checkable against the windowed twin
+    (tests/test_streaming.py). The recursion is order-sequential per
+    key; the loop runs per KEY per micro-batch over that key's events
+    only (same cost model as the sessionizer/rate limiter)."""
+    import numpy as np
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.hasTimedOut:  # no timeouts registered — defensive
+            state.remove()
+            return
+        (s,) = state.get if state.exists else (0,)
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        ts_us = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        )
+        cents = pdf["value_cents"].to_numpy(dtype=np.int64)
+        # deterministic event-time order within the batch (staging
+        # guarantees batches themselves are time-ordered)
+        order = np.argsort(ts_us, kind="stable")
+        ts_us, cents = ts_us[order], cents[order]
+        out = np.empty(len(cents), dtype=np.int64)
+        for i, v in enumerate(cents):
+            s = s + int(v) - k_cents
+            if s < 0:
+                s = 0
+            out[i] = s
+        state.update((int(s),))
+        yield pd.DataFrame(
+            {
+                "event_type": np.full(len(ts_us), event_type, dtype=object),
+                "ts": ts_us.view("datetime64[us]"),
+                "value_cents": cents,
+                "cusum_cents": out,
+                "alarm": out > h_cents,
+            },
+            copy=False,
+        )
+
+    return fn
+
+
+def cusum_with_state(
+    events: DataFrame,
+    *,
+    k_cents: int = 26_000,
+    h_cents: int = 100_000,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming per-metric CUSUM drift monitor: maintain the one-sided
+    statistic S = max(0, S + (value − k)) per event_type and flag
+    S > h — the alarm every metrics pipeline wants the moment a batch
+    closes, not at end-of-day. The statistic depends on the running
+    S, which no built-in windowed aggregate expresses; the batch twin
+    (cusum_changepoint) proves the closed form, this operator carries
+    it across unbounded micro-batches with exact integer state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _cusum_fn(k_cents, h_cents),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cusum_events_availablenow(
+    spark,
+    sf_dir: str,
+    *,
+    k_cents: int = 26_000,
+    h_cents: int = 100_000,
+    n_splits: int = 2,
+) -> DataFrame:
+    """End-to-end: the staged deterministic micro-batch replay (same
+    harness as the sessionizer/rate limiter) through the CUSUM
+    monitor. value_cents derives from the exact integer-cents cast of
+    the event value."""
+    import tempfile
+
+    from clean_census_acs_data_spark.streaming.windows import (
+        _run_to_memory,
+        _streaming_scope,
+    )
+
+    stage = tempfile.mkdtemp(prefix="cusum_stage_")
+    stage_event_batches(spark, sf_dir, stage, n_splits, extra_cols=("event_type",))
+    spark = _streaming_scope(spark, state_partitions=8)
+    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(stage)
+    )
+    withcents = stream.select("event_type", "ts", "value_cents")
+    return _run_to_memory(
+        cusum_with_state(withcents, k_cents=k_cents, h_cents=h_cents)
     )
