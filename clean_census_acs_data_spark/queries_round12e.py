@@ -91,7 +91,6 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("dy"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    wt = Window.partitionBy("event_type")
     ref = daily.select(
         "event_type",
         "dy",

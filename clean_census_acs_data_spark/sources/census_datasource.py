@@ -176,4 +176,12 @@ class CensusRestDataSource(DataSource):
 
 
 def register_census_datasource(spark) -> None:
-    spark.dataSource.register(CensusRestDataSource)
+    # idempotent: see sources/replay_stream.py:register_replay_source —
+    # an equivalent registration may already exist on the session
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spark.dataSource.register(CensusRestDataSource)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

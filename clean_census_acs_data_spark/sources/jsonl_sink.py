@@ -89,4 +89,12 @@ class JsonlDeadLetterSink(DataSource):
 
 
 def register_jsonl_sink(spark) -> None:
-    spark.dataSource.register(JsonlDeadLetterSink)
+    # idempotent: see sources/replay_stream.py:register_replay_source —
+    # an equivalent registration may already exist on the session
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spark.dataSource.register(JsonlDeadLetterSink)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

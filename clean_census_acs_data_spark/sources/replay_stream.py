@@ -115,4 +115,16 @@ class ParquetReplayDataSource(DataSource):
 
 
 def register_replay_source(spark) -> None:
-    spark.dataSource.register(ParquetReplayDataSource)
+    """Idempotent: registration is keyed by the source NAME in the
+    session's data-source manager, and under some session-clone
+    timings a name can already be present (observed as an intermittent
+    DATA_SOURCE_ALREADY_EXISTS in back-to-back determinism runs). The
+    class registered is always this one, so an existing registration
+    is equivalent — swallow only that specific error."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        spark.dataSource.register(ParquetReplayDataSource)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
