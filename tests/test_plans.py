@@ -157,6 +157,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "greedy_coverage_select",  # 1-row argmax × 1-row coverage-total per round
         "bradley_terry_mm",  # broadcast 1-row strength-total scalar (|types| rows)
         "stratified_ate_estimate",  # broadcast 1-row user-count scalar over ranks
+        "ann_binary_hamming_topk",  # broadcast 1-row query word-pair
     }
     for name, p in plans.items():
         base = name.split("/")[0]
