@@ -234,3 +234,49 @@ def scoped_session(
     for k, v in (conf or {}).items():
         clone.conf.set(k, v)
     return clone
+
+
+def register_python_datasource(spark: SparkSession, ds_cls) -> None:
+    """Register a Python DataSource on EXACTLY this session.
+
+    pyspark's ``spark.dataSource.register`` routes the registration
+    through the JVM's ACTIVE session, not the bound one: registering on
+    a ``newSession()`` clone while the parent is active raises
+    DATA_SOURCE_ALREADY_EXISTS against the parent's manager (when the
+    parent has the name) and leaves the clone's manager EMPTY — the
+    subsequent ``.load()`` on the clone then fails with
+    DATA_SOURCE_NOT_FOUND. (Reproduced deterministically: parent
+    register → clone register → clone manager still empty. This was
+    the intermittent streaming_replay_source suite flake — it needed
+    test_replay_stream to have registered on the parent first.)
+
+    Fix: pin the target session active for the duration of the
+    registration, restore the previous active session after, and treat
+    an ALREADY_EXISTS on the SAME manager as success (the class
+    registered is identical)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    jvm = spark._jvm
+    jss = None
+    for path in (
+        "org.apache.spark.sql.classic.SparkSession",
+        "org.apache.spark.sql.SparkSession",
+    ):
+        try:
+            jss = getattr(jvm, path)
+            jss.getActiveSession()  # probe: the companion must resolve
+            break
+        except Exception:
+            jss = None
+    if jss is None:  # unexpected JVM layout — fall back to plain register
+        spark.dataSource.register(ds_cls)
+        return
+    prev = jss.getActiveSession()
+    jss.setActiveSession(spark._jsparkSession)
+    try:
+        spark.dataSource.register(ds_cls)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+    finally:
+        jss.setActiveSession(prev.get() if prev.isDefined() else None)

@@ -89,12 +89,8 @@ class JsonlDeadLetterSink(DataSource):
 
 
 def register_jsonl_sink(spark) -> None:
-    # idempotent: see sources/replay_stream.py:register_replay_source —
-    # an equivalent registration may already exist on the session
-    from pyspark.errors.exceptions.captured import AnalysisException
+    # active-session-pinned + idempotent: see
+    # session.register_python_datasource for the clone-routing bug
+    from clean_census_acs_data_spark.session import register_python_datasource
 
-    try:
-        spark.dataSource.register(JsonlDeadLetterSink)
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
-            raise
+    register_python_datasource(spark, JsonlDeadLetterSink)

@@ -115,16 +115,11 @@ class ParquetReplayDataSource(DataSource):
 
 
 def register_replay_source(spark) -> None:
-    """Idempotent: registration is keyed by the source NAME in the
-    session's data-source manager, and under some session-clone
-    timings a name can already be present (observed as an intermittent
-    DATA_SOURCE_ALREADY_EXISTS in back-to-back determinism runs). The
-    class registered is always this one, so an existing registration
-    is equivalent — swallow only that specific error."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    """Register on EXACTLY this session via the active-session-pinned
+    helper — pyspark's plain register routes through the JVM's ACTIVE
+    session, which made clone-side registration land on the parent
+    (and the clone's .load() then fail with DATA_SOURCE_NOT_FOUND).
+    Root cause + fix: session.register_python_datasource."""
+    from clean_census_acs_data_spark.session import register_python_datasource
 
-    try:
-        spark.dataSource.register(ParquetReplayDataSource)
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
-            raise
+    register_python_datasource(spark, ParquetReplayDataSource)

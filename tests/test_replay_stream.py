@@ -59,3 +59,26 @@ def test_replay_offsets_advance_and_rewind():
     assert len(list(it)) == 3 and end == {"row": n}
     it, end2 = r.read(end)
     assert list(it) == [] and end2 == end
+
+
+def test_clone_registration_routes_to_clone(spark):
+    """Regression for the suite's intermittent streaming_replay_source
+    failure: pyspark's ``spark.dataSource.register`` routes through the
+    JVM's ACTIVE session, so registering on a ``newSession()`` clone
+    while the parent (already holding the name) is active raised
+    DATA_SOURCE_ALREADY_EXISTS against the PARENT and left the CLONE's
+    manager empty — its ``.load()`` then failed DATA_SOURCE_NOT_FOUND.
+    The trigger was exactly this test file registering on the parent
+    before test_rows_only ran the entry. register_python_datasource
+    pins the target session active during registration."""
+    from clean_census_acs_data_spark.queries import QUERIES
+    from clean_census_acs_data_spark.sources.replay_stream import (
+        register_replay_source,
+    )
+
+    register_replay_source(spark)  # parent holds the name (the trigger)
+    # the entry registers on a fresh clone internally — twice, like the
+    # determinism gate does
+    for _ in range(2):
+        out = QUERIES["streaming_replay_source"](spark, "/root/testdata/sf0.001")
+        assert out.count() > 0
