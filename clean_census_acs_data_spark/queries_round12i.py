@@ -1,0 +1,249 @@
+"""Round-12 wave 9: columnar-encoding advisor audits + the polymorphic
+(dynamic-schema) Python UDTF surface.
+
+- ``dictionary_encoding_audit``  — per low-cardinality string column:
+  raw UTF-8 bytes vs dictionary-encoded bytes (distinct values once +
+  ceil(log2 ndv / 8)-byte codes per row). With
+  postings_varint_size_audit (delta+varint postings) and
+  rle_sequence_encode (run collapse) this completes the encoding-
+  planner trio a columnar layout review runs before fixing a schema.
+- ``delta_varint_timestamp_audit`` — per-user event timestamps delta-
+  encoded in event order and costed at varint width vs fixed int64 —
+  the timestamp-column sibling of the postings audit (sorted-column
+  delta encoding is why time-ordered layouts compress).
+- ``udtf_ngrams_polymorphic``    — Spark 4's POLYMORPHIC UDTF API:
+  the output schema is computed at plan time by ``analyze()`` from the
+  literal n argument (g1..gn columns). udtf_tokenize covers the
+  static-schema UDTF; this covers the dynamic-schema half of the API
+  surface. Oracle: fixed n=3 expansion in plain SQL.
+
+Reference tie: none (SURVEY.md §2B) — engine/encoding extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# dictionary-encoding audit (documents.source / documents.lang /
+# orders.o_orderpriority — the bounded-domain string columns)
+# ---------------------------------------------------------------------------
+
+# code width in BYTES for ndv distinct values: length(bin(ndv-1)) bits,
+# rounded up to whole bytes (ndv = 1 still needs 1 byte in practice)
+_CODE_BYTES = "greatest(1, CAST(ceil(length(bin(ndv - 1)) / 8.0) AS BIGINT))"
+
+_DICT_ORACLE = f"""
+WITH vals AS (
+  SELECT 'documents.source' AS column_name, source AS v FROM documents
+  UNION ALL
+  SELECT 'documents.lang', lang FROM documents
+  UNION ALL
+  SELECT 'orders.o_orderpriority', o_orderpriority FROM orders
+),
+per AS (
+  SELECT column_name, v, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(strlen(v) AS BIGINT) AS vbytes
+  FROM vals GROUP BY 1, 2
+),
+agg AS (
+  SELECT column_name,
+         SUM(cnt) AS n_rows,
+         COUNT(*) AS ndv,
+         SUM(cnt * vbytes) AS raw_bytes,
+         SUM(vbytes) AS dict_page_bytes
+  FROM per GROUP BY 1
+)
+SELECT column_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(ndv AS BIGINT) AS ndv,
+       CAST(raw_bytes AS BIGINT) AS raw_bytes,
+       CAST(dict_page_bytes + n_rows * {_CODE_BYTES} AS BIGINT)
+         AS dict_bytes,
+       CAST(dict_page_bytes + n_rows * {_CODE_BYTES} AS DOUBLE)
+         / CAST(raw_bytes AS DOUBLE) AS compression_ratio
+FROM agg
+"""
+
+
+@register("dictionary_encoding_audit", oracle=_DICT_ORACLE)
+def dictionary_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding sizing for the bounded-domain string
+    columns: raw bytes = Σ value lengths; dictionary bytes = each
+    distinct value once + one fixed-width code per row (whole bytes of
+    ceil(log2 ndv / 8) — the byte-aligned model a simple dictionary
+    page uses). The advisor output a columnar layout review reads
+    before choosing encodings — low ratio ⇒ encode, near/above 1 ⇒
+    the domain is too wide.
+
+    100-TB shape: one partial-agg shuffle per audited column to its
+    (value) domain — the per-value table IS the dictionary, so the
+    audit's cost equals building the thing it prices; the final
+    report is |columns| rows. UTF-8 lengths are exact integers on
+    both engines (strlen/octet_length)."""
+    def col_counts(tbl: str, col: str) -> DataFrame:
+        return (
+            _t(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(f"{tbl}.{col}").alias("column_name"),
+                "v",
+                "cnt",
+                F.octet_length("v").cast("long").alias("vbytes"),
+            )
+        )
+
+    per = (
+        col_counts("documents", "source")
+        .unionByName(col_counts("documents", "lang"))
+        .unionByName(col_counts("orders", "o_orderpriority"))
+    )
+    agg = per.groupBy("column_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("ndv"),
+        F.sum(F.col("cnt") * F.col("vbytes")).alias("raw_bytes"),
+        F.sum("vbytes").alias("dict_page_bytes"),
+    )
+    code_bytes = F.expr(_CODE_BYTES)
+    dict_bytes = F.col("dict_page_bytes") + F.col("n_rows") * code_bytes
+    return agg.select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("ndv").cast("long").alias("ndv"),
+        F.col("raw_bytes").cast("long").alias("raw_bytes"),
+        dict_bytes.cast("long").alias("dict_bytes"),
+        (dict_bytes.cast("double") / F.col("raw_bytes").cast("double")).alias(
+            "compression_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# delta+varint timestamp audit (per-user event order)
+# ---------------------------------------------------------------------------
+
+_VARINT_US = """CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+  WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+  WHEN gap < 34359738368 THEN 5 WHEN gap < 4398046511104 THEN 6
+  WHEN gap < 562949953421312 THEN 7 ELSE 9 END"""
+
+_DELTA_TS_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - COALESCE(LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 0) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+       CAST(SUM({_VARINT_US}) AS BIGINT) AS varint_bytes,
+       CAST(COUNT(*) * 8 AS BIGINT) AS fixed64_bytes,
+       CAST(SUM({_VARINT_US}) AS DOUBLE) / CAST(COUNT(*) * 8 AS DOUBLE)
+         AS compression_ratio
+FROM g GROUP BY user_id
+"""
+
+
+@register("delta_varint_timestamp_audit", oracle=_DELTA_TS_ORACLE)
+def delta_varint_timestamp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta+varint sizing of the per-user event-time column: gaps in
+    event order (first event's delta is from epoch 0 — one honest
+    full-width value per key, no special case), costed at varint
+    width. Time-ordered layouts turn 8-byte timestamps into ~2-3-byte
+    deltas — this audit prices that win per key, exactly (the
+    within-key gap distribution is also the input a
+    Gorilla/delta-of-delta codec evaluation starts from).
+
+    100-TB shape: one hash exchange on user_id; the lag window and the
+    aggregate share it (exchange reuse). Output is |users| rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.unix_micros("ts")
+            - F.coalesce(F.lag(F.unix_micros("ts")).over(w), F.lit(0))
+        ).alias("gap"),
+    )
+    vb = F.sum(F.expr(_VARINT_US))
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+        vb.cast("long").alias("varint_bytes"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("fixed64_bytes"),
+        (
+            vb.cast("double") / (F.count(F.lit(1)) * 8).cast("double")
+        ).alias("compression_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# polymorphic UDTF: dynamic-schema n-grams
+# ---------------------------------------------------------------------------
+
+_POLY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 53 = 0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS pos,
+       t[i] AS g1, t[i + 1] AS g2, t[i + 2] AS g3
+FROM tok, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+"""
+
+
+@register("udtf_ngrams_polymorphic", oracle=_POLY_ORACLE)
+def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's POLYMORPHIC UDTF: ``analyze()`` computes the output
+    schema at plan time from the literal n argument (columns g1..gn),
+    which a static returnType cannot express — the dynamic-schema half
+    of the UDTF API (udtf_tokenize is the static half). Evaluated at
+    n=3 over a doc_id-sampled slice so the DuckDB oracle is a plain
+    fixed-width expansion; the SAME class serves any n without
+    redeclaration.
+
+    100-TB shape: row-local generation (no shuffle); like all
+    row-at-a-time Python UDTFs it is the slow path — the entry exists
+    to cover the API surface, and the built-in sibling
+    (shingles/explode) is the hot-path form."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if n.value is None:
+                raise ValueError("n must be a literal")
+            fields = [StructField("pos", IntegerType())] + [
+                StructField(f"g{i + 1}", StringType()) for i in range(n.value)
+            ]
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            for i in range(max(0, len(toks) - n + 1)):
+                yield (i + 1, *toks[i : i + n])
+
+    spark.udtf.register("ngrams_poly_fn", NGrams)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__poly_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.g1, t.g2, t.g3
+        FROM __poly_docs d, LATERAL ngrams_poly_fn(d.text, 3) t
+        WHERE d.doc_id % 53 = 0
+        """
+    )
