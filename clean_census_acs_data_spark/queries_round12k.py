@@ -1,0 +1,129 @@
+"""Round-12 wave 11: consistent-hashing reshard audit — the
+distributed-systems primitive behind stable shard/cache/worker
+assignment, expressed entirely in row-local array expressions.
+
+``consistent_hash_reshard_audit`` builds two hash rings (4 shards and
+5 shards, 16 virtual nodes each), assigns every document to its
+successor ring point on both, and reports the movement matrix. The
+whole point of consistent hashing is the audited number: adding a
+shard moves ≈1/(k+1) of keys (all TO the new shard) instead of the
+(k)/(k+1) a modulo partitioner reshuffles — this query PROVES that on
+real data, exactly.
+
+Engine shape: ring points are md5-derived 55-bit integers with the
+SHARD ID EMBEDDED IN THE LOW 3 BITS ((h >> 5) << 3 | shard), so the
+"smallest point ≥ key" successor lookup is a plain integer min over a
+64-element array filter — no struct ordering, no join, no explosion.
+Both rings are inline literal-generated expressions; the audit is one
+groupBy over row-local math.
+
+Reference tie: none (SURVEY.md §2B) — systems/partitioning extension
+tier (joins range_partition_boundaries, salted_join_skew,
+stable_id_assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table
+from clean_census_acs_data_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+_VNODES = 16
+
+
+def _ring_sql(n_shards: int) -> str:
+    """DuckDB: flat list of ring points for n_shards × _VNODES vnodes.
+    Point = (md5_55bits('ring:<shard>#<vnode>') << 3) | shard."""
+    h = (
+        "CAST(concat('0x', substring(md5(concat('ring:', CAST(k AS VARCHAR),"
+        " '#', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return (
+        f"flatten(list_transform(range(0, {n_shards}), k -> "
+        f"list_transform(range(0, {_VNODES}), j -> "
+        f"(({h} >> 5) << 3) | k)))"
+    )
+
+
+def _ring_spark(n_shards: int) -> str:
+    h = (
+        "conv(substring(md5(concat('ring:', CAST(k AS STRING),"
+        " '#', CAST(j AS STRING))), 1, 15), 16, 10)"
+    )
+    return (
+        f"flatten(transform(sequence(0, {n_shards - 1}), k -> "
+        f"transform(sequence(0, {_VNODES - 1}), j -> "
+        f"shiftleft(shiftright(CAST({h} AS BIGINT), 5), 3) + k)))"
+    )
+
+
+# successor on the ring: smallest point ≥ key, wrapping to the global
+# minimum; the assigned shard is the successor's low 3 bits
+def _assign_sql(ring: str, key: str) -> str:
+    return (
+        f"COALESCE(list_min(list_filter({ring}, p -> p >= {key})),"
+        f" list_min({ring})) & 7"
+    )
+
+
+def _assign_spark(ring: str, key: str) -> str:
+    return (
+        f"CAST(coalesce(array_min(filter({ring}, p -> p >= {key})),"
+        f" array_min({ring})) & 7L AS BIGINT)"
+    )
+
+
+_KEY_SQL = (
+    "(CAST(concat('0x', substring(md5(concat('doc:',"
+    " CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) >> 5) << 3"
+)
+_KEY_SPARK = (
+    "shiftleft(shiftright(CAST(conv(substring(md5(concat('doc:',"
+    " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 5), 3)"
+)
+
+_RESHARD_ORACLE = f"""
+WITH a AS (
+  SELECT doc_id,
+         CAST({_assign_sql(_ring_sql(4), _KEY_SQL)} AS BIGINT) AS shard_old,
+         CAST({_assign_sql(_ring_sql(5), _KEY_SQL)} AS BIGINT) AS shard_new
+  FROM documents
+)
+SELECT shard_old, shard_new,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       shard_old <> shard_new AS moved
+FROM a GROUP BY 1, 2
+"""
+
+
+@register("consistent_hash_reshard_audit", oracle=_RESHARD_ORACLE)
+def consistent_hash_reshard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing movement matrix for a 4 → 5 shard expansion
+    (16 vnodes/shard): every document's successor assignment on both
+    rings, grouped into (old shard, new shard) cells. The audited
+    guarantee: off-diagonal mass concentrates in the shard_new = 4
+    column (keys moving TO the new shard, ≈1/5 of all keys); old→old
+    movement is ~zero because existing ring points never move — the
+    property a modulo partitioner (which reshuffles ~4/5 of keys)
+    lacks, and the reason shard maps, distributed caches and stateful
+    stream rebalancers use rings.
+
+    100-TB shape: both rings are 64-element inline literal arrays
+    folded per row (constant-folded once per task); assignment is
+    row-local filter+min — no join, no shuffle until the ≤25-row
+    audit aggregate. The same expression assigns a trillion keys."""
+    a = _t(spark, sf_dir, "documents").select(
+        F.expr(_assign_spark(_ring_spark(4), _KEY_SPARK)).alias("shard_old"),
+        F.expr(_assign_spark(_ring_spark(5), _KEY_SPARK)).alias("shard_new"),
+    )
+    return (
+        a.groupBy("shard_old", "shard_new")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("moved", F.col("shard_old") != F.col("shard_new"))
+    )
