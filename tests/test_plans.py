@@ -158,6 +158,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "bradley_terry_mm",  # broadcast 1-row strength-total scalar (|types| rows)
         "stratified_ate_estimate",  # broadcast 1-row user-count scalar over ranks
         "ann_binary_hamming_topk",  # broadcast 1-row query word-pair
+        "source_loo_coverage",  # broadcast 1-row corpus-vocab total
     }
     for name, p in plans.items():
         base = name.split("/")[0]
