@@ -85,3 +85,34 @@ def pandas_iter_udf_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
     return ev.withColumn("bucket", bucketize(F.col("value_cents")))
+
+
+# ---------------------------------------------------------------------------
+# modern-SQL sugar: GROUP BY ALL / ORDER BY ALL, one shared text
+# ---------------------------------------------------------------------------
+
+_GBA_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_GBA_SQL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the modern-SQL sugar both engines
+    parse IDENTICALLY: the oracle string IS the Spark query (same
+    shared-text discipline as sql_pipe_syntax and
+    lateral_topk_per_nation), proving dialect parity for the clause a
+    generated-SQL layer leans on (no fragile positional GROUP BY lists
+    to keep in sync with the select list).
+
+    100-TB shape: identical plan to the explicit GROUP BY — partial
+    aggregation to the 15-cell grid, a tiny global sort of the
+    aggregate. The sugar is parse-time only."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GBA_SQL)
