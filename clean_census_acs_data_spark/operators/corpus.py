@@ -212,33 +212,55 @@ def corpus_mix_sample(
     """
     from clean_census_acs_data_spark.operators.text import md5_long
 
+    if alpha != 0.5:
+        raise ValueError(
+            "corpus_mix_sample is implemented for alpha=0.5: sqrt is "
+            "correctly rounded IEEE (cross-engine deterministic), a "
+            "general pow() is libm and is not — observed diverging at "
+            "sf0.1. Extend with another exact weight kernel if a "
+            "different temperature is needed."
+        )
     counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_src"))
-    # weight per source: n^alpha; expected kept = Σ n_src · r_src with
-    # r_src = min(1, k · n^(alpha-1)); solve k for the uncapped case
-    # k = target_frac · Σn / Σ n^alpha (single broadcastable scalar)
+    # weight per source: n^0.5 in exact milli fixed-point — sqrt is
+    # correctly rounded on both engines, floor(·1000) pins the value to
+    # an exact BIGINT; all downstream arithmetic is integer. (The
+    # previous float form used libm pow(), which Java and DuckDB round
+    # differently in the last ulp — at sf0.1 the rate drifted 2 ulps
+    # and the md5 gate could flip a row.)
+    w_milli = F.floor(F.sqrt(F.col("n_src").cast("double")) * 1000).cast("long")
+    counts = counts.withColumn("w_milli", w_milli)
     tot = counts.agg(
         F.sum("n_src").alias("tot_n"),
-        F.sum(F.pow(F.col("n_src").cast("double"), F.lit(alpha))).alias("tot_w"),
+        F.sum("w_milli").alias("tot_w_milli"),
     )
+    # rate_ppm = min(1e6, target · Σn · 1e12 / (Σw_milli · w_milli)):
+    # exact integer floor division; target_frac enters as an exact
+    # ppm integer so the whole rate is a defined integer statistic
+    target_ppm = int(round(target_frac * 1_000_000))
     rates = (
         counts.crossJoin(F.broadcast(tot))
         .select(
             source_col,
             "n_src",
             F.least(
-                F.lit(1.0),
-                F.lit(target_frac)
-                * F.col("tot_n").cast("double")
-                / F.col("tot_w")
-                * F.pow(F.col("n_src").cast("double"), F.lit(alpha - 1.0)),
-            ).alias("rate"),
+                F.lit(1_000_000).cast("long"),
+                F.expr(
+                    f"(tot_n * CAST({target_ppm} AS BIGINT) * 1000000)"
+                    " DIV (tot_w_milli * w_milli)"
+                ),
+            ).alias("rate_ppm"),
         )
     )
-    gate = (md5_long(F.col(id_col).cast("string")) % 1_000_000).cast("double")
+    gate = md5_long(F.col(id_col).cast("string")) % 1_000_000
     return (
         docs.join(F.broadcast(rates), source_col)
-        .where(gate < F.col("rate") * 1_000_000.0)
-        .select(id_col, source_col, "n_src", "rate")
+        .where(gate < F.col("rate_ppm"))
+        .select(
+            id_col,
+            source_col,
+            "n_src",
+            (F.col("rate_ppm").cast("double") / F.lit(1000000.0)).alias("rate"),
+        )
     )
 
 

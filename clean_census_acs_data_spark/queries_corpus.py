@@ -12,6 +12,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.operators import corpus as C
 from clean_census_acs_data_spark.queries import _t, register
 
@@ -150,26 +151,36 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
 
 
+# rates in exact ppm fixed-point: sqrt is correctly rounded (unlike
+# libm POW, which drifted a few ulps between engines at sf0.1);
+# floor(sqrt·1000) pins each weight to an exact BIGINT and everything
+# downstream is integer floor division
 _MIX_ORACLE = """
 WITH counts AS (
-  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_src,
+         CAST(FLOOR(sqrt(CAST(n_src AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+  FROM counts
 ),
 tot AS (
   SELECT CAST(SUM(n_src) AS BIGINT) AS tot_n,
-         SUM(POW(CAST(n_src AS DOUBLE), 0.5)) AS tot_w
-  FROM counts
+         CAST(SUM(w_milli) AS BIGINT) AS tot_w_milli
+  FROM w
 ),
 rates AS (
   SELECT source, n_src,
-         LEAST(1.0,
-               0.5 * CAST(tot_n AS DOUBLE) / tot_w
-                   * POW(CAST(n_src AS DOUBLE), -0.5)) AS rate
-  FROM counts, tot
+         LEAST(CAST(1000000 AS BIGINT),
+               (tot_n * CAST(500000 AS BIGINT) * 1000000)
+                 // (tot_w_milli * w_milli)) AS rate_ppm
+  FROM w, tot
 )
-SELECT doc_id, source, n_src, rate
+SELECT doc_id, source, n_src,
+       CAST(rate_ppm AS DOUBLE) / 1000000.0 AS rate
 FROM documents JOIN rates USING (source)
-WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                AS BIGINT) % 1000000 AS DOUBLE) < rate * 1000000.0
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000 < rate_ppm
 """
 
 
@@ -218,17 +229,17 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TFIDF_ORACLE = """
+_TFIDF_ORACLE = f"""
 WITH tf AS (
   SELECT doc_id, token, COUNT(*) AS tf
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
   GROUP BY doc_id, token
 ),
 df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-n AS (SELECT COUNT(*) AS n_docs FROM documents)
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
 SELECT doc_id, token, tf, df,
        CAST(tf AS DOUBLE)
-         * (LN((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0)
+         * ({DET_LN("n_docs + 1", "df + 1", div="//")} + 1E0)
          AS tfidf
 FROM tf JOIN df USING (token), n
 """
@@ -241,9 +252,14 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing, no division by zero), weight = tf · idf. Shape: one
     (doc, token) partial-agg shuffle for tf; df derives from tf's
     |vocab|-sized output (no second pass over text); the corpus size is
-    a broadcast 1-row scalar and df joins back broadcast-sized. All
-    doubles derive through one ln and one multiply with identical
-    association — bit-exact across engines."""
+    a broadcast 1-row scalar and df joins back broadcast-sized.
+
+    The ln is functions.detmath.det_ln_ratio — a deterministic
+    atanh-series over correctly-rounded ops only. libm ln is NOT
+    correctly rounded, and Java vs DuckDB genuinely disagreed in the
+    last ulp at sf0.1 (this entry was the observed failure); the
+    series form is bit-identical on both engines at every scale (abs
+    err < 1e-9 vs true ln, a defined property of the statistic)."""
     d = _t(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
@@ -251,14 +267,8 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = (
-        F.log(
-            (F.col("n_docs").cast("double") + 1.0)
-            / (F.col("df").cast("double") + 1.0)
-        )
-        + 1.0
-    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf = F.expr(DET_LN("n_docs + 1", "df + 1", div="DIV")) + F.lit(1.0)
     return (
         tf.join(df, "token")
         .crossJoin(F.broadcast(n))
