@@ -3,11 +3,11 @@
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
 bench JSON: a full-detail line (headline + per-query secondary
-timings), then a COMPACT summary as the final line
-({"metric": ..., "value": total_sec, "unit": "sec", "queries":
-{headline timings}, "secondary_total": ..., "warmup_init_sec": ...,
-"sf": ...}) so a stdout tail capture always retains the headline
-total and warmup init costs.
+timings), a compact diffable line (headline map + top-20 slowest
+secondary), then an ULTRA-COMPACT final line (< ~1200 chars:
+{"metric": ..., "value": total_sec, "unit": "sec", top-5 maps,
+"secondary_total": ..., "warmup_init_sec": ..., "sf": ...}) so a
+2000-char stdout tail capture always retains the headline total.
 
 Each query is executed to completion with a cheap terminal action
 (count via write-nothing collect of agg) — we time the full pipeline
@@ -359,13 +359,31 @@ def main() -> None:
     # shared ZERO comparable secondary keys and per-query regressions in
     # the secondary set were invisible round-over-round (VERDICT r5
     # 'What's missing #4'). The file survives truncation by not being
-    # stdout.
+    # stdout. Also written round-keyed (BENCH_FULL_r{N}.json, N inferred
+    # from the driver's BENCH_r* artifacts) so scripts/bench_diff.py has
+    # a committed prior-round map to diff against (VERDICT r6 ask #4 —
+    # the rolling file alone is overwritten every close).
     try:
+        import glob as _glob
+
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
+        rounds = [
+            int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
+            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
+        ]
+        cur = (max(rounds) + 1) if rounds else 1
+        with open(
+            os.path.join(here, f"BENCH_FULL_r{cur:02d}.json"), "w"
+        ) as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     except OSError:
         pass
+    # Penultimate line: compact-but-diffable (headline map + top-20
+    # slowest secondary). May exceed the driver's tail window — that is
+    # fine, the verdict numbers live on the LAST line below.
     print(
         json.dumps(
             {
@@ -375,9 +393,8 @@ def main() -> None:
                 "queries": timings,
                 "secondary_total": round(sum(secondary.values()), 4),
                 "secondary_count": len(secondary),
-                # top-20 slowest secondary entries, machine-readable in
-                # the retained tail — enough to diff the heavy set
-                # against the prior round's artifact
+                # top-20 slowest secondary entries, machine-readable —
+                # enough to diff the heavy set against the prior round
                 "secondary_top20": dict(
                     sorted(secondary.items(), key=lambda kv: -kv[1])[:20]
                 ),
@@ -386,6 +403,32 @@ def main() -> None:
             }
         )
     )
+    # ULTRA-COMPACT true-last line (< ~1200 chars): the driver captures
+    # a 2000-char stdout tail and truncation eats the line's HEAD — in
+    # r6 the compact line above outgrew the window and BENCH_r06.json
+    # lost the headline "value" (VERDICT r6 'What's wrong #1'). Keep
+    # this line short enough that it ALWAYS survives whole.
+    last = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        ),
+        "secondary_total": round(sum(secondary.values()), 4),
+        "secondary_count": len(secondary),
+        "secondary_top5": dict(
+            sorted(secondary.items(), key=lambda kv: -kv[1])[:5]
+        ),
+        "warmup_init_sec": warmup_init,
+        "sf": sf_val,
+    }
+    line = json.dumps(last)
+    if len(line) > 1500:  # hard guard: never outgrow the tail window
+        last.pop("secondary_top5", None)
+        last.pop("warmup_init_sec", None)
+        line = json.dumps(last)
+    print(line)
     spark.stop()
 
 

@@ -58,8 +58,13 @@ def det_ln_ratio(p: str, q: str, *, div: str) -> str:
     emitted expression repeats p and q a handful of times; keep them
     simple column references (or pre-compute them in an enclosing
     SELECT)."""
+    # 2^m via an integer shift — the same `<<` text parses in Spark 4
+    # and DuckDB. The earlier pow(2E0, m) form worked in practice (libm
+    # returns exact powers of two exactly) but pow is not REQUIRED to
+    # be correctly rounded, contradicting this module's invariant
+    # (ADVICE r6); the shift is exact by construction for m ≤ 62.
     m = f"(length(bin(({p}) {div} ({q}))) - 1)"
-    den = f"(({q}) * CAST(pow(2E0, {m}) AS BIGINT))"
+    den = f"(({q}) * (CAST(1 AS BIGINT) << {m}))"
     r = f"(CAST(({p}) AS DOUBLE) / CAST({den} AS DOUBLE))"
     y = f"(({r} - 1E0) / ({r} + 1E0))"
     body = _HORNER.replace("y2", f"({y} * {y})")

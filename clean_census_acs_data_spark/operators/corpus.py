@@ -235,7 +235,15 @@ def corpus_mix_sample(
     )
     # rate_ppm = min(1e6, target · Σn · 1e12 / (Σw_milli · w_milli)):
     # exact integer floor division; target_frac enters as an exact
-    # ppm integer so the whole rate is a defined integer statistic
+    # ppm integer so the whole rate is a defined integer statistic.
+    # Both DIV operands are computed in DECIMAL(38,0): the BIGINT form
+    # wrapped silently once tot_n·target_ppm·1e6 crossed 2^63 (~1.8e7
+    # docs at target=0.5 — ADVICE r6). Scale bound of the decimal form:
+    # numerator < 1e38 holds while tot_n < 1e26 docs (target_ppm ≤ 1e6),
+    # denominator < 1e38 while Σw_milli·w_milli < 1e38 (w_milli ≈
+    # 1000·√n ⇒ safe past 1e19 docs/source) — unreachable in practice.
+    # Spark's DIV and DuckDB's // are both exact integral division on
+    # decimal/HUGEINT operands, so cross-engine parity is preserved.
     target_ppm = int(round(target_frac * 1_000_000))
     rates = (
         counts.crossJoin(F.broadcast(tot))
@@ -245,8 +253,9 @@ def corpus_mix_sample(
             F.least(
                 F.lit(1_000_000).cast("long"),
                 F.expr(
-                    f"(tot_n * CAST({target_ppm} AS BIGINT) * 1000000)"
-                    " DIV (tot_w_milli * w_milli)"
+                    f"(CAST(tot_n AS DECIMAL(38,0))"
+                    f" * CAST({target_ppm} AS BIGINT) * 1000000)"
+                    " DIV (CAST(tot_w_milli AS DECIMAL(38,0)) * w_milli)"
                 ),
             ).alias("rate_ppm"),
         )

@@ -172,8 +172,9 @@ tot AS (
 rates AS (
   SELECT source, n_src,
          LEAST(CAST(1000000 AS BIGINT),
-               (tot_n * CAST(500000 AS BIGINT) * 1000000)
-                 // (tot_w_milli * w_milli)) AS rate_ppm
+               CAST((CAST(tot_n AS HUGEINT) * 500000 * 1000000)
+                 // (CAST(tot_w_milli AS HUGEINT) * w_milli) AS BIGINT))
+           AS rate_ppm
   FROM w, tot
 )
 SELECT doc_id, source, n_src,

@@ -279,4 +279,10 @@ def register_python_datasource(spark: SparkSession, ds_cls) -> None:
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
             raise
     finally:
-        jss.setActiveSession(prev.get() if prev.isDefined() else None)
+        # clearActiveSession() is Spark's supported API for the
+        # "nothing was active" state — passing a py4j null into
+        # setActiveSession is an untested path (ADVICE r6)
+        if prev.isDefined():
+            jss.setActiveSession(prev.get())
+        else:
+            jss.clearActiveSession()

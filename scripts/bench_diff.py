@@ -41,9 +41,14 @@ def qmap(d: dict) -> dict[str, float]:
 
 def main() -> None:
     args = sys.argv[1:]
-    a_spec, b_spec = (args + ["HEAD", "WORKTREE"])[:2] if len(args) != 2 else args
-    if not args:
+    if len(args) == 0:
         a_spec, b_spec = "HEAD", "WORKTREE"
+    elif len(args) == 1:
+        # one arg = "compare that ref/file against the working tree"
+        # (the old padding filled HEAD into slot B, inverting intent)
+        a_spec, b_spec = args[0], "WORKTREE"
+    else:
+        a_spec, b_spec = args[:2]
     a, b = load(a_spec), load(b_spec)
     am, bm = qmap(a), qmap(b)
     print(
