@@ -69,3 +69,17 @@ def det_ln_ratio(p: str, q: str, *, div: str) -> str:
     y = f"(({r} - 1E0) / ({r} + 1E0))"
     body = _HORNER.replace("y2", f"({y} * {y})")
     return f"(2E0 * {y} * {body} + CAST({m} AS DOUBLE) * {_LN2})"
+
+
+def det_ln_ratio_signed(p: str, q: str, *, div: str) -> str:
+    """SQL text for deterministic ln(p/q) with NO p ≥ q requirement —
+    both must still be exact positive BIGINT expressions. Emits a CASE
+    that flips to −ln(q/p) when p < q, so the magnitude is always
+    computed on a ratio ≥ 1 (where :func:`det_ln_ratio`'s
+    normalization is defined). The negation of a double is exact, so
+    determinism is preserved."""
+    pos = det_ln_ratio(p, q, div=div)
+    neg = det_ln_ratio(q, p, div=div)
+    return (
+        f"(CASE WHEN ({p}) >= ({q}) THEN {pos} ELSE -{neg} END)"
+    )

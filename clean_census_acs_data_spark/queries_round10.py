@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -1698,7 +1699,7 @@ def merkle_bucket_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DP_EPS_INV = 1  # b = sensitivity/ε = 1/1
 
-_DP_ORACLE = """
+_DP_ORACLE = f"""
 WITH counts AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
 ),
@@ -1710,13 +1711,16 @@ draw AS (
 ),
 noise AS (
   SELECT lang, n, u_mil,
-         -- inverse-CDF Laplace(b=1) on u = (u_mil + 0.5)/1e6, emitted
-         -- in micro-units (×1e6, round): ln is libm-dependent at 1 ulp,
-         -- so raw doubles could not hash-match (same discipline as BM25)
+         -- inverse-CDF Laplace(b=1) on u = (u_mil + 0.5)/1e6: both
+         -- branches reduce to ±ln of an exact integer ratio of 1e6 —
+         -- ln((u+0.5)/5e5) = -ln(1e6/(2u+1)), -ln((999999.5-u)/5e5) =
+         -- ln(1e6/(1999999-2u)) — evaluated with the deterministic
+         -- atanh-series ln (functions/detmath, no libm); micro-unit
+         -- rounding then quantizes a bit-identical double
          CAST(ROUND(1000000.0 *
            (CASE WHEN u_mil < 500000
-                 THEN ln((CAST(u_mil AS DOUBLE) + 0.5) / 500000.0)
-                 ELSE -ln((999999.5 - CAST(u_mil AS DOUBLE)) / 500000.0)
+                 THEN -{DET_LN('1000000', '2 * u_mil + 1', div='//')}
+                 ELSE {DET_LN('1000000', '1999999 - 2 * u_mil', div='//')}
             END)) AS BIGINT) AS noise_micro
   FROM draw
 )
@@ -1735,9 +1739,10 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserving stats release runs, with the draw made reproducible so
     the release is hash-checkable (production swaps the hash for a
     CSPRNG; the ε accounting and the inverse-CDF algebra are
-    identical). Noise is emitted in micro-units because ``ln`` is
-    libm-dependent at 1 ulp (the BM25 discipline); the released value
-    is one add away.
+    identical). The ln is the deterministic atanh-series ln over exact
+    integer ratios (functions/detmath — no libm), so the micro-unit
+    noise quantizes a bit-identical double on both engines; the
+    released value is one add away.
 
     100-TB shape: a |groups|-cell aggregate plus a narrow scalar map —
     the noise draw costs one md5 per GROUP, not per row."""
@@ -1749,10 +1754,13 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_long(F.concat(F.lit("dp#"), F.col("lang"))) % 1_000_000
     ).alias("u_mil")
     draw = counts.select("lang", "n", u_mil)
-    u = F.col("u_mil").cast("double")
+    # both inverse-CDF branches are ±ln of an exact integer ratio of
+    # 1e6 (see the oracle comment), so the deterministic atanh-series
+    # ln applies and no libm call remains in the noise draw
     lap = F.when(
-        F.col("u_mil") < 500_000, F.log((u + 0.5) / 500000.0)
-    ).otherwise(-F.log((F.lit(999999.5) - u) / 500000.0))
+        F.col("u_mil") < 500_000,
+        -F.expr(DET_LN("1000000", "2 * u_mil + 1", div="DIV")),
+    ).otherwise(F.expr(DET_LN("1000000", "1999999 - 2 * u_mil", div="DIV")))
     noise = draw.select(
         "lang",
         "n",

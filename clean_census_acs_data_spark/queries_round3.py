@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.operators import text as X
 from clean_census_acs_data_spark.queries import _t, register
 from clean_census_acs_data_spark.queries_ext import H15
@@ -298,8 +299,7 @@ df AS (
 )
 SELECT tf.doc_id, tf.token, tf.tf, df.df,
        CAST(ROUND(
-         ln((CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-            / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+         {DET_LN('2 * (n.n_docs + 1)', '2 * df.df + 1', div='//')}
          * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
          / (CAST(tf.tf AS DOUBLE)
             + {_BM25_K1} * (1.0 - {_BM25_B}
@@ -316,10 +316,12 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to the query terms at the scan (predicate pushdown makes
     tf tiny), doc lengths from a second narrow agg, df and the corpus
     scalars broadcast back. The float expression mirrors the oracle's
-    association token-for-token; the score is quantized to integer
-    micro-units (×1e6, round) because ``ln`` is libm-dependent at the
-    last ulp (measured: DuckDB and CPython/JVM logs differ for some df
-    values), so raw doubles cannot hash-match by construction.
+    association token-for-token; the idf is the deterministic
+    atanh-series ln over the exact integer ratio 2(N+1)/(2·df+1)
+    (functions/detmath — libm ln is not correctly rounded and the two
+    engines disagree in the last ulp for some df values), so the whole
+    score is built from correctly-rounded IEEE ops and the ×1e6
+    fixed-point output quantizes a bit-identical double on both sides.
 
     The documents table is scanned twice BY DESIGN (dl needs all tokens,
     tf only the query terms): the tf scan is term-filtered right after
@@ -341,11 +343,13 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
-        / (F.col("df").cast("double") + 0.5)
-        + 1.0
-    )
+    # Robertson idf with +1 smoothing, algebraically rewritten to a
+    # ratio of exact integers: (N − df + 0.5)/(df + 0.5) + 1 =
+    # (N + 1)/(df + 0.5) = 2(N+1)/(2·df+1), so the deterministic
+    # atanh-series ln applies and no libm call remains anywhere in the
+    # score (the old form quantized libm ln to 1e-6 and carried a
+    # ~1e-10/row rounding-boundary flip risk between engines)
+    idf = F.expr(DET_LN("2 * (n_docs + 1)", "2 * df + 1", div="DIV"))
     score = (
         idf
         * (F.col("tf").cast("double") * (_BM25_K1 + 1.0))
@@ -416,34 +420,181 @@ def percentile_cont_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Mergeable HLL sketch state — per-partition sketches unioned into a
-# corpus-wide distinct estimate (rows-only: DuckDB's HLL is a different
-# sketch implementation, so no value oracle exists by construction).
+# Mergeable HLL sketch state — per-source register tables unioned into
+# a corpus-wide distinct estimate. Originally rows-only over the
+# engine-native Datasketches HllSketch (whose wire format DuckDB cannot
+# reproduce); re-expressed over the repo's DETERMINISTIC HLL registers
+# (the hll_deterministic_estimate machinery: md5-60 hash → 6-bit bucket
+# + 54-bit remainder, rho from length(bin(·))) so the per-source
+# partials, the register-level merge, AND the merged estimate are all
+# hash-checkable against DuckDB. The native hll_sketch_agg /
+# hll_union_agg API surface stays exercised in
+# tests/test_hll_native.py (merge ≡ recompute asserted there).
 # ---------------------------------------------------------------------------
 
+_HLLPM_M = 64  # registers (p = 6)
+_HLLPM_REM = 60 - 6  # md5_long is 60 bits; 6 spent on the bucket
+_HLLPM_ALPHA = "0.709"  # alpha_64, one double literal both sides
 
-@register("hll_partial_merge")
+_HLLPM_EST = (
+    f"CAST({_HLLPM_ALPHA} AS DOUBLE) * CAST({_HLLPM_M * _HLLPM_M} AS DOUBLE)"
+    " * CAST((CAST(1 AS BIGINT) << k_max) AS DOUBLE)"
+    " / CAST(s_scaled AS DOUBLE)"
+)
+
+_HLL_PM_ORACLE = f"""
+WITH h AS (
+  SELECT source, {H15.format(x="text")} AS h FROM documents
+),
+b AS (SELECT source, h % {_HLLPM_M} AS bucket, h // {_HLLPM_M} AS rem FROM h),
+r AS (
+  SELECT source, bucket,
+         CASE WHEN rem > 0 THEN {_HLLPM_REM + 1} - length(bin(rem))
+              ELSE {_HLLPM_REM + 1} END AS rho
+  FROM b
+),
+reg AS (SELECT source, bucket, MAX(rho) AS m_j FROM r GROUP BY source, bucket),
+nr AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents GROUP BY source),
+k AS (SELECT source, MAX(m_j) AS k_max, COUNT(*) AS n_occ FROM reg GROUP BY source),
+s AS (
+  SELECT reg.source, k.k_max, {_HLLPM_M} - k.n_occ AS n_zero,
+         CAST(SUM((CAST(1 AS BIGINT) << (k.k_max - reg.m_j))) AS BIGINT)
+           + ({_HLLPM_M} - k.n_occ) * (CAST(1 AS BIGINT) << k.k_max) AS s_scaled
+  FROM reg JOIN k ON reg.source = k.source
+  GROUP BY reg.source, k.k_max, k.n_occ
+),
+per AS (
+  SELECT s.source, nr.n_rows,
+         CAST(s.n_zero AS BIGINT) AS n_zero,
+         CAST(s.k_max AS BIGINT) AS k_max,
+         CAST(s.s_scaled AS BIGINT) AS s_scaled,
+         {_HLLPM_EST} AS hll_estimate
+  FROM s JOIN nr ON s.source = nr.source
+),
+mreg AS (SELECT bucket, MAX(m_j) AS m_j FROM reg GROUP BY bucket),
+mk AS (SELECT MAX(m_j) AS k_max, COUNT(*) AS n_occ FROM mreg),
+ms AS (
+  SELECT mk.k_max, {_HLLPM_M} - mk.n_occ AS n_zero,
+         CAST(SUM((CAST(1 AS BIGINT) << (mk.k_max - mreg.m_j))) AS BIGINT)
+           + ({_HLLPM_M} - mk.n_occ) * (CAST(1 AS BIGINT) << mk.k_max) AS s_scaled
+  FROM mreg, mk
+  GROUP BY mk.k_max, mk.n_occ
+),
+mall AS (
+  SELECT '__ALL__' AS source,
+         (SELECT CAST(SUM(n_rows) AS BIGINT) FROM nr) AS n_rows,
+         CAST(n_zero AS BIGINT) AS n_zero,
+         CAST(k_max AS BIGINT) AS k_max,
+         CAST(s_scaled AS BIGINT) AS s_scaled,
+         {_HLLPM_EST} AS hll_estimate
+  FROM ms
+)
+SELECT * FROM per UNION ALL SELECT * FROM mall
+"""
+
+
+@register("hll_partial_merge", oracle=_HLL_PM_ORACLE)
 def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable distinct-count sketch state: per-source HLL sketches
-    (Datasketches HllSketch via hll_sketch_agg) are the persisted
-    partial state; hll_union_agg folds them into the corpus-wide
-    estimate without touching raw data again — the incremental-stats
-    pattern for 100-TB ingestion (per-batch sketch append + cheap
-    global union). Deterministic for fixed input. Rows-only check:
-    DuckDB's approx_count_distinct uses a different HLL variant, so
-    estimates differ by construction."""
+    """Mergeable distinct-count sketch state, hash-checkable: per-source
+    deterministic-HLL register tables (≤64 rows each — md5-60 hash →
+    6-bit bucket + 54-bit remainder, rho = fixed-width leading-zero
+    count via length(bin(·))) are the persisted partial state; the
+    corpus-wide estimate folds ONLY those registers with a cell-wise
+    MAX (max is a semilattice, so merge ≡ recompute on raw data — the
+    incremental-stats pattern for 100-TB ingestion: per-batch register
+    append + cheap global fold, never a re-scan). Estimates use the
+    2^k_max-rescaled exact-integer sum of hll_deterministic_estimate,
+    so every value (per-source AND merged) bit-matches the DuckDB
+    oracle. Output: one row per source plus the merged '__ALL__' row.
+
+    The engine-native Datasketches path (hll_sketch_agg /
+    hll_union_agg) that previously backed this entry rows-only is
+    exercised in tests/test_hll_native.py instead — its wire format is
+    Spark-internal by construction."""
     d = _t(spark, sf_dir, "documents")
-    per_source = d.groupBy("source").agg(
-        F.hll_sketch_agg("text").alias("sk"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    per = per_source.select(
+    h = d.select("source", X.md5_long(F.col("text")).alias("h"))
+    b = h.select(
         "source",
-        F.hll_sketch_estimate("sk").alias("distinct_est"),
-        "n_rows",
+        (F.col("h") % _HLLPM_M).alias("bucket"),
+        F.expr(f"h div {_HLLPM_M}").alias("rem"),
     )
-    total = per_source.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_est"),
-        F.sum("n_rows").alias("n_rows"),
-    ).select(F.lit("__ALL__").alias("source"), "distinct_est", "n_rows")
-    return per.unionByName(total).orderBy("source")
+    r = b.select(
+        "source",
+        "bucket",
+        F.when(
+            F.col("rem") > 0,
+            F.lit(_HLLPM_REM + 1) - F.length(F.bin("rem")),
+        )
+        .otherwise(F.lit(_HLLPM_REM + 1))
+        .alias("rho"),
+    )
+    # THE partial state: |sources| × ≤64 rows. Cached + materialized —
+    # both the per-source estimates and the merged fold consume it, and
+    # uncached each branch would re-run the full corpus scan (the tiny
+    # reused-subtree rule).
+    reg = r.groupBy("source", "bucket").agg(F.max("rho").alias("m_j")).cache()
+    reg.count()
+    nr = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    p2 = lambda e: F.expr(  # noqa: E731 — exact 2^x as BIGINT
+        f"shiftleft(CAST(1 AS BIGINT), CAST({e} AS INT))"
+    )
+    est = (
+        F.lit(float(_HLLPM_ALPHA))
+        * F.lit(float(_HLLPM_M * _HLLPM_M))
+        * p2("k_max").cast("double")
+        / F.col("s_scaled").cast("double")
+    )
+
+    k = reg.groupBy("source").agg(
+        F.max("m_j").alias("k_max"), F.count(F.lit(1)).alias("n_occ")
+    )
+    s = (
+        reg.join(k, "source")
+        .groupBy("source", "k_max", "n_occ")
+        .agg(F.sum(p2("k_max - m_j")).cast("long").alias("s_occ"))
+        .select(
+            "source",
+            "k_max",
+            (F.lit(_HLLPM_M) - F.col("n_occ")).alias("n_zero"),
+            (
+                F.col("s_occ")
+                + (F.lit(_HLLPM_M) - F.col("n_occ")) * p2("k_max")
+            ).alias("s_scaled"),
+        )
+    )
+    per = s.join(nr, "source").select(
+        "source",
+        "n_rows",
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.col("k_max").cast("long").alias("k_max"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        est.alias("hll_estimate"),
+    )
+
+    mreg = reg.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    mk = mreg.agg(
+        F.max("m_j").alias("k_max"), F.count(F.lit(1)).alias("n_occ")
+    )
+    ms = (
+        mreg.crossJoin(F.broadcast(mk))
+        .groupBy("k_max", "n_occ")
+        .agg(F.sum(p2("k_max - m_j")).cast("long").alias("s_occ"))
+        .select(
+            "k_max",
+            (F.lit(_HLLPM_M) - F.col("n_occ")).alias("n_zero"),
+            (
+                F.col("s_occ")
+                + (F.lit(_HLLPM_M) - F.col("n_occ")) * p2("k_max")
+            ).alias("s_scaled"),
+        )
+    )
+    tot = nr.agg(F.sum("n_rows").cast("long").alias("n_rows"))
+    mall = ms.crossJoin(F.broadcast(tot)).select(
+        F.lit("__ALL__").alias("source"),
+        "n_rows",
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.col("k_max").cast("long").alias("k_max"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        est.alias("hll_estimate"),
+    )
+    return per.unionByName(mall)

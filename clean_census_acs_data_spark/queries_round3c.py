@@ -10,9 +10,10 @@ Streaming join shape the catalog was missing).
 
 Determinism discipline matches queries.py: integer arithmetic end to
 end, one final division at most, identical association and aliases in
-the Spark plan and the DuckDB oracle. Transcendentals (ln) follow the
-BM25 precedent: quantize to integer micro-units immediately after the
-single libm call.
+the Spark plan and the DuckDB oracle. Transcendentals (ln) use the
+deterministic atanh-series ln over exact integer ratios
+(functions/detmath — no libm anywhere), quantized to integer
+micro-units for order-free sums.
 
 Reference parity note: the reference (pandas ETL, 621 LoC) has no
 analog for any of these; they extend SURVEY.md §2D.
@@ -23,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.operators import dedup as D
 from clean_census_acs_data_spark.operators import text as X
 from clean_census_acs_data_spark.queries import _t, register
@@ -176,19 +178,20 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram-LM surprisal — the statistical quality filter: score each doc
 # by the average negative log-probability of its tokens under the
 # corpus unigram distribution. High surprisal = rare-token gibberish,
-# low = boilerplate. ln quantized to integer micro-nats per TOKEN TYPE
-# (one libm call per distinct token), then integer tf-weighted sums per
-# doc; the only division producing the output is the final avg.
+# low = boilerplate. −ln(c/t) = ln(t/c) evaluated per TOKEN TYPE with
+# the deterministic atanh-series ln (no libm), quantized to integer
+# micro-nats, then integer tf-weighted sums per doc; the only division
+# producing the output is the final avg.
 # ---------------------------------------------------------------------------
 
-_SURPRISAL_ORACLE = """
+_SURPRISAL_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
 cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
 tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
 su AS (
-  SELECT w, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0)
+  SELECT w, CAST(ROUND({DET_LN('t', 'c', div='//')} * 1000000.0)
                AS BIGINT) AS s_e6
   FROM cnt, tot
 ),
@@ -215,12 +218,15 @@ def lm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    # −ln(c/t) = ln(t/c) with t ≥ c ≥ 1 exact integers → the
+    # deterministic atanh-series ln (functions/detmath); the ×1e6
+    # rounding then quantizes a bit-identical double on both engines,
+    # so the integer tf-weighted sums downstream stay order-free AND
+    # boundary-flip-free (libm ln could disagree in the last ulp
+    # exactly at a rounding boundary)
     su = cnt.crossJoin(F.broadcast(tot)).select(
         "w",
-        F.round(
-            -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
-            * 1000000.0
-        )
+        F.round(F.expr(DET_LN("t", "c", div="DIV")) * 1000000.0)
         .cast("long")
         .alias("s_e6"),
     )

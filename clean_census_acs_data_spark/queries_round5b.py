@@ -36,6 +36,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.io import load_table, spread
 from clean_census_acs_data_spark.operators import dedup as D
 from clean_census_acs_data_spark.queries import register
@@ -75,10 +76,10 @@ tot AS (
          (SELECT COUNT(*) FROM pr) AS t_pair
 )
 SELECT cab.tok_a, cab.tok_b, CAST(cab.c_ab AS BIGINT) AS c_ab,
-       CAST(ROUND(ln(
-         (CAST(cab.c_ab AS DOUBLE) / CAST(tot.t_pair AS DOUBLE))
-         / ((CAST(ua.c AS DOUBLE) / CAST(tot.t_tok AS DOUBLE))
-            * (CAST(ub.c AS DOUBLE) / CAST(tot.t_tok AS DOUBLE)))
+       CAST(ROUND((
+         {DET_LN('tot.t_tok', 'ua.c', div='//')}
+         + {DET_LN('tot.t_tok', 'ub.c', div='//')}
+         - {DET_LN('tot.t_pair', 'cab.c_ab', div='//')}
        ) * 1000000.0) AS BIGINT) AS pmi_e6
 FROM cab
 JOIN uni ua ON cab.tok_a = ua.w
@@ -101,9 +102,10 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary broadcasts back twice (the lm_unigram_surprisal
     rationale: joining on raw tokens would hot-key stopwords at
     100 TB). ln is evaluated once per surviving PAIR TYPE
-    (vocabulary²-bounded, support-pruned — not per occurrence) and
-    rounded to micro-nats so a 1-ulp libm divergence cannot flip the
-    hash."""
+    (vocabulary²-bounded, support-pruned — not per occurrence) via the
+    deterministic atanh-series ln (functions/detmath, no libm), then
+    rounded to micro-nats — the quantized double is bit-identical on
+    both engines, so no rounding boundary can flip the hash."""
     d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -146,13 +148,17 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             F.col("c_ab").cast("long").alias("c_ab"),
+            # PMI decomposed into sign-definite exact-integer ratios:
+            # ln((c_ab/t_pair)/((c_a/t_tok)(c_b/t_tok))) =
+            # ln(t_tok/c_a) + ln(t_tok/c_b) − ln(t_pair/c_ab), each a
+            # deterministic atanh-series ln with p ≥ q ≥ 1 (counts are
+            # bounded by their totals) — no libm, and no BIGINT
+            # overflow risk from cross-multiplying the three ratios
             F.round(
-                F.log(
-                    (F.col("c_ab").cast("double") / F.col("t_pair").cast("double"))
-                    / (
-                        (F.col("c_a").cast("double") / F.col("t_tok").cast("double"))
-                        * (F.col("c_b").cast("double") / F.col("t_tok").cast("double"))
-                    )
+                (
+                    F.expr(DET_LN("t_tok", "c_a", div="DIV"))
+                    + F.expr(DET_LN("t_tok", "c_b", div="DIV"))
+                    - F.expr(DET_LN("t_pair", "c_ab", div="DIV"))
                 )
                 * 1000000.0
             )

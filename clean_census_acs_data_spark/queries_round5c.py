@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.io import load_table, spread
 from clean_census_acs_data_spark.operators import dedup as D
 from clean_census_acs_data_spark.operators import text as X
@@ -181,7 +182,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # add-one bigram LM surprisal
 # ---------------------------------------------------------------------------
 
-_BIGRAM_ORACLE = """
+_BIGRAM_ORACLE = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -195,8 +196,8 @@ cu AS (
 v AS (SELECT COUNT(*) AS vsize FROM cu),
 su AS (
   SELECT cb.w1, cb.w2,
-         CAST(ROUND(-ln(CAST(cb.c12 + 1 AS DOUBLE)
-                        / CAST(cu.c1 + v.vsize AS DOUBLE)) * 1000000.0)
+         CAST(ROUND({DET_LN('cu.c1 + v.vsize', 'cb.c12 + 1', div='//')}
+                    * 1000000.0)
               AS BIGINT) AS s_e6
   FROM cb JOIN cu ON cb.w1 = cu.w CROSS JOIN v
 ),
@@ -220,7 +221,8 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one bigram Generate feeds both the global counts and the
     per-doc tf table; the unigram vocab and 1-row V broadcast onto the
-    bigram-count table; ln is evaluated once per bigram TYPE and
+    bigram-count table; ln is evaluated once per bigram TYPE via the
+    deterministic atanh-series ln (functions/detmath, no libm) and
     rounded to micro-nats (the surprisal/BM25 discipline). The
     tf↔surprisal join keys on the (w1, w2) pair — pair keys are far
     more uniform than raw tokens, so no hot-key salting is needed
@@ -250,11 +252,12 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "w1",
             "w2",
+            # −ln((c12+1)/(c1+V)) = ln((c1+V)/(c12+1)), a ratio of
+            # exact integers with p ≥ q ≥ 1 (c12 ≤ c1, V ≥ 1) → the
+            # deterministic atanh-series ln; rounding then quantizes a
+            # bit-identical double on both engines
             F.round(
-                -F.log(
-                    (F.col("c12") + 1).cast("double")
-                    / (F.col("c1") + F.col("vsize")).cast("double")
-                )
+                F.expr(DET_LN("c1 + vsize", "c12 + 1", div="DIV"))
                 * 1000000.0
             )
             .cast("long")

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio_signed as DET_LNS
 from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.queries import register
 
@@ -57,8 +58,8 @@ SELECT per.bucket, per.n_ref, per.n_cur,
        CAST(ROUND(
          (CAST(per.n_ref + 1 AS DOUBLE) / CAST(tot.t_ref + tot.n_buckets AS DOUBLE)
           - CAST(per.n_cur + 1 AS DOUBLE) / CAST(tot.t_cur + tot.n_buckets AS DOUBLE))
-         * ln((CAST(per.n_ref + 1 AS DOUBLE) / CAST(tot.t_ref + tot.n_buckets AS DOUBLE))
-              / (CAST(per.n_cur + 1 AS DOUBLE) / CAST(tot.t_cur + tot.n_buckets AS DOUBLE)))
+         * ({DET_LNS('per.n_ref + 1', 'per.n_cur + 1', div='//')}
+            + {DET_LNS('tot.t_cur + tot.n_buckets', 'tot.t_ref + tot.n_buckets', div='//')})
          * 1000000.0) AS BIGINT) AS psi_term_e6
 FROM per CROSS JOIN tot
 """
@@ -102,11 +103,24 @@ def psi_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (F.col("n_cur") + 1).cast("double") / (
         F.col("t_cur") + F.col("n_buckets")
     ).cast("double")
+    # ln(p/q) decomposed into exact-integer ratios: p/q =
+    # ((n_ref+1)/(n_cur+1)) · ((t_cur+nb)/(t_ref+nb)), so ln(p/q) =
+    # det_ln(n_ref+1, n_cur+1) + det_ln(t_cur+nb, t_ref+nb) — each term
+    # the deterministic atanh-series ln (sign-handled CASE), keeping
+    # every factor inside BIGINT range where the cross-multiplied
+    # single-ratio form (products of two counts) could overflow at
+    # 100 TB. Addition of deterministic doubles is correctly rounded,
+    # so psi_term is bit-identical across engines before rounding.
+    lnratio = F.expr(
+        DET_LNS("n_ref + 1", "n_cur + 1", div="DIV")
+    ) + F.expr(
+        DET_LNS("t_cur + n_buckets", "t_ref + n_buckets", div="DIV")
+    )
     return per.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "n_ref",
         "n_cur",
-        F.round((p - q) * F.log(p / q) * 1000000.0)
+        F.round((p - q) * lnratio * 1000000.0)
         .cast("long")
         .alias("psi_term_e6"),
     )

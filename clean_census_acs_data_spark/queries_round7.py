@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.io import load_table, spread
 from clean_census_acs_data_spark.operators import similarity as S
 from clean_census_acs_data_spark.operators.dedup import (
@@ -664,7 +665,7 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-document character-trigram entropy (compressibility proxy)
 # ---------------------------------------------------------------------------
 
-_ENTROPY_ORACLE = """
+_ENTROPY_ORACLE = f"""
 WITH g AS (
   SELECT doc_id,
          unnest(list_transform(range(1, length(text) - 1),
@@ -676,11 +677,11 @@ agg AS (
   SELECT doc_id,
          CAST(SUM(c) AS BIGINT) AS n_grams,
          CAST(COUNT(*) AS BIGINT) AS n_types,
-         CAST(SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s
+         CAST(SUM(c * CAST(ROUND({DET_LN('c', '1', div='//')} * 1000000) AS BIGINT)) AS BIGINT) AS s
   FROM cnt GROUP BY doc_id
 )
 SELECT doc_id, n_grams, n_types,
-       CAST(CAST(ROUND(ln(CAST(n_grams AS DOUBLE)) * 1000000) AS BIGINT)
+       CAST(CAST(ROUND({DET_LN('n_grams', '1', div='//')} * 1000000) AS BIGINT)
             - s // n_grams AS BIGINT) AS entropy_micro_nats
 FROM agg
 """
@@ -709,15 +710,19 @@ def char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(grams).alias("gram")
     )
     cnt = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    ln_c_micro = F.round(F.log(F.col("c").cast("double")) * 1_000_000).cast("long")
+    # ln of exact integers via the deterministic atanh-series ln
+    # (functions/detmath, no libm) — the micro-nat rounding quantizes a
+    # bit-identical double on both engines, keeping the integer sums
+    # order-free with zero cross-engine boundary-flip risk
+    ln_c_micro = F.round(F.expr(DET_LN("c", "1", div="DIV")) * 1_000_000).cast("long")
     agg = cnt.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_grams"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
         F.sum(F.col("c") * ln_c_micro).cast("long").alias("s"),
     )
-    ln_n_micro = F.round(F.log(F.col("n_grams").cast("double")) * 1_000_000).cast(
-        "long"
-    )
+    ln_n_micro = F.round(
+        F.expr(DET_LN("n_grams", "1", div="DIV")) * 1_000_000
+    ).cast("long")
     return agg.select(
         "doc_id",
         "n_grams",

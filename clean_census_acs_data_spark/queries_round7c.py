@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import _lang_oracle
@@ -126,8 +127,8 @@ rk AS (
   FROM tf
 ),
 xy AS (
-  SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
-         CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  SELECT CAST(ROUND({DET_LN('r', '1', div='//')} * 1000000) AS BIGINT) AS x,
+         CAST(ROUND({DET_LN('f', '1', div='//')} * 1000000) AS BIGINT) AS y
   FROM rk WHERE r <= {_ZIPF_TOP}
 ),
 s AS (
@@ -153,8 +154,10 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     too-steep one a degenerate vocabulary — the corpus-level
     counterpart of char_ngram_entropy's per-doc signal.
 
-    Numeric discipline: each ln is micro-nat-quantized per (rank,
-    freq) POINT, the regression moments are exact int64 sums of those
+    Numeric discipline: each ln is the deterministic atanh-series
+    ln of an exact integer (functions/detmath — no libm),
+    micro-nat-quantized per (rank, freq) POINT; the regression
+    moments are exact int64 sums of those
     integers (order-independent), and the slope is one fixed-shape
     double expression over five scalars — every operation from long
     casts onward is an IEEE-determined function of identical inputs in
@@ -172,10 +175,12 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= _ZIPF_TOP)
         .select(
-            F.round(F.log(F.col("r").cast("double")) * 1_000_000)
+            # ln of an exact integer = det_ln_ratio(n, 1): no libm, so
+            # the micro-nat rounding quantizes a bit-identical double
+            F.round(F.expr(DET_LN("r", "1", div="DIV")) * 1_000_000)
             .cast("long")
             .alias("x"),
-            F.round(F.log(F.col("f").cast("double")) * 1_000_000)
+            F.round(F.expr(DET_LN("f", "1", div="DIV")) * 1_000_000)
             .cast("long")
             .alias("y"),
         )

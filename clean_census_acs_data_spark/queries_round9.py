@@ -42,6 +42,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.io import load_table, spread
 from clean_census_acs_data_spark.operators import similarity as S
 from clean_census_acs_data_spark.operators import text as X
@@ -960,9 +961,9 @@ tots AS (
 ),
 wt AS (
   SELECT vocab.w,
-         CAST(ROUND(ln(
-           (CAST(COALESCE(tgt.c_tgt, 0) + 1 AS DOUBLE) / CAST(tots.t_tgt + tots.v AS DOUBLE))
-           / (CAST(vocab.c_all + 1 AS DOUBLE) / CAST(tots.t_all + tots.v AS DOUBLE))
+         CAST(ROUND((
+           {DET_LN('tots.t_all + tots.v', 'tots.t_tgt + tots.v', div='//')}
+           - {DET_LN('vocab.c_all + 1', 'COALESCE(tgt.c_tgt, 0) + 1', div='//')}
          ) * 1000000.0) AS BIGINT) AS w_e6
   FROM vocab LEFT JOIN tgt ON vocab.w = tgt.w, tots
 ),
@@ -1023,15 +1024,20 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(t_tgt))
         .select(
             "w",
+            # log-ratio decomposed into sign-definite exact-integer
+            # ratios: ln(((c_tgt+1)/(t_tgt+v))/((c_all+1)/(t_all+v)))
+            # = ln((t_all+v)/(t_tgt+v)) − ln((c_all+1)/(c_tgt+1)),
+            # each p ≥ q ≥ 1 (target counts are subsets of corpus
+            # counts) → deterministic atanh-series ln, no libm
             F.round(
-                F.log(
-                    (
-                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
-                        / (F.col("t_tgt") + F.col("v")).cast("double")
-                    )
-                    / (
-                        (F.col("c_all") + 1).cast("double")
-                        / (F.col("t_all") + F.col("v")).cast("double")
+                (
+                    F.expr(DET_LN("t_all + v", "t_tgt + v", div="DIV"))
+                    - F.expr(
+                        DET_LN(
+                            "c_all + 1",
+                            "COALESCE(c_tgt, 0) + 1",
+                            div="DIV",
+                        )
                     )
                 )
                 * 1000000.0
@@ -1442,10 +1448,10 @@ ranked AS (
 ),
 dcg AS (
   SELECT CAST(SUM(CASE WHEN r_full <= 10 THEN
-           (11 - r_full) * CAST(ROUND(1000000.0 / log2(CAST(r_pre + 1 AS DOUBLE))) AS BIGINT)
+           (11 - r_full) * CAST(ROUND(1000000.0 / ({DET_LN('r_pre + 1', '1', div='//')} / 6.931471805599453E-1)) AS BIGINT)
            ELSE 0 END) AS BIGINT) AS dcg_u,
          CAST(SUM(CASE WHEN r_full <= 10 THEN
-           (11 - r_full) * CAST(ROUND(1000000.0 / log2(CAST(r_full + 1 AS DOUBLE))) AS BIGINT)
+           (11 - r_full) * CAST(ROUND(1000000.0 / ({DET_LN('r_full + 1', '1', div='//')} / 6.931471805599453E-1)) AS BIGINT)
            ELSE 0 END) AS BIGINT) AS idcg_u
   FROM ranked
 )
@@ -1483,10 +1489,17 @@ def ndcg_eval_prefix_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.desc("cos_pre"), F.asc("vec_id")))
         .alias("r_pre"),
     )
+    # log2(1+r) = det_ln(1+r, 1) / ln2: the deterministic atanh-series
+    # ln of an exact integer divided by the ln2 double literal — no
+    # libm, association mirrored token-for-token in the oracle
     disc = lambda r: (  # noqa: E731 — micro-unit discount per rank
-        F.round(F.lit(1000000.0) / F.log2((F.col(r) + 1).cast("double"))).cast(
-            "long"
-        )
+        F.round(
+            F.lit(1000000.0)
+            / (
+                F.expr(DET_LN(f"{r} + 1", "1", div="DIV"))
+                / F.lit(0.6931471805599453)
+            )
+        ).cast("long")
     )
     gain = F.lit(11) - F.col("r_full")
     agg = ranked.agg(
@@ -1515,7 +1528,7 @@ def ndcg_eval_prefix_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DoReMi-flavored domain reweighting (learnability-gap proxy)
 # ---------------------------------------------------------------------------
 
-_DOREMI_ORACLE = """
+_DOREMI_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, source, w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS nw
   FROM (
@@ -1527,12 +1540,12 @@ WITH tok AS (
 ),
 uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
 utot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
-us AS (SELECT w, CAST(ROUND(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0)
+us AS (SELECT w, CAST(ROUND({DET_LN('t', 'c', div='//')} * 1000000.0)
                  AS BIGINT) AS s_e6 FROM uni, utot),
 bi AS (SELECT w, nw, COUNT(*) AS c FROM tok WHERE nw IS NOT NULL GROUP BY w, nw),
 bs AS (
   SELECT bi.w, bi.nw,
-         CAST(ROUND(-ln(CAST(bi.c AS DOUBLE) / CAST(uni.c AS DOUBLE)) * 1000000.0)
+         CAST(ROUND({DET_LN('uni.c', 'bi.c', div='//')} * 1000000.0)
               AS BIGINT) AS s_e6
   FROM bi JOIN uni ON bi.w = uni.w
 ),
@@ -1592,12 +1605,11 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = tok.cache()
     uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     utot = uni.agg(F.sum("c").cast("long").alias("t"))
+    # −ln(c/t) = ln(t/c) and −ln(c/cw) = ln(cw/c): exact integer
+    # ratios with p ≥ q ≥ 1 → deterministic atanh-series ln (no libm)
     us = uni.crossJoin(F.broadcast(utot)).select(
         "w",
-        F.round(
-            -F.log(F.col("c").cast("double") / F.col("t").cast("double"))
-            * 1000000.0
-        )
+        F.round(F.expr(DET_LN("t", "c", div="DIV")) * 1000000.0)
         .cast("long")
         .alias("s_e6"),
     )
@@ -1609,10 +1621,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bs = bi.join(uni.withColumnRenamed("c", "cw"), "w").select(
         "w",
         "nw",
-        F.round(
-            -F.log(F.col("c").cast("double") / F.col("cw").cast("double"))
-            * 1000000.0
-        )
+        F.round(F.expr(DET_LN("cw", "c", div="DIV")) * 1000000.0)
         .cast("long")
         .alias("s_e6"),
     )

@@ -61,3 +61,44 @@ def test_det_ln_accuracy_bound(ratio_values):
     # exact identity at ratio 1
     one = [v for (p, q), v in svals.items() if p == q]
     assert all(v == 0.0 for v in one)
+
+
+@pytest.fixture(scope="module")
+def signed_values(spark):
+    """Signed grid: every (p, q) ordering including p < q, straddling
+    the CASE flip and power-of-two boundaries."""
+    from clean_census_acs_data_spark.functions.detmath import (
+        det_ln_ratio_signed,
+    )
+
+    vals = (1, 2, 3, 5, 7, 63, 64, 999, 1000)
+    pairs = [(p, q) for p in vals for q in vals]
+    sdf = spark.createDataFrame(pairs, "p long, q long")
+    sdf.createOrReplaceTempView("detmath_signed_pq")
+    svals = {
+        (r.p, r.q): r.v
+        for r in spark.sql(
+            f"SELECT p, q, {det_ln_ratio_signed('p', 'q', div='DIV')} AS v"
+            " FROM detmath_signed_pq"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE spq (p BIGINT, q BIGINT)")
+    con.executemany("INSERT INTO spq VALUES (?, ?)", pairs)
+    dvals = {
+        (int(p), int(q)): v
+        for p, q, v in con.execute(
+            f"SELECT p, q, {det_ln_ratio_signed('p', 'q', div='//')} AS v"
+            " FROM spq"
+        ).fetchall()
+    }
+    return svals, dvals
+
+
+def test_det_ln_signed_bit_identical_and_antisymmetric(signed_values):
+    svals, dvals = signed_values
+    assert svals == dvals  # bit parity incl. the p < q branch
+    for (p, q), v in svals.items():
+        assert abs(v - math.log(p / q)) < 2e-9, (p, q, v)
+        # exact antisymmetry: the p<q branch is literally -ln(q/p)
+        assert v == -svals[(q, p)], (p, q)

@@ -119,6 +119,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "heavy_hitters_cms",  # broadcast 1-row total-token-mass scalar
         "quantile_log2_sketch",  # 3-row quantile spec × ≤64-row histogram
         "hll_deterministic_estimate",  # ≤64-row registers × 1-row k/exact scalars
+        "hll_partial_merge",  # ≤64-row merged registers × 1-row k/total scalars
         "token_cooccurrence_pmi",  # broadcast 1-row (t_tok, t_pair) totals
         "lm_bigram_surprisal",  # broadcast 1-row vocabulary-size scalar
         "ann_recall_audit",  # 1-row count frames × broadcast query vector legs
