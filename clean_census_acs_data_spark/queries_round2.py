@@ -653,17 +653,26 @@ def scd2_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# stream-static enrichment join (rows-only: streaming engine path)
+# stream-static enrichment join (oracle-backed since round 7: a
+# stream-static inner join over a fully-replayed stream emits exactly
+# the static join — no watermark, no state, nothing time-dependent)
 # ---------------------------------------------------------------------------
 
+_STREAM_ENRICH_ORACLE = """
+SELECT e.user_id, e.event_id, e.event_type, c.c_name, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
 
-@register("streaming_static_enrich")  # rows-only check
+
+@register("streaming_static_enrich", oracle=_STREAM_ENRICH_ORACLE)
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched against the
     static customer dimension. The static side is broadcast to the
     stream's tasks each micro-batch — no state store involvement at
     all (unlike stream-stream joins), which is why dimension
-    enrichment should always join static, not stream, sides."""
+    enrichment should always join static, not stream, sides.
+    Hash-checks against the plain SQL join: replaying the whole stream
+    through the engine must reproduce the static result exactly."""
     from clean_census_acs_data_spark.streaming.windows import (
         _events_stream,
         _run_to_memory,

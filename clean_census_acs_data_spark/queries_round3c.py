@@ -405,7 +405,38 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("streaming_stream_stream_join")  # rows-only check
+_SSJ_ORACLE = """
+WITH cl AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+pu AS (
+  SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+  SELECT LEAST(
+    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events WHERE event_type = 'click'),
+    (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM events WHERE event_type = 'purchase')
+  ) - 600000000 AS wm_us
+),
+j AS (
+  SELECT cl.user_id, cl.click_id, pu.purchase_id,
+         epoch_us(pu.purchase_ts) - epoch_us(cl.click_ts) AS gap_us,
+         cl.click_ts
+  FROM cl LEFT JOIN pu
+    ON cl.user_id = pu.p_user_id
+   AND pu.purchase_ts >= cl.click_ts
+   AND pu.purchase_ts <= cl.click_ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, click_id, purchase_id, gap_us
+FROM j, wm
+WHERE purchase_id IS NOT NULL
+   OR epoch_us(click_ts) + 1800000000 <= wm_us
+"""
+
+
+@register("streaming_stream_stream_join", oracle=_SSJ_ORACLE)
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with event-time bounds: click and
     purchase streams (both watermarked 10 minutes) joined on user_id
@@ -414,8 +445,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase columns — but only after the watermark passes their join
     window, because until then a match could still arrive; the same
     watermark bounds the state store. Run with Trigger.AvailableNow
-    into a memory sink; deterministic for a fixed input
-    (tests/test_rows_only.py runs it twice)."""
+    into a memory sink.
+
+    Oracle-backed since round 7: matched rows are exactly the static
+    LEFT JOIN's matches, and a null-padded click emits iff the final
+    global watermark — min over both streams of (ms-floored max event
+    time − 10 min), Spark's multiple-watermark MIN policy — has passed
+    click_ts + 30 min (boundary pinned emit-at-equality, like the
+    windowed entries). Both pieces are plain SQL, so the whole output
+    hash-checks against DuckDB."""
     from clean_census_acs_data_spark.streaming.windows import (
         _events_stream,
         _run_to_memory,

@@ -427,21 +427,83 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# structured streaming (rows-only: append-mode watermark semantics)
+# structured streaming. Promoted from rows-only to oracle-backed in
+# round 7: for a fully-replayed single-file source under
+# Trigger.AvailableNow the engine's output is a DETERMINISTIC function
+# of the input — append mode emits exactly the windows/sessions whose
+# end ≤ final watermark, and the final watermark is
+# floor_ms(max event time) − delay (Spark tracks event-time stats in
+# MILLISECONDS; pinned empirically: a window ending exactly AT the
+# watermark IS emitted, and a session ending 200 µs after the
+# ms-floored watermark is NOT — see the round-7 probes). The oracles
+# are therefore the batch twins plus that watermark filter. Boundary
+# caveat: emit-at-equality vs sub-ms ties is measure-zero on µs-noise
+# event times and identical on all three test scales.
 # ---------------------------------------------------------------------------
 
+# final watermark in epoch-µs: ms-floored max event time minus 10 min
+_WM_US = (
+    "(SELECT (epoch_us(MAX(ts)) // 1000) * 1000 - 600000000 FROM events)"
+)
 
-@register("streaming_tumbling_watermark")  # rows-only check
+_STREAM_TUMBLING_ORACLE = f"""
+WITH base AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts)                   AS window_start,
+         time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM base WHERE epoch_us(window_end) <= {_WM_US}
+"""
+
+
+@register("streaming_tumbling_watermark", oracle=_STREAM_TUMBLING_ORACLE)
 def streaming_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling windows + 10-min watermark executed by the streaming
     engine (readStream → state store → append-mode memory sink,
-    Trigger.AvailableNow). Emits only watermark-passed windows."""
+    Trigger.AvailableNow). Emits only watermark-passed windows — which
+    for a replayed finite input is exactly the batch aggregate
+    filtered to window_end ≤ floor_ms(max ts) − 10 min, so the entry
+    hash-checks against DuckDB like any batch query."""
     return W.streaming_tumbling(spark, sf_dir)
 
 
-@register("streaming_session_window")  # rows-only check
+_STREAM_SESSION_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+base AS (
+  SELECT user_id,
+         MIN(ts)                      AS session_start,
+         MAX(ts) + INTERVAL 6 HOUR    AS session_end,
+         COUNT(*)                     AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM s
+  GROUP BY user_id, sid
+)
+SELECT * FROM base WHERE epoch_us(session_end) <= {_WM_US}
+"""
+
+
+@register("streaming_session_window", oracle=_STREAM_SESSION_ORACLE)
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (merging session state) + watermark, streaming."""
+    """Session windows (merging session state) + watermark, streaming.
+    Emitted sessions = the batch gaps-and-islands sessions whose end
+    (last event + gap) has been passed by the ms-floored final
+    watermark — hash-checked against that closed form."""
     return W.streaming_session(spark, sf_dir)
 
 
@@ -451,24 +513,89 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.streaming_dedup_within_watermark(spark, sf_dir)
 
 
-@register("streaming_interval_join")  # rows-only check
+_STREAM_IJ_ORACLE = """
+WITH v AS (
+  SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT view_id, click_id, v_user AS user_id, view_ts, click_ts
+FROM v JOIN c
+  ON v_user = c_user
+ AND click_ts >= view_ts
+ AND click_ts <= view_ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("streaming_interval_join", oracle=_STREAM_IJ_ORACLE)
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (views ⋈ same-user clicks within 30
     minutes) with watermarked, evictable state on both sides — the
-    canonical unbounded-join shape. Batch-verifiable: the inner-join
-    result equals the static join (streaming only changes *when* rows
-    emit, not which rows, for an inner join whose inputs are fully
-    replayed), checked in tests/test_streaming.py."""
+    canonical unbounded-join shape. Oracle-backed: an INNER join over
+    fully-replayed inputs emits exactly the static join's rows
+    (streaming only changes *when* rows emit, never which — no
+    watermark filter needed), so the entry hash-checks against the
+    plain SQL join; the single-file source replays in one micro-batch,
+    so no intermediate watermark can drop late rows."""
     return W.streaming_interval_join(spark, sf_dir)
 
 
-@register("streaming_stateful_sessions")  # rows-only check
+# The custom sessionizer's emission rule, as SQL: 30-min-gap sessions
+# per user (gaps-and-islands); every non-trailing session emits (its
+# gap was observed in-data), the trailing session emits iff its
+# event-time timeout (session_end + gap, ms-floored) has been passed
+# by the final watermark. Deterministic because the staged batches are
+# fixed TIME splits: no batch boundary can reorder events into or out
+# of a session (batch-2 timestamps all exceed batch-1's watermark by
+# more than the delay), so only the FINAL watermark matters.
+_STATEFUL_SESS_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE ts IS NOT NULL
+),
+o AS (
+  SELECT user_id, ts, value_cents,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+g AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(value_cents) AS BIGINT) AS value_cents
+  FROM s GROUP BY user_id, sid
+),
+mx AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY user_id),
+wm AS (SELECT {_WM_US} AS wm_us)
+SELECT g.user_id, g.session_start, g.session_end, g.n_events, g.value_cents
+FROM g JOIN mx USING (user_id), wm
+WHERE g.sid < mx.last_sid
+   OR (epoch_us(g.session_end) // 1000) * 1000 + 1800000000 <= wm.wm_us
+"""
+
+
+@register("streaming_stateful_sessions", oracle=_STATEFUL_SESS_ORACLE)
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionizer
     (user-defined state struct + event-time timeouts), replayed over
     deterministic time-ordered micro-batches. The general form of
     custom streaming state that built-in session_window can't express
-    (streaming/stateful.py)."""
+    (streaming/stateful.py). Oracle-backed since round 7: the emission
+    rule is a closed form over gaps-and-islands sessions (non-trailing
+    sessions always emit; trailing ones emit iff the ms-floored final
+    watermark passed session_end + gap), so the streamed output
+    hash-checks against plain SQL — the same closed form
+    tests/test_streaming.py asserts batch-by-batch."""
     from clean_census_acs_data_spark.streaming.stateful import (
         sessionize_events_availablenow,
     )
@@ -476,14 +603,25 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events_availablenow(spark, sf_dir)
 
 
-@register("streaming_replay_source")  # rows-only check
+_REPLAY_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY source
+"""
+
+
+@register("streaming_replay_source", oracle=_REPLAY_ORACLE)  # complete mode
 def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python streaming DataSource path: the documents table replayed
     as micro-batches through the simpleStreamReader replay source
     (checkpointable row offsets, exactly-once readBetweenOffsets
     recovery), aggregated per source as it streams. Proves the custom-
     source API end to end; per-batch correctness and offset semantics
-    in tests/test_replay_stream.py."""
+    in tests/test_replay_stream.py. Oracle-backed since round 7: the
+    complete-mode sink after a full replay must equal the batch GROUP
+    BY exactly — if the source ever dropped or duplicated a row across
+    offsets, the hash would flip."""
     import uuid
 
     from pyspark.sql import functions as F
