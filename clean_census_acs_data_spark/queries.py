@@ -45,6 +45,7 @@ def register(name: str, oracle: str | None = None):
 
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn  # expose the defining function
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
