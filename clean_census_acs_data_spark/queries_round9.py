@@ -1587,23 +1587,35 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGRAM TYPE, integer sums, integer ppm division. Scale shape: both
     LMs are vocab-sized aggregates; the per-source reduce is one
     partial agg; weights are a |sources|-row broadcast at train time."""
-    from pyspark.sql.window import Window
-
-    d = _t(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split("text", " ")).alias("pos", "w"),
-    ).select(
-        "doc_id",
-        "source",
-        "w",
-        F.lead("w").over(
-            Window.partitionBy("doc_id").orderBy("pos")
-        ).alias("nw"),
+    # bigrams are generated ARRAY-LOCALLY (element_at(t, i)/(i+1) over
+    # an exploded index sequence) instead of posexplode + lead() over a
+    # per-doc window: the window forced a full shuffle+sort of every
+    # token row on doc_id, which was the entry's dominant cost
+    # (the lm_bigram_surprisal shape; same (w, nw) values row for row)
+    # spread(): the single-file documents scan is 1 partition — without
+    # it the whole explode fan-out runs on one core (round-5 gotcha)
+    d = spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", F.split("text", " ").alias("t")
     )
-    tok = tok.cache()
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bg = (
+        d.where(F.size("t") > 1)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+            "t",
+        )
+        .select(
+            "source",
+            F.expr("element_at(t, i)").alias("w"),
+            F.expr("element_at(t, i + 1)").alias("nw"),
+        )
+        .cache()
+    )
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     utot = uni.agg(F.sum("c").cast("long").alias("t"))
     # −ln(c/t) = ln(t/c) and −ln(c/cw) = ln(cw/c): exact integer
     # ratios with p ≥ q ≥ 1 → deterministic atanh-series ln (no libm)
@@ -1613,11 +1625,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_e6"),
     )
-    bi = (
-        tok.where(F.col("nw").isNotNull())
-        .groupBy("w", "nw")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    bi = bg.groupBy("w", "nw").agg(F.count(F.lit(1)).alias("c"))
     bs = bi.join(uni.withColumnRenamed("c", "cw"), "w").select(
         "w",
         "nw",
@@ -1626,8 +1634,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_e6"),
     )
     per_src = (
-        tok.where(F.col("nw").isNotNull())
-        .join(us.withColumnRenamed("s_e6", "u_e6"), "w")
+        bg.join(us.withColumnRenamed("s_e6", "u_e6"), "w")
         .join(bs.withColumnRenamed("s_e6", "b_e6"), ["w", "nw"])
         .groupBy("source")
         .agg(
