@@ -392,6 +392,50 @@ def standard_near_dup_pairs(
     return pairs
 
 
+_STD_UND_MEMO: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def standard_undirected_edges(
+    spark, sf_dir: str, *, threshold: float = 0.5
+) -> DataFrame:
+    """The symmetrized (a, b) edge list of the standard near-dup pair
+    graph, cached + MATERIALIZED once per (session, sf_dir, threshold).
+    Several graph consumers (PageRank, k-core, GNN round, triangles)
+    each built `pairs ∪ reversed(pairs)` and cached their own copy —
+    every call re-filtered the memoized pair table and re-filled a
+    private cache (~2 s per entry at sf0.1 in pure job overhead).
+    One shared 2-partition cached table removes that per-consumer
+    fill; at 100 TB this is the same persisted artifact as the pair
+    table itself (a dedup pass writes the edge list once; iterative
+    consumers read it, they don't re-derive it)."""
+    key = (spark.sparkContext.applicationId, sf_dir, threshold)
+    und = _STD_UND_MEMO.get(key)
+    if und is None:
+        pairs = standard_near_dup_pairs(
+            spark, sf_dir, threshold=threshold
+        ).select("doc_a", "doc_b")
+        und = (
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .unionAll(
+                pairs.select(
+                    F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                )
+            )
+            .repartition(2)  # node-bounded; tiny tasks downstream
+            # eager localCheckpoint, not cache(): it TRUNCATES the
+            # logical lineage to a LogicalRDD leaf. Iterative consumers
+            # reference the edge list 2-3× per round, so with the full
+            # MinHash lineage attached, round-i plans embed that
+            # lineage 2^i times and Catalyst ANALYSIS (driver-side)
+            # dominates wall clock (measured on k-core: ~7.5 s warm
+            # with cache vs ~2 s checkpointed). Same blocks on the
+            # executors either way; GraphX-style iterative hygiene.
+            .localCheckpoint(eager=True)
+        )
+        _STD_UND_MEMO[key] = und
+    return und
+
+
 def standard_components(spark, sf_dir: str) -> DataFrame:
     """Connected-component labels over the standard ≥0.5 pair graph,
     cached per (session, sf_dir): the iterative min-label propagation

@@ -34,8 +34,16 @@ def graph_summary(
       vertex. The degree table is dimension-sized and broadcasts.
     """
     # consumed by degree count, orientation, wedge join, and closure —
-    # cache once (at 100 TB this is the persisted canonical edge list)
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).cache()
+    # materialize once (at 100 TB this is the persisted canonical edge
+    # list). Eager localCheckpoint rather than cache: the wedge-join
+    # plan references e four times, so an attached upstream lineage
+    # (e.g. the MinHash pair derivation) would be ANALYZED 4× per
+    # consumer — the driver-side cost k-core/PageRank measured as the
+    # dominant wall-clock term (see operators/dedup.
+    # standard_undirected_edges).
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     n_nodes = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))

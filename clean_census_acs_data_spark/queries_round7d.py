@@ -176,12 +176,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     table."""
     from clean_census_acs_data_spark.operators import dedup as D
 
-    pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
-    edges = (
-        pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
-        .unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("w")))
-        .distinct()
-        .cache()
+    # session-shared materialized edge list (pairs are unique with
+    # doc_a < doc_b, so the symmetrized union is already distinct);
+    # lineage-truncated so the per-round plans stay flat
+    edges = D.standard_undirected_edges(spark, sf_dir, threshold=0.5).select(
+        F.col("a").alias("v"), F.col("b").alias("w")
     )
     labels = edges.select("v").distinct().select("v", F.col("v").alias("lab"))
     for _ in range(2):
@@ -191,11 +190,15 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.count(F.lit(1)).alias("c"))
         )
         best = cnt.groupBy("v").agg(F.max("c").alias("mc"))
+        # cnt is referenced twice (mode numerator + argmax filter) and
+        # labels feeds the next round twice through it — truncate per
+        # round so analysis stays O(1) (the k-core/PageRank discipline)
         labels = (
             cnt.join(best, "v")
             .where(F.col("c") == F.col("mc"))
             .groupBy("v")
             .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
         )
     return labels.select(F.col("v").alias("doc_id"), F.col("lab").alias("community"))
 
