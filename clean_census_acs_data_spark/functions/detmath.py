@@ -73,13 +73,17 @@ def det_ln_ratio(p: str, q: str, *, div: str) -> str:
 
 def det_ln_ratio_signed(p: str, q: str, *, div: str) -> str:
     """SQL text for deterministic ln(p/q) with NO p ≥ q requirement —
-    both must still be exact positive BIGINT expressions. Emits a CASE
-    that flips to −ln(q/p) when p < q, so the magnitude is always
-    computed on a ratio ≥ 1 (where :func:`det_ln_ratio`'s
-    normalization is defined). The negation of a double is exact, so
-    determinism is preserved."""
-    pos = det_ln_ratio(p, q, div=div)
-    neg = det_ln_ratio(q, p, div=div)
+    both must still be exact positive BIGINT expressions. The
+    magnitude is ONE :func:`det_ln_ratio` over (greatest, least) — so
+    it is always evaluated on a ratio ≥ 1, where the normalization is
+    defined — multiplied by a ±1 sign (multiplication by ±1E0 is
+    exact, so determinism is preserved). The single-ln form matters:
+    an earlier CASE-of-two-ln emission doubled the generated code and
+    whole-stage-codegen COMPILE time dominated small-frame entries
+    (psi_drift_buckets 0.5 → 1.9 s)."""
+    mag = det_ln_ratio(
+        f"greatest(({p}), ({q}))", f"least(({p}), ({q}))", div=div
+    )
     return (
-        f"(CASE WHEN ({p}) >= ({q}) THEN {pos} ELSE -{neg} END)"
+        f"((CASE WHEN ({p}) >= ({q}) THEN 1E0 ELSE -1E0 END) * {mag})"
     )
