@@ -487,13 +487,16 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (the connected-components discipline, depth-bounded so
     no convergence loop); the frontier never exceeds the ball's size.
     """.format(k=_BFS_DEPTH)
-    from clean_census_acs_data_spark.operators.dedup import standard_near_dup_pairs
+    from clean_census_acs_data_spark.operators.dedup import (
+        standard_undirected_edges,
+    )
 
-    pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
-    edges = (
-        pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
-        .unionAll(pairs.select(F.col("doc_b").alias("v"), F.col("doc_a").alias("w")))
-        .distinct()
+    # session-shared materialized edge list (already distinct: pairs
+    # are unique with doc_a < doc_b); each BFS round re-reads the
+    # checkpointed table — previously this entry only looked fast by
+    # accidentally matching PageRank's private cached union subtree
+    edges = standard_undirected_edges(spark, sf_dir, threshold=0.5).select(
+        F.col("a").alias("v"), F.col("b").alias("w")
     )
     dist = spark.createDataFrame(
         [(int(_BFS_SEED), 0)], "doc_id bigint, distance bigint"
