@@ -103,14 +103,22 @@ def dedup_incremental_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id — shuffle carries only (doc_id, fp) longs, never text. This
     is the production complement to dedup_minhash_lsh's batch-local
     pairing."""
-    d = _t(spark, sf_dir, "documents")
+    from clean_census_acs_data_spark.io import spread
+
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     sel = F.filter(
         F.transform(X.shingles(toks, 3), X.md5_long), lambda h: h % 8 == 0
     )
+    # materialize the fingerprint pass once: it is referenced by the
+    # store build, the probe explode, AND the final flag join — without
+    # truncation the shingle+md5 transform (the expensive part) runs
+    # three times per call (the iterative-lineage discipline;
+    # spread() first so the single-file scan doesn't pin it to one core)
     fp = (
         d.where(F.size(toks) >= 3)
         .select("doc_id", "source", sel.alias("fps"))
+        .localCheckpoint(eager=True)
     )
     ref_store = (
         fp.where(F.length("source") <= 4)
