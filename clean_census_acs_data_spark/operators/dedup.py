@@ -198,6 +198,12 @@ def ngram_jaccard_pairs(
     # text shorter than n would otherwise yield a phantom ''-gram and
     # survive the size filter — caught by the brute-force property
     # test, never by the ≥3-char parquet fixtures.
+    # NOTE: deliberately NOT spread() here — repartitioning the raw
+    # text before tokenize was measured SLOWER end-to-end (warm 5.6 →
+    # 11.9 s at sf0.1): the full-text exchange plus 32-task stages on
+    # every downstream cache/join costs more than the single-task
+    # tokenize fill saves, because the explode's output (postings) is
+    # what fans out, and the posting aggregations already shuffle.
     d = (
         docs.where(F.length(text_col) >= n)
         .select(
