@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from clean_census_acs_data_spark.operators import dedup as D
-from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.queries import _t, register
 from clean_census_acs_data_spark.queries_ext import _MINHASH_ORACLE
 
 _KCORE_K = 2
@@ -135,4 +137,170 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("av").isNotNull().alias("in_2core"),
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("core_degree"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext-style mining (Artetxe & Schwenk ratio margin)
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4
+_MARGIN_THRESH_NUM = 1  # margin > 1.0: better than your average neighbor
+
+_MARGIN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, q,
+         CAST(list_sum(list_transform(range(1, len(q) + 1), j -> q[j] * q[j])) AS BIGINT) AS n2
+  FROM e
+),
+cand AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         CAST(ROUND(1000000.0 *
+           (CAST(CAST(list_sum(list_transform(range(1, len(s.q) + 1), j -> s.q[j] * t.q[j])) AS BIGINT) AS DOUBLE)
+            / (sqrt(CAST(s.n2 AS DOUBLE)) * sqrt(CAST(t.n2 AS DOUBLE))))) AS BIGINT) AS cos_e6
+  FROM n s JOIN n t
+    ON s.label = t.label AND s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+),
+pos AS (SELECT * FROM cand WHERE cos_e6 > 0),
+kx AS (
+  SELECT src_id, CAST(SUM(cos_e6) AS BIGINT) AS sx, CAST(COUNT(*) AS BIGINT) AS cx
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS rn
+    FROM pos
+  ) WHERE rn <= 4 GROUP BY src_id
+),
+ky AS (
+  SELECT tgt_id, CAST(SUM(cos_e6) AS BIGINT) AS sy, CAST(COUNT(*) AS BIGINT) AS cy
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS rn
+    FROM pos
+  ) WHERE rn <= 4 GROUP BY tgt_id
+),
+m AS (
+  SELECT pos.src_id, pos.tgt_id, pos.cos_e6,
+         CAST(2 * pos.cos_e6 * kx.cx * ky.cy AS DOUBLE)
+           / CAST(kx.sx * ky.cy + ky.sy * kx.cx AS DOUBLE) AS margin
+  FROM pos JOIN kx USING (src_id) JOIN ky USING (tgt_id)
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+  FROM m
+)
+SELECT src_id, tgt_id, cos_e6, margin
+FROM best WHERE rn = 1 AND margin > 1.0
+"""
+
+
+@register("xlingual_margin_mining", oracle=_MARGIN_ORACLE)
+def xlingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (the Artetxe & Schwenk ratio
+    margin behind CCMatrix/LASER bitext mining): even vec_ids play the
+    source space, odd ones the target space, candidates blocked by
+    label (the stand-in for an ANN bucket). A pair wins when its
+    cosine beats the AVERAGE of each side's k=4 nearest candidates —
+    margin = cos(x,y) / ((avg_k cos(x,·) + avg_k cos(·,y)) / 2) > 1 —
+    which kills hub vectors that are merely close to everything, the
+    failure mode plain cosine thresholds have in dense regions.
+
+    Determinism discipline: cosines are quantized to integer micros
+    (the value itself is deterministic — integer dots over pre-
+    quantized vectors, correctly-rounded ops only), the k-NN averages
+    become exact integer sums over a rank-defined set, and the margin
+    is ONE division of two exact integers — margin = 2·cos·cx·cy /
+    (sx·cy + sy·cx) handles sides with fewer than k candidates without
+    any float accumulation. Ranking/tiebreaks on (margin desc, tgt_id)
+    are identical on both engines.
+
+    Scale shape: candidates are blocked (label here, ANN bucket at
+    100 TB), both k-NN stats come from ONE materialized candidate
+    table (eager localCheckpoint — it feeds three consumers), and the
+    per-side top-k are WindowGroupLimit-friendly rank filters. Nothing
+    is corpus-quadratic; the mining margin is exactly the persisted
+    artifact an alignment pipeline re-ranks after retrieval."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    n2 = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    e = emb.select("vec_id", "label", qv.alias("q")).withColumn("n2", n2)
+    s = e.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"),
+        "label",
+        F.col("q").alias("sq"),
+        F.col("n2").alias("sn2"),
+    )
+    t = e.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        "label",
+        F.col("q").alias("tq"),
+        F.col("n2").alias("tn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("sq"), F.col("tq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos_e6 = F.round(
+        F.lit(1000000.0)
+        * (
+            dot.cast("double")
+            / (
+                F.sqrt(F.col("sn2").cast("double"))
+                * F.sqrt(F.col("tn2").cast("double"))
+            )
+        )
+    ).cast("long")
+    # one materialized candidate table feeds the two k-NN stats AND the
+    # margin assembly (the iterative-lineage discipline: three
+    # consumers would otherwise re-run the blocked dot-product join)
+    pos = (
+        s.join(t, "label")
+        .select("src_id", "tgt_id", cos_e6.alias("cos_e6"))
+        .where(F.col("cos_e6") > 0)
+        .localCheckpoint(eager=True)
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos_e6"), F.asc("tgt_id"))
+    kx = (
+        pos.withColumn("rn", F.row_number().over(wx))
+        .where(F.col("rn") <= _MARGIN_K)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cos_e6").cast("long").alias("sx"),
+            F.count(F.lit(1)).cast("long").alias("cx"),
+        )
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_e6"), F.asc("src_id"))
+    ky = (
+        pos.withColumn("rn", F.row_number().over(wy))
+        .where(F.col("rn") <= _MARGIN_K)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cos_e6").cast("long").alias("sy"),
+            F.count(F.lit(1)).cast("long").alias("cy"),
+        )
+    )
+    margin = (
+        (F.lit(2) * F.col("cos_e6") * F.col("cx") * F.col("cy")).cast("double")
+        / (F.col("sx") * F.col("cy") + F.col("sy") * F.col("cx")).cast("double")
+    )
+    m = (
+        pos.join(kx, "src_id")
+        .join(ky, "tgt_id")
+        .select("src_id", "tgt_id", "cos_e6", margin.alias("margin"))
+    )
+    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    return (
+        m.withColumn("rn", F.row_number().over(wbest))
+        .where((F.col("rn") == 1) & (F.col("margin") > 1.0))
+        .select("src_id", "tgt_id", "cos_e6", "margin")
     )
