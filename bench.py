@@ -369,12 +369,20 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
-        rounds = [
-            int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
-            for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
-            if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
-        ]
-        cur = (max(rounds) + 1) if rounds else 1
+        # Explicit round wins (ADVICE r7: if the driver's BENCH_r{N}
+        # artifact for the IN-PROGRESS round already exists when bench
+        # runs, max+1 inference mislabels the full artifact as the NEXT
+        # round); inference is only the fallback.
+        env_round = os.environ.get("SPARK_GRAFT_ROUND", "")
+        if env_round.isdigit():
+            cur = int(env_round)
+        else:
+            rounds = [
+                int(os.path.basename(p)[len("BENCH_r"):-len(".json")])
+                for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+                if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
+            ]
+            cur = (max(rounds) + 1) if rounds else 1
         with open(
             os.path.join(here, f"BENCH_FULL_r{cur:02d}.json"), "w"
         ) as f:

@@ -191,12 +191,77 @@ def census_preflight_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean
 
 
-@register("census_rest_datasource_pushdown")  # rows-only check
+_DS_VARS = ["NAME", "DP02_0060E", "DP02_0061E", "DP02_0062E"]
+
+
+def _datasource_oracle(state_chunks: list[list[str]]) -> str:
+    """Oracle for the census_rest Python Data Source scan: embed the
+    exact wire body the fake returns for each requested chunk (the
+    deterministic shared input — same as both engines reading one
+    parquet file), then re-express the reader's decode independently:
+    row 0 = header, requested-but-missing columns → NULL
+    (``list_position`` returns NULL → NULL cell), extra wire columns
+    dropped (never projected), state_fips = the per-row ``state``
+    geography cell. An empty body (header only) contributes no rows —
+    DuckDB's ``generate_series(1, 0)`` is empty, mirroring the
+    empty-relation guard."""
+    values = []
+    for chunk in state_chunks:
+        status, _h, body = fake_census_fetcher(
+            "oracle",
+            {
+                "get": ",".join(_DS_VARS),
+                "for": "tract:*",
+                "in": "state:" + ",".join(chunk),
+            },
+        )
+        values.append(f"({status}, {_sql_str(body)})")
+    cols = []
+    for v in list(dict.fromkeys(_DS_VARS)):
+        cols.append(f'r[list_position(h, {_sql_str(v)})] AS "{v}"')
+    for g in ("state", "county", "tract"):
+        cols.append(f"r[list_position(h, '{g}')] AS {g}")
+    cols.append("r[list_position(h, 'state')] AS state_fips")
+    values_sql = ",\n  ".join(values)
+    cols_sql = ",\n  ".join(cols)
+    return f"""
+WITH wire(status, body) AS (VALUES
+  {values_sql}
+),
+ok AS (
+  SELECT body::JSON AS j FROM wire WHERE status >= 200 AND status < 300
+),
+hdr AS (SELECT j, CAST(j -> 0 AS VARCHAR[]) AS h FROM ok),
+dat AS (
+  SELECT h,
+         CAST(j -> unnest(generate_series(1, json_array_length(j)::INT - 1))
+              AS VARCHAR[]) AS r
+  FROM hdr
+)
+SELECT
+  {cols_sql}
+FROM dat
+"""
+
+
+@register(
+    "census_rest_datasource_pushdown",
+    oracle=_datasource_oracle([["02"], ["12"]]) ,
+)
 def census_rest_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter pushdown through the Python Data Source: the
     state_fips IN (...) predicate prunes the request universe inside
-    pushFilters(), so only the two wanted states are ever fetched (one
-    partition instead of two). Offline fake; sf_dir unused."""
+    pushFilters(), so only the two wanted states are ever fetched (2
+    partitions instead of 6). Offline fake; sf_dir unused.
+
+    Oracle-backed (VERDICT r7 ask #2): chunk_size=1 makes the scan
+    result invariant to WHETHER the pruning fired — the fake's wire
+    body depends only on the states in the request, so per-state chunks
+    yield byte-identical rows pruned (2 fetches) or unpruned (6 fetches
+    post-filtered by Spark). The oracle embeds the two surviving
+    per-state bodies; the pruning itself (partition count, pushFilters
+    contract) is asserted by tests/test_python_datasource.py, which
+    this entry's determinism no longer rides on."""
     from clean_census_acs_data_spark.sources.census_datasource import (
         register_census_datasource,
     )
@@ -206,9 +271,9 @@ def census_rest_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFra
         spark.read.format("census_rest")
         .option("year", 2023)
         .option("dataset", "acs/acs5/profile")
-        .option("get_vars", "NAME,DP02_0060E,DP02_0061E,DP02_0062E")
+        .option("get_vars", ",".join(_DS_VARS))
         .option("states", "01,02,04,06,09,12")
-        .option("chunk_size", 3)
+        .option("chunk_size", 1)
         .option(
             "fetcher",
             "clean_census_acs_data_spark.sources.fake_census:fake_census_fetcher",
@@ -220,13 +285,24 @@ def census_rest_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFra
     return df
 
 
-@register("census_rest_datasource")  # rows-only check
+@register(
+    "census_rest_datasource",
+    oracle=_datasource_oracle([["01", "02", "04"], ["06", "09", "12"]]),
+)
 def census_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The census REST source as a *registered Python Data Source*
     (Spark 4 DataSource API): partitions() = the reference's state
     chunks, executor-side fetch with retry, plan-time schema with
     NULL-fill alignment (sources/census_datasource.py). Offline fake;
-    sf_dir unused."""
+    sf_dir unused.
+
+    Oracle-backed (VERDICT r7 ask #2): the fake's wire bodies for the
+    two 3-state chunks are embedded as VALUES and the reader's decode
+    is re-expressed in SQL — chunk [01,02,04] exercises NULL-fill (the
+    fake drops the last requested variable when 01 is present), chunk
+    [06,09,12] exercises the empty-relation guard (09 → header-only
+    body → zero rows). No filters are pushed, so the chunk composition
+    is pinned by the options alone and the output is deterministic."""
     from clean_census_acs_data_spark.sources.census_datasource import (
         register_census_datasource,
     )
@@ -236,7 +312,7 @@ def census_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("census_rest")
         .option("year", 2023)
         .option("dataset", "acs/acs5/profile")
-        .option("get_vars", "NAME,DP02_0060E,DP02_0061E,DP02_0062E")
+        .option("get_vars", ",".join(_DS_VARS))
         .option("states", "01,02,04,06,09,12")
         .option("chunk_size", 3)
         .option(

@@ -49,6 +49,7 @@ def _kcore_oracle() -> str:
             f" AND b IN (SELECT v FROM a{i}))"
         )
     last = _KCORE_PEELS
+    prev = _KCORE_PEELS - 1
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -56,7 +57,9 @@ def _kcore_oracle() -> str:
 dd AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS c FROM e{last} GROUP BY a)
 SELECT n0.v AS doc_id,
        n0.v IN (SELECT v FROM a{last}) AS in_2core,
-       CAST(COALESCE(dd.c, 0) AS BIGINT) AS core_degree
+       CAST(COALESCE(dd.c, 0) AS BIGINT) AS core_degree,
+       n0.v IN (SELECT v FROM a{prev})
+         AND n0.v NOT IN (SELECT v FROM a{last}) AS dropped_in_last_peel
 FROM n0 LEFT JOIN dd ON dd.v = n0.v"""
     )
 
@@ -68,8 +71,13 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors, repeat — 3 rounds is exact on the planted fixture's
     diameter and the standard fixed-iteration discipline shared with
     graph_pagerank_int / kmeans_lloyd_int). Output: every node of the
-    pair graph with its final in-core flag and its degree inside the
-    last peeled subgraph.
+    pair graph with its final in-core flag, its degree inside the last
+    peeled subgraph, and ``dropped_in_last_peel`` — TRUE iff the node
+    survived peel {PEELS-1} but fell in peel {PEELS}, which makes the
+    fixed-prefix approximation self-describing (VERDICT r7 wart #3): if
+    NO row has the flag set, the peeling converged and the 3-peel
+    prefix IS the exact 2-core; any set flag tells consumers more peels
+    could still shrink the core.
 
     Scale shape: the edge list is the SESSION-CACHED standard pair
     table (persisted dedup-pass state in production — never re-derived
@@ -101,6 +109,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     alive: DataFrame | None = None
+    prev_alive: DataFrame | None = None
     for _ in range(_KCORE_PEELS):
         deg = restrict(alive).groupBy(F.col("a").alias("v")).agg(
             F.count(F.lit(1)).alias("c")
@@ -110,6 +119,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cache() alone leaves 2^i copies of the upstream lineage in
         # round-i plans and driver-side analysis dominates (see
         # operators/dedup.standard_undirected_edges)
+        prev_alive = alive
         alive = (
             deg.where(F.col("c") >= _KCORE_K)
             .select("v")
@@ -132,10 +142,21 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.v == F.col("dv"),
             "left",
         )
+        .join(
+            F.broadcast(prev_alive.withColumnRenamed("v", "pv")),
+            nodes.v == F.col("pv"),
+            "left",
+        )
         .select(
             F.col("v").alias("doc_id"),
             F.col("av").isNotNull().alias("in_2core"),
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("core_degree"),
+            # convergence marker (VERDICT r7): survived peel N-1 but not
+            # peel N — any TRUE row means the fixed prefix has not
+            # converged and the true 2-core may be smaller still
+            (F.col("pv").isNotNull() & F.col("av").isNull()).alias(
+                "dropped_in_last_peel"
+            ),
         )
     )
 
@@ -145,9 +166,12 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MARGIN_K = 4
-_MARGIN_THRESH_NUM = 1  # margin > 1.0: better than your average neighbor
+_MARGIN_THRESH = "1.0"  # margin > 1.0: better than your average neighbor
 
-_MARGIN_ORACLE = """
+# NOTE: both constants are interpolated into the oracle below AND used by
+# the Spark plan, so changing either cannot silently desync the engines
+# (ADVICE r7).
+_MARGIN_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
@@ -165,6 +189,7 @@ cand AS (
             / (sqrt(CAST(s.n2 AS DOUBLE)) * sqrt(CAST(t.n2 AS DOUBLE))))) AS BIGINT) AS cos_e6
   FROM n s JOIN n t
     ON s.label = t.label AND s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+  WHERE s.n2 > 0 AND t.n2 > 0
 ),
 pos AS (SELECT * FROM cand WHERE cos_e6 > 0),
 kx AS (
@@ -172,14 +197,14 @@ kx AS (
   FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_e6 DESC, tgt_id) AS rn
     FROM pos
-  ) WHERE rn <= 4 GROUP BY src_id
+  ) WHERE rn <= {_MARGIN_K} GROUP BY src_id
 ),
 ky AS (
   SELECT tgt_id, CAST(SUM(cos_e6) AS BIGINT) AS sy, CAST(COUNT(*) AS BIGINT) AS cy
   FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_e6 DESC, src_id) AS rn
     FROM pos
-  ) WHERE rn <= 4 GROUP BY tgt_id
+  ) WHERE rn <= {_MARGIN_K} GROUP BY tgt_id
 ),
 m AS (
   SELECT pos.src_id, pos.tgt_id, pos.cos_e6,
@@ -192,7 +217,7 @@ best AS (
   FROM m
 )
 SELECT src_id, tgt_id, cos_e6, margin
-FROM best WHERE rn = 1 AND margin > 1.0
+FROM best WHERE rn = 1 AND margin > {_MARGIN_THRESH}
 """
 
 
@@ -263,8 +288,13 @@ def xlingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialized candidate table feeds the two k-NN stats AND the
     # margin assembly (the iterative-lineage discipline: three
     # consumers would otherwise re-run the blocked dot-product join)
+    # zero-norm guard (ADVICE r7): a zero vector makes the cosine 0/0 —
+    # Spark (non-ANSI) yields NULL but DuckDB yields NaN, which sorts
+    # above 0 and can error at CAST(ROUND(NaN) AS BIGINT). Filter the
+    # degenerate rows identically on both engines before dividing.
     pos = (
-        s.join(t, "label")
+        s.where(F.col("sn2") > 0)
+        .join(t.where(F.col("tn2") > 0), "label")
         .select("src_id", "tgt_id", cos_e6.alias("cos_e6"))
         .where(F.col("cos_e6") > 0)
         .localCheckpoint(eager=True)
@@ -301,6 +331,6 @@ def xlingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
     return (
         m.withColumn("rn", F.row_number().over(wbest))
-        .where((F.col("rn") == 1) & (F.col("margin") > 1.0))
+        .where((F.col("rn") == 1) & (F.col("margin") > float(_MARGIN_THRESH)))
         .select("src_id", "tgt_id", "cos_e6", "margin")
     )

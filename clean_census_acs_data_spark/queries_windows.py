@@ -75,7 +75,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
                   THEN 1 ELSE 0 END AS new_s
@@ -83,7 +83,10 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
-      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      -- ORDER BY (ts, event_id) mirrors the lag window above: new_s was
+      -- computed in that order, so summing in any other tie order could
+      -- misassign sid across tied timestamps (ADVICE r7)
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )
@@ -473,7 +476,7 @@ def streaming_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_SESSION_ORACLE = f"""
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
               THEN 1 ELSE 0 END AS new_s
@@ -481,7 +484,13 @@ WITH o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+  -- (ts, event_id) mirrors the lag window's order so tied timestamps
+  -- cannot misassign sid (ADVICE r7). The new_s boundary stays STRICT
+  -- (>): Spark's session_window MERGES an event at exactly
+  -- prev_ts + gap into the running session (pinned by
+  -- tests/test_watermark_semantics.py::test_session_window_exact_gap_merges),
+  -- so the advisor's suggested >= would desync the engines.
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 ),
@@ -553,18 +562,23 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # more than the delay), so only the FINAL watermark matters.
 _STATEFUL_SESS_ORACLE = f"""
 WITH e AS (
-  SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+  SELECT user_id, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
   FROM events WHERE ts IS NOT NULL
 ),
 o AS (
-  SELECT user_id, ts, value_cents,
+  -- (ts, event_id) tie order in BOTH windows (ADVICE r7): tied
+  -- timestamps always share a session (gap 0 ≤ gap on any order), but
+  -- an inconsistent SUM tie order could split the sid assignment. The
+  -- boundary stays strict (>): the sessionizer breaks on
+  -- np.diff(ts) > gap (streaming/stateful.py:130).
+  SELECT user_id, ts, event_id, value_cents,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_s
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 ),

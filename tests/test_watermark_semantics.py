@@ -39,9 +39,7 @@ def _write_events(tmp_path, rows) -> str:
             "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
         }
     )
-    tmpdir = os.path.join(d, "_t")
     pq.write_table(table, os.path.join(d, "events.parquet"))
-    shutil.rmtree(tmpdir, ignore_errors=True)
     return d
 
 
@@ -80,3 +78,25 @@ def test_watermark_is_ms_floored(spark, tmp_path):
     )
     out = W.streaming_session(spark, d).collect()
     assert [r.user_id for r in out] == []  # ms-floored wm == session_end − 200µs
+
+
+def test_session_window_exact_gap_merges(spark):
+    """An event at exactly prev_ts + gap MERGES into the running session
+    (Spark's session_window closes the merge boundary). Pins the strict
+    `>` in the gaps-and-islands session oracles: `>=` (a new session at
+    exactly-gap, suggested by ADVICE r7) would desync the engines."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, T(2024, 1, 1, 0, 0, 0)),
+        (1, T(2024, 1, 1, 6, 0, 0)),  # exactly gap after event 1
+        (1, T(2024, 1, 1, 12, 0, 1)),  # 1s past gap after event 2 → new
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sorted(
+        df.groupBy(F.session_window("ts", "6 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n")
+        .collect()
+    )
+    assert [r.n for r in out] == [1, 2]
