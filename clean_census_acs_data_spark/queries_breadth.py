@@ -201,7 +201,9 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array kernel: transform (quantize), filter (count
     positives), aggregate (sum of squares), zip_with against the
     reversed array (dot product), array_max. All JVM-side expressions —
-    the vector math stays inside codegen, no Python, no UDF."""
+    the vector math stays inside codegen, no Python, no UDF.
+
+    Scale bound: e6-quantized components |q| ≤ 1e6·max|x| (~2e6 here); per-row dot/norm sums are ≤ dim·max(q)² — a per-VECTOR bound (~2.3e6 dims at |x| ≤ 2 before int64 wraps), independent of row count."""
     e = _t(spark, sf_dir, "embeddings")
     q = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * 1_000_000).cast("long")

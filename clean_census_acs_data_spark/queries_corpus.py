@@ -260,7 +260,9 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded, and Java vs DuckDB genuinely disagreed in the
     last ulp at sf0.1 (this entry was the observed failure); the
     series form is bit-identical on both engines at every scale (abs
-    err < 1e-9 vs true ln, a defined property of the statistic)."""
+    err < 1e-9 vs true ln, a defined property of the statistic).
+
+    Scale bound: det_ln arguments are plain counts (< 2^63 by construction) and idf_e6 < 44e6 (ln of any int64 ratio < 44 nats); tf·idf products stay < 2^63 while per-doc term frequency < 2·10¹¹ — a per-document bound, corpus size unbounded."""
     d = _t(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))

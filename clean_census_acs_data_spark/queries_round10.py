@@ -702,7 +702,9 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: the cross with the B-row replica spine is a broadcast
     expansion feeding a map-side-combined aggregate keyed by b (B cells
     per mapper); no shuffle of data rows, no second pass, and the
-    replica-mean table is B rows on one reducer."""
+    replica-mean table is B rows on one reducer.
+
+    Scale bound: the draw arithmetic peaks at (2147483646 + (B−1)·2654435761)·48271 ≈ 4.1e15 for B = 32 — int64 holds to B ≈ 7·10⁷ replicas; Σ wt·cents ≤ 5·Σ cents < 2^63 for < 2·10¹³ orders at $10⁴."""
     from clean_census_acs_data_spark.operators.text import md5_long
 
     o = _t(spark, sf_dir, "orders")
@@ -1745,7 +1747,9 @@ def dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     released value is one add away.
 
     100-TB shape: a |groups|-cell aggregate plus a narrow scalar map —
-    the noise draw costs one md5 per GROUP, not per row."""
+    the noise draw costs one md5 per GROUP, not per row.
+
+    Scale bound: u_mil < 1e6 by construction, det_ln args ≤ 2e6, noise_micro ≤ ln(1e6)·1e6·b < 2e8 — all magnitudes are constants of the mechanism, independent of data scale."""
     from clean_census_acs_data_spark.operators.text import md5_long
 
     d = _t(spark, sf_dir, "documents")

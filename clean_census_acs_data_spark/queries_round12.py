@@ -310,7 +310,9 @@ def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/conditional-min), one to the per-hour grid (≤ study span
     rows); both windows run over the post-agg grid, not the events.
     The fixed study end keeps the pipeline join-free — a data-derived
-    end would add one broadcast 1-row scalar."""
+    end would add one broadcast 1-row scalar.
+
+    Scale bound: hazard_micro = d·1e6 DIV n_risk with d ≤ n_risk, so each term ≤ 1e6 and the product wraps only at d ≥ 9.2e12 deaths in ONE hour bucket; the cumulative sum ≤ n_buckets·1e6."""
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"),

@@ -167,7 +167,9 @@ def delta_varint_timestamp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gorilla/delta-of-delta codec evaluation starts from).
 
     100-TB shape: one hash exchange on user_id; the lag window and the
-    aggregate share it (exchange reuse). Output is |users| rows."""
+    aggregate share it (exchange reuse). Output is |users| rows.
+
+    Scale bound: deltas are µs differences (≤ span); the varint byte sum is ≤ 10·rows → int64 to ~9·10¹⁷ rows per group."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = _t(spark, sf_dir, "events").select(
         "user_id",

@@ -60,7 +60,8 @@ per AS (
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_grams FROM holders)
 SELECT source, n_grams, n_unique,
        (SELECT total_grams FROM tot) AS total_grams,
-       CAST((n_unique * 1000000) // (SELECT total_grams FROM tot) AS BIGINT)
+       CAST(CAST(n_unique AS HUGEINT) * 1000000
+            // (SELECT total_grams FROM tot) AS BIGINT)
          AS loo_drop_ppm
 FROM per
 """
@@ -80,7 +81,9 @@ def source_loo_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exchange reuse); the report is |sources| rows with the corpus
     total as a broadcast-window scalar. Gram strings could ride
     xxhash64 like tv_distance_sources at larger vocabularies — kept
-    as strings here because the holder join IS the dictionary."""
+    as strings here because the holder join IS the dictionary.
+
+    Scale bound: the ppm step runs in DECIMAL(38,0)/HUGEINT — the BIGINT form wrapped at n_unique ≥ 9.2e12 distinct grams per source, reachable in a 100-TB corpus; counts themselves are plain int64 row counts."""
     from clean_census_acs_data_spark.operators.text import shingles
 
     d = _t(spark, sf_dir, "documents").repartition(8)
@@ -107,7 +110,11 @@ def source_loo_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             "n_unique",
             "total_grams",
-            F.expr("(n_unique * 1000000) DIV total_grams")
+            # DECIMAL(38,0): the BIGINT product n_unique·1e6 wraps at
+            # n_unique ≥ 2^63/1e6 ≈ 9.2e12 distinct grams per source —
+            # reachable in a 100-TB corpus (operands positive, so plain
+            # widening matches DuckDB's HUGEINT // exactly)
+            F.expr("(CAST(n_unique AS DECIMAL(38,0)) * 1000000) DIV total_grams")
             .cast("long")
             .alias("loo_drop_ppm"),
         )

@@ -52,7 +52,8 @@ SELECT source,
        CAST(ANY_VALUE(vocab) AS BIGINT) AS vocab_size,
        CAST(SUM(CASE WHEN cum - cnt < (9 * total + 9) // 10
                      THEN 1 ELSE 0 END) AS BIGINT) AS nucleus_size,
-       CAST((ANY_VALUE(top_cnt) * 1000000) // ANY_VALUE(total) AS BIGINT)
+       CAST(CAST(ANY_VALUE(top_cnt) AS HUGEINT) * 1000000
+            // ANY_VALUE(total) AS BIGINT)
          AS head_share_ppm
 FROM r
 GROUP BY source
@@ -72,7 +73,9 @@ def vocab_topp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100-TB shape: token counts partial-aggregate map-side; the rank
     window, the per-source totals, and the final aggregate all ride
-    ONE hash partitioning on source. Output is |sources| rows."""
+    ONE hash partitioning on source. Output is |sources| rows.
+
+    Scale bound: head_share_ppm runs in DECIMAL(38,0)/HUGEINT — the BIGINT product top_cnt·1e6 wraps at 9.2e12 tokens and a 100-TB corpus holds ~2e13; the nucleus threshold 9·total+9 wraps only past ~10¹⁸ tokens."""
     toks = (
         _t(spark, sf_dir, "documents")
         .repartition(8)
@@ -104,7 +107,11 @@ def vocab_topp_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cum") - F.col("cnt") < thresh, 1).otherwise(0))
         .cast("long")
         .alias("nucleus_size"),
-        F.expr("(first(top_cnt) * 1000000) DIV first(total)")
+        # DECIMAL(38,0): top_cnt·1e6 wraps BIGINT at top_cnt ≥ 9.2e12
+        # tokens — a 100-TB corpus holds ~2e13, so the widened form is
+        # required, not precautionary (positive operands; DuckDB twin
+        # uses HUGEINT //, identical integral semantics)
+        F.expr("(CAST(first(top_cnt) AS DECIMAL(38,0)) * 1000000) DIV first(total)")
         .cast("long")
         .alias("head_share_ppm"),
     )

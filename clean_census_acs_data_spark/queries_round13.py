@@ -246,7 +246,9 @@ def xlingual_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (eager localCheckpoint — it feeds three consumers), and the
     per-side top-k are WindowGroupLimit-friendly rank filters. Nothing
     is corpus-quadratic; the mining margin is exactly the persisted
-    artifact an alignment pipeline re-ranks after retrieval."""
+    artifact an alignment pipeline re-ranks after retrieval.
+
+    Scale bound: integer dots are per-pair, ≤ dim·max(q)² (|q| ≤ 1e6·max|x| ≈ 2e6 → 6.4e13 at dim 16); kx/ky sums ≤ k·1e6 and the margin numerator 2·cos_e6·cx·cy ≤ 2e6·k² — all bounds are per-candidate, never corpus-sized."""
     emb = _t(spark, sf_dir, "embeddings")
     qv = F.transform(
         F.col("embedding"),

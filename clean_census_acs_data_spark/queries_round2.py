@@ -356,7 +356,9 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     step as a pure DataFrame op: posexplode → exact int64 component
     sums with map-side combine (shuffle carries |labels|·dim partial
     rows, independent of input size) → one double division. Tall output
-    avoids array re-assembly order hazards in cross-engine comparison."""
+    avoids array re-assembly order hazards in cross-engine comparison.
+
+    Scale bound: per-cluster component sums are ≤ n_members·max|q| with |q| ≤ 1e6·max|x| ≈ 2e6, so int64 holds to ~4.6e12 vectors per cluster."""
     e = _t(spark, sf_dir, "embeddings")
     tall = e.select(
         "label",

@@ -335,7 +335,9 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf only the query terms): the tf scan is term-filtered right after
     tokenize, and materializing the full tokenized corpus to save the
     second scan would cost far more than re-reading the (columnar,
-    pruned) text column at 100 TB."""
+    pruned) text column at 100 TB.
+
+    Scale bound: idf < 44 nats (det_ln of int64 counts) so bm25_e6 < ~10⁸ per (doc, term); no cross-row integer products — safe at any corpus size."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))

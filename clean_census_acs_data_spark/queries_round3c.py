@@ -205,7 +205,9 @@ def lm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the vocab (1-row cross join), the surprisal table joins tf on
     the token, and the per-doc reduction is an integer partial agg. At
     100 TB the vocab table is the persisted LM — scoring a new batch is
-    one broadcast join, no re-count."""
+    one broadcast join, no re-count.
+
+    Scale bound: s_e6 < 44e6 (ln of an int64 ratio < 44 nats); the Σ f·s_e6 sum is PER DOCUMENT, ≤ doc_tokens·44e6 → int64 to ~2·10¹¹ tokens in one doc; corpus size unbounded."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
@@ -292,7 +294,9 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-codeword (two cheap aggs) so the result is order-independent.
     At 100 TB the codebook is trained offline and this exact plan — a
     broadcast join + narrow aggs — encodes the full corpus in one
-    pass."""
+    pass.
+
+    Scale bound: e6-quantized distances are per-(vector, subspace) sums ≤ subdim·(2·max|q|)² ≈ 8·(4e6)² ≈ 1.3e14 — a per-vector bound independent of corpus size."""
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -613,7 +617,9 @@ def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 8 or 8192 centroids — and the assignment join broadcasts the
     k×64-row centroid table. Two iterations unroll into one lazy plan;
     at 100 TB each iteration persists its centroid table and the loop
-    is driver-controlled, exactly like connected_components."""
+    is driver-controlled, exactly like connected_components.
+
+    Scale bound: per-row squared distances ≤ dim·(2·max|q|)² ≈ 2.6e14; centroid-update component sums ≤ n_members·2e6 → int64 to ~4.6e12 vectors per cluster."""
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",

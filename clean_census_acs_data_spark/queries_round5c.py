@@ -226,7 +226,9 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to micro-nats (the surprisal/BM25 discipline). The
     tf↔surprisal join keys on the (w1, w2) pair — pair keys are far
     more uniform than raw tokens, so no hot-key salting is needed
-    where the unigram twin required a broadcast."""
+    where the unigram twin required a broadcast.
+
+    Scale bound: s_e6 < 44e6 (ln of an int64 ratio < 44 nats); Σ f·s_e6 is per document, ≤ doc_bigrams·44e6 → int64 to ~2·10¹¹ bigrams in one doc; corpus size unbounded."""
     d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )

@@ -197,7 +197,9 @@ def user_interevent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One user-keyed window for LAG, then a partial agg on the same key
     — Spark reuses the window's hash partitioning for the groupBy, so
-    the whole feature block is a single shuffle."""
+    the whole feature block is a single shuffle.
+
+    Scale bound: per-user Σ gap_µs telescopes to the user's first-to-last span (< 2^63 µs ≈ 292k years); no µs products or squares."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = _t(spark, sf_dir, "events").select(
         "user_id",

@@ -80,7 +80,9 @@ def psi_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs a sketch, not a shuffle of the data, and the per-half bucket
     counts are exactly the mergeable histogram state
     (quantile_log2_sketch / streaming_log2_histogram) a deployment
-    already maintains."""
+    already maintains.
+
+    Scale bound: det_ln args are counts+1 (< 2^63); each term is (p−q)·lnratio·1e6 with |p−q| ≤ 1 and |lnratio| < 44, so |psi_term_e6| < 4.4e7 and the bucket sum stays < 2^63 below ~2·10¹¹ buckets."""
     c = _t(spark, sf_dir, "events").select(
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),

@@ -365,7 +365,9 @@ def asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no range join, no per-pair expansion, scale-invariant. Clicks
     pre-deduped per (user, ts) by arg-min event_id so tie resolution
     is deterministic; interpolation is one pinned double expression
-    over exact integer microseconds."""
+    over exact integer microseconds.
+
+    Scale bound: interpolation weights are µs differences cast to double BEFORE multiplying — no integer µs products; int64 epoch-µs safe to ~year 294000."""
     ev = _t(spark, sf_dir, "events")
     cl = (
         ev.where(F.col("event_type") == "click")
@@ -568,7 +570,9 @@ def skyline_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (date, price) cell is kept (min_same = cents admits all equal-min
     rows — duplicates of the same cell agree on both criteria, so the
     front keeps them all; determinism needs no per-key tiebreak
-    because membership is a pure predicate)."""
+    because membership is a pure predicate).
+
+    Scale bound: epoch-µs is an ordering key only (never multiplied or summed); cents are per-order values — no cross-row integer products."""
     o = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_orderstatus") == "F")
@@ -707,7 +711,9 @@ def conversion_latency_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one user-keyed conditional-MIN aggregate (no self-join for
     the two firsts), broadcast customer dim for the cohort key, then
     the per-group exact-median window (exact_median_disc's pattern) —
-    sorts only the converted-user rows, cohort-parallel."""
+    sorts only the converted-user rows, cohort-parallel.
+
+    Scale bound: only µs differences bounded by the data's time-span enter the arithmetic (no µs products, no cross-row sums of raw epoch-µs); int64 epoch-µs is safe to ~year 294000."""
     ev = _t(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(

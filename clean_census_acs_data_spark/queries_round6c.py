@@ -66,7 +66,9 @@ def event_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable by construction.
 
     One scan, one ≤168-group partial agg, broadcast 1-row total — the
-    profile costs a sketch regardless of stream size."""
+    profile costs a sketch regardless of stream size.
+
+    Scale bound: µs enters only div/mod bucket math (no products); per-cell counts sum to the total row count — int64 to 9.2·10¹⁸ events."""
     k = _t(spark, sf_dir, "events").select(
         F.expr(f"(unix_micros(ts) div {_US_DAY} + 4) % 7").alias("dow"),
         F.expr(f"(unix_micros(ts) div {_US_HOUR}) % 24").alias("hour"),

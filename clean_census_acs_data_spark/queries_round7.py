@@ -396,6 +396,14 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     time with a deterministic id tiebreak — the packed key is the
     output, never decoded, so the mod is harmless).
 
+    Scale bound: the packed key overflows int64 at epoch-µs ≥
+    2^63/4096 (May 2041). The packing is this entry's OUTPUT contract,
+    so it stays; a deployment outliving it swaps the key for the
+    lexical (µs, event_id) struct ordering ohlc_bars_hourly uses
+    (arithmetic-free, good to year ~294000) and emits two columns. All
+    other arithmetic here is µs differences bounded by the 30-min
+    window (1.8e9) — no overflow at any row count.
+
     Scale shape: NOT a per-user unbounded self-join (a power user
     would make that quadratic — VERDICT r2 #3's lesson). Clicks land
     in floor(µs/30min) buckets; each purchase probes its own and the
@@ -629,7 +637,9 @@ def seasonal_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan → per-(day, hour) partial agg (the only data shuffle);
     baseline and day-counts reduce FROM that agg (sketch-sized), and
-    both join back broadcast. Top-20 via TakeOrderedAndProject."""
+    both join back broadcast. Top-20 via TakeOrderedAndProject.
+
+    Scale bound: the deviation term n_events·n_days wraps int64 at total_events·n_days ≥ 2^63 — ~2.5·10¹⁵ events over a 10-year window; widen to DECIMAL(38,0) past that. All other terms are counts."""
     k = _t(spark, sf_dir, "events").select(
         F.expr(f"unix_micros(ts) div {_US_DAY}").alias("day"),
         F.expr(f"(unix_micros(ts) div {_US_HOUR}) % 24").alias("hour"),
@@ -701,7 +711,9 @@ def char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: Generate (in-row substring transform, no shuffle) →
     (doc, gram) partial agg → per-doc agg. The only shuffle keys on
     (doc_id, gram) — at 100 TB that's the same profile as
-    token_frequencies; docs are row-local otherwise."""
+    token_frequencies; docs are row-local otherwise.
+
+    Scale bound: Σ c·ln_c_micro is PER DOCUMENT, ≤ n_grams·44e6 (ln of an int64 count < 44 nats) → int64 to ~2·10¹¹ trigrams in a single doc (~200 GB of text); corpus size unbounded."""
     d = spread(_t(spark, sf_dir, "documents"))
     grams = F.expr(
         "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"

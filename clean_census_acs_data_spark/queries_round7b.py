@@ -69,7 +69,9 @@ def recsys_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     K/V store, refreshed by exactly this batch plan. The mirror is a
     union of two projections of the SAME lift table (one pair-join
     pass), and the rank tiebreak (lift desc, rec asc) is total, so
-    both engines cut identical tables."""
+    both engines cut identical tables.
+
+    Scale bound: no new arithmetic — lift_e6 and c_ab arrive bounded from market_basket_lift (see its bound); ranks are window row numbers."""
     from clean_census_acs_data_spark.queries_round6c import market_basket_lift
 
     lift = market_basket_lift(spark, sf_dir)

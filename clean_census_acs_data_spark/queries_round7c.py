@@ -163,7 +163,9 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts onward is an IEEE-determined function of identical inputs in
     both engines. Token counting is the token_frequencies shuffle; the
     top-100 cut is a heap (TakeOrderedAndProject), and the moments
-    reduce 100 rows."""
+    reduce 100 rows.
+
+    Scale bound: the regression sees only the top-100 ranks: |x| ≤ ln(100)·1e6 < 5e6 and |y| < 44e6, so sxy ≤ 100·5e6·44e6 ≈ 2.2e16 and sxx ≤ 2.5e15 — both ≪ 2^63 at ANY corpus size."""
     tf = (
         _t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
@@ -315,7 +317,9 @@ def session_duration_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_start sum share partitioning), the session agg keys on
     (user, session_no) — a prefix of the same key, no new exchange —
     and the ≤64-bucket rollup is sketch-sized state suitable for
-    streaming maintenance (same semilattice as streaming_log2_histogram)."""
+    streaming maintenance (same semilattice as streaming_log2_histogram).
+
+    Scale bound: durations are µs differences ≤ the session span; log2 buckets are det_ln doubles — no integer products."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _t(spark, sf_dir, "events").select(
         "user_id",

@@ -238,7 +238,9 @@ def late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     One partition-keyed window (running max over arrival order) and a
     ≤64-bucket rollup — the same shuffle a streaming source already
     pays to read, and the per-partition framing is the honest one at
-    scale: a global arrival order doesn't exist in a distributed log."""
+    scale: a global arrival order doesn't exist in a distributed log.
+
+    Scale bound: only µs differences bounded by the data's time-span enter the arithmetic (no µs products, no cross-row sums of raw epoch-µs); int64 epoch-µs is safe to ~year 294000."""
     w = (
         Window.partitionBy("src_part")
         .orderBy("event_id")

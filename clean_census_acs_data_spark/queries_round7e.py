@@ -276,7 +276,9 @@ def pandas_scalar_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query vector is a metadata-sized driver constant (64 floats)
     closed over by the UDF; norms and the final cosine stay JVM-side
-    so the UDF moves one long per row back."""
+    so the UDF moves one long per row back.
+
+    Scale bound: numpy int64 dot/norm accumulations are per-vector, ≤ dim·max(q)² with |q| ≤ 1e6·max|x| ≈ 2e6 → ~2.3e6 dims before a silent numpy wrap; row count unbounded."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf

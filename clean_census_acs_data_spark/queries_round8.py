@@ -42,21 +42,16 @@ _OHLC_ORACLE = f"""
 WITH e AS (
   SELECT user_id, epoch_us(ts) // {_US_HOUR} AS hour_bucket,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
-         epoch_us(ts) * 4096 + event_id % 4096 AS tkey
+         epoch_us(ts) AS us, event_id AS eid
   FROM events
-),
-k AS (
-  SELECT user_id, hour_bucket, cents, tkey,
-         MIN(tkey) OVER w AS first_key, MAX(tkey) OVER w AS last_key
-  FROM e WINDOW w AS (PARTITION BY user_id, hour_bucket)
 )
 SELECT user_id, CAST(hour_bucket AS BIGINT) AS hour_bucket,
-       CAST(MIN(CASE WHEN tkey = first_key THEN cents END) AS BIGINT) AS open_cents,
+       (MIN(struct_pack(us := us, eid := eid, cents := cents))).cents AS open_cents,
        CAST(MAX(cents) AS BIGINT) AS high_cents,
        CAST(MIN(cents) AS BIGINT) AS low_cents,
-       CAST(MIN(CASE WHEN tkey = last_key THEN cents END) AS BIGINT) AS close_cents,
+       (MAX(struct_pack(us := us, eid := eid, cents := cents))).cents AS close_cents,
        CAST(COUNT(*) AS BIGINT) AS n_events
-FROM k GROUP BY user_id, hour_bucket
+FROM e GROUP BY user_id, hour_bucket
 """
 
 
@@ -65,29 +60,34 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC bars per (user, hour): high/low are plain extrema, but
     open/close are the values AT the earliest/latest event — the
     time-argmin/argmax aggregate finance rollups need and plain
-    min/max can't express. Time ties break on event_id via the packed
-    µs·4096+id key (attribution_first_last's trick), so open/close
-    are total-order deterministic.
+    min/max can't express. Time ties break on event_id via lexical
+    struct ordering over (µs, event_id, cents), so open/close are
+    total-order deterministic.
 
-    Implemented as min/max over (packed-time-key, value) structs in
-    ONE partial-aggregated pass — struct min orders by the first field
-    (the packed time key), giving argmin-by-time without a window or a
-    join-back; one shuffle on the (user, hour) key at any scale."""
+    Implemented as min/max over (µs, event_id, value) structs in
+    ONE partial-aggregated pass — struct min orders field-by-field,
+    giving argmin-by-time without a window or a join-back; one shuffle
+    on the (user, hour) key at any scale.
+
+    Scale bound: no integer arithmetic on the ordering key at all (the
+    earlier µs·4096 + id%4096 packing overflowed int64 at epoch-µs ≥
+    2^63/4096 — May 2041); struct comparison never multiplies, so the
+    plan is safe for any timestamp int64 can hold (~year 294000)."""
     cents = F.round(F.col("value") * 100).cast("long")
-    tkey = F.unix_micros("ts") * 4096 + F.col("event_id") % 4096
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         F.expr(f"unix_micros(ts) div {_US_HOUR}").alias("hour_bucket"),
         cents.alias("cents"),
-        tkey.alias("tkey"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
     )
     return (
         e.groupBy("user_id", "hour_bucket")
         .agg(
-            F.min(F.struct("tkey", "cents")).alias("__first"),
+            F.min(F.struct("us", "eid", "cents")).alias("__first"),
             F.max("cents").cast("long").alias("high_cents"),
             F.min("cents").cast("long").alias("low_cents"),
-            F.max(F.struct("tkey", "cents")).alias("__last"),
+            F.max(F.struct("us", "eid", "cents")).alias("__last"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
         .select(
@@ -111,13 +111,17 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_ohlc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OHLC bar table maintained BY the streaming engine:
     complete-mode min/max aggregation where open/close are struct
-    min/max over (packed time key, value) — argmin/argmax-by-time as
+    min/max over (µs, event_id, value) — argmin/argmax-by-time as
     pure semilattice state, so the replayed stream's bars are
     batch-equal and the entry hash-checks against the same oracle as
     ohlc_bars_hourly. Eighth hash-checked streaming algebra
     (count / max / OR / bottom-k / sort-limit / CMS / min / lexical
     struct-extrema): the live ticker-bar pipeline, per-key state is
-    five longs forever."""
+    five longs forever.
+
+    Scale bound: lexical struct ordering, no key arithmetic — same
+    overflow-free rationale as ohlc_bars_hourly (the µs·4096 packing
+    it replaced died at epoch-µs ≥ 2^63/4096, May 2041)."""
     import uuid
 
     from clean_census_acs_data_spark.streaming.windows import _streaming_scope
@@ -127,20 +131,20 @@ def streaming_ohlc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = _streaming_scope(spark)
     ev = _events_stream_helper(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
-    tkey = F.unix_micros("ts") * 4096 + F.col("event_id") % 4096
     e = ev.select(
         "user_id",
         F.expr(f"unix_micros(ts) div {_US_HOUR}").alias("hour_bucket"),
         cents.alias("cents"),
-        tkey.alias("tkey"),
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("eid"),
     )
     agg = (
         e.groupBy("user_id", "hour_bucket")
         .agg(
-            F.min(F.struct("tkey", "cents")).alias("__first"),
+            F.min(F.struct("us", "eid", "cents")).alias("__first"),
             F.max("cents").cast("long").alias("high_cents"),
             F.min("cents").cast("long").alias("low_cents"),
-            F.max(F.struct("tkey", "cents")).alias("__last"),
+            F.max(F.struct("us", "eid", "cents")).alias("__last"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
         .select(
@@ -184,11 +188,12 @@ WITH e AS (
   FROM events
 ),
 w AS (
-  SELECT user_id, cents * (next_us - us) AS num, next_us - us AS dur
+  SELECT user_id, CAST(cents AS HUGEINT) * (next_us - us) AS num,
+         next_us - us AS dur
   FROM e WHERE next_us IS NOT NULL
 )
 SELECT user_id,
-       CAST(SUM(num) AS BIGINT) AS weighted_sum,
+       CAST(SUM(num) AS DOUBLE) AS weighted_sum,
        CAST(SUM(dur) AS BIGINT) AS total_dur_us,
        CAST(SUM(num) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) AS twa_cents
 FROM w GROUP BY user_id
@@ -205,11 +210,17 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics are all TWAs.
 
     One user-keyed window (LEAD) feeds one user-keyed agg — the same
-    shuffle, no second exchange. Numerator and denominator are exact
-    int64 (cents × µs stays far inside the long range for any
-    realistic gap), the final division is the only double; users whose
-    events all share one timestamp drop out with the zero-duration
-    HAVING guard in both engines."""
+    shuffle, no second exchange. The numerator accumulates in
+    DECIMAL(38,0) (HUGEINT in the oracle); the final division is the
+    only double; users whose events all share one timestamp drop out
+    with the zero-duration HAVING guard in both engines.
+
+    Scale bound: Σ cents·Δµs ≤ max|cents|·user_span_µs, and int64
+    wraps already at ~$300 held for 10 years (29,224 cents × 3.2e14
+    µs) — a REALISTIC book, so the sum is widened to DECIMAL(38,0) /
+    HUGEINT (good to 10³⁸) and weighted_sum is emitted as the
+    correctly-rounded double of that exact integer (identical on both
+    engines). dur sums telescope to the span (< 2^63 µs always)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -221,22 +232,25 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("next_us").isNotNull())
         .select(
             "user_id",
-            (F.col("cents") * (F.col("next_us") - F.col("us"))).alias("num"),
+            (
+                F.col("cents").cast("decimal(38,0)")
+                * (F.col("next_us") - F.col("us"))
+            ).alias("num"),
             (F.col("next_us") - F.col("us")).alias("dur"),
         )
         .groupBy("user_id")
         .agg(
-            F.sum("num").cast("long").alias("weighted_sum"),
+            F.sum("num").alias("wsum"),
             F.sum("dur").cast("long").alias("total_dur_us"),
         )
         .where(F.col("total_dur_us") > 0)
     )
     return agg.select(
         "user_id",
-        "weighted_sum",
+        F.col("wsum").cast("double").alias("weighted_sum"),
         "total_dur_us",
         (
-            F.col("weighted_sum").cast("double")
+            F.col("wsum").cast("double")
             / F.col("total_dur_us").cast("double")
         ).alias("twa_cents"),
     )
@@ -275,7 +289,9 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Window starts are integer µs arithmetic (bucket − pane offset), so
     both engines enumerate identical windows with no calendar
-    functions."""
+    functions.
+
+    Scale bound: window indices are µs div step (≤ epoch-µs/step); re-multiplying by the step reproduces ≤ the original µs — no overflow at any event count."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us")
     )

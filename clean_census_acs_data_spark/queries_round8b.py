@@ -55,7 +55,9 @@ def applyinpandas_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_percentile_filter) uses windows instead; the entry exists
     to cover the API with honest semantics, and its docstring is the
     warning label. Scaling itself is integer-floored so engines cannot
-    drift."""
+    drift.
+
+    Scale bound: (cents − mn)·1e6 wraps int64 at a per-group value range ≥ 9.2e12 cents (~$9·10¹⁰) — widen to object/Decimal in the pandas fn if a book ever spans that."""
     import pandas as pd
 
     schema = StructType(
@@ -126,7 +128,9 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cogroup shuffles both sides on the user key once — the same
     exchange a join would pay; all arithmetic is integer counts, so
     there is nothing for the two runtimes to disagree on. Users
-    present on either side appear (full-outer cogroup semantics)."""
+    present on either side appear (full-outer cogroup semantics).
+
+    Scale bound: µs values are compared, never multiplied or cross-row summed; per-user counts are int64 row counts."""
     import pandas as pd
 
     schema = StructType(

@@ -70,7 +70,9 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two windows on the sketch-sized (hour × type) aggregate — the LAG
     partitions by type, the rank by hour; both operate on at most
     |hours|·|types| rows regardless of event volume, so the trend feed
-    costs nothing beyond the count rollup at any scale."""
+    costs nothing beyond the count rollup at any scale.
+
+    Scale bound: hour buckets are µs div constants and everything downstream is a count — int64 to 9.2·10¹⁸ events."""
     per = (
         _t(spark, sf_dir, "events")
         .groupBy(

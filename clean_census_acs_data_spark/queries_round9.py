@@ -993,16 +993,19 @@ LIMIT 20
 def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection: score every non-target document by
     its average token log-ratio ln(p_target / p_corpus) (add-one
-    smoothed unigram LMs, target domain = source '{target}'), select
-    the top-20 most-target-like — the importance-resampling step that
-    tilts a general crawl toward a target domain before pretraining.
+    smoothed unigram LMs, target domain = the _DSIR_TARGET source),
+    select the top-20 most-target-like — the importance-resampling step
+    that tilts a general crawl toward a target domain before
+    pretraining.
 
     Determinism: ln quantized to integer micro-nats per TOKEN TYPE
     (the lm_unigram_surprisal discipline), integer tf-weighted sums,
     one final division. Scale shape: both LMs are vocab-sized tables
     built with partial aggregation; scoring a 100-TB crawl is one
     broadcast join of the weight table onto per-doc tf — no rescan of
-    the target corpus per batch.""".format(target=_DSIR_TARGET)
+    the target corpus per batch.
+
+    Scale bound: w_e6 is a det_ln ratio in micro-nats (|w_e6| < 44e6); Σ f·w_e6 is per document, ≤ doc_tokens·44e6 → int64 to ~2·10¹¹ tokens in one doc."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
@@ -1479,7 +1482,9 @@ def ndcg_eval_prefix_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounts multiply as int64, and ndcg is one final double
     division. Scale shape: identical to the recall audit — one scan,
     two window ranks, one aggregate (the scan/score pipeline IS
-    _prefix_scores, shared with matryoshka_recall_audit)."""
+    _prefix_scores, shared with matryoshka_recall_audit).
+
+    Scale bound: log2 discounts are per-rank doubles from det_ln(1+r, 1) with r ≤ the top-k depth; relevance gains are 0/1 — no integer products anywhere."""
     from pyspark.sql.window import Window
 
     sc = _prefix_scores(spark, sf_dir)
@@ -1570,7 +1575,10 @@ tot AS (SELECT CAST(SUM(gap_e6) AS BIGINT) AS tg FROM gaps)
 SELECT gaps.source,
        gaps.n_bigrams,
        CAST(gaps.gap_e6 AS BIGINT) AS gap_e6,
-       CAST((gaps.gap_e6 * 1000000) // tot.tg AS BIGINT) AS weight_ppm
+       CAST(CASE WHEN (gaps.gap_e6 >= 0) = (tot.tg >= 0) THEN 1 ELSE -1 END
+            * ((CAST(abs(gaps.gap_e6) AS HUGEINT) * 1000000)
+               // CAST(abs(tot.tg) AS HUGEINT))
+            AS BIGINT) AS weight_ppm
 FROM gaps, tot
 """
 
@@ -1589,7 +1597,14 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ln quantized to micro-nats per TYPE (unigram) / per
     BIGRAM TYPE, integer sums, integer ppm division. Scale shape: both
     LMs are vocab-sized aggregates; the per-source reduce is one
-    partial agg; weights are a |sources|-row broadcast at train time."""
+    partial agg; weights are a |sources|-row broadcast at train time.
+
+    Scale bound: per-source uni_e6/bi_e6 sums are ≤ n_bigrams · 44e6
+    micro-nats (ln of any int64 count < 44 nats), so int64 holds to
+    ~2·10¹¹ bigram positions per source; the ppm step gap_e6·10⁶ wraps
+    int64 already at gap_e6 ≥ 9.2e12 (~10⁷ positions at a 1-nat gap) —
+    it is computed in DECIMAL(38,0) on BOTH engines (the
+    corpus_mix_sample discipline, ADVICE r6), good to gap_e6 < 10³²."""
     # bigrams are generated ARRAY-LOCALLY (element_at(t, i)/(i+1) over
     # an exploded index sequence) instead of posexplode + lead() over a
     # per-doc window: the window forced a full shuffle+sort of every
@@ -1654,7 +1669,19 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_bigrams",
         F.col("gap_e6").cast("long").alias("gap_e6"),
-        F.expr("(gap_e6 * 1000000) div tg").cast("long").alias("weight_ppm"),
+        # DECIMAL(38,0) ppm step: the BIGINT product gap_e6·1e6 wraps at
+        # gap_e6 ≥ 2^63/1e6 ≈ 9.2e12 (see docstring scale bound).
+        # Sign-definite form: gap_e6/tg may be negative and the dialects
+        # disagree there (Spark DIV truncates toward zero, DuckDB's
+        # DECIMAL // floors) — divide magnitudes, reapply the sign
+        # (identical to the original BIGINT truncation semantics).
+        F.expr(
+            "CASE WHEN (gap_e6 >= 0) = (tg >= 0) THEN 1 ELSE -1 END"
+            " * ((CAST(abs(gap_e6) AS DECIMAL(38,0)) * 1000000)"
+            " div abs(tg))"
+        )
+        .cast("long")
+        .alias("weight_ppm"),
     )
 
 

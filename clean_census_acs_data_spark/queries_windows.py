@@ -131,7 +131,9 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     or before it. Spark has no native ASOF — implemented as
     union→sort→last-carry-forward (operators/asof.py): one shuffle, no
     range explosion, works at any scale. Clicks pre-deduped per
-    (user, ts) so tie resolution is deterministic on both engines."""
+    (user, ts) so tie resolution is deterministic on both engines.
+
+    Scale bound: gap_us is a single µs difference bounded by the data's time-span; no µs products or cross-row µs sums — int64 epoch-µs is safe to ~year 294000."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = (
