@@ -68,18 +68,25 @@ def applyinpandas_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    import numpy as np
+
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
-        mn, mx = int(pdf["cents"].min()), int(pdf["cents"].max())
+        # numpy throughout (this runs once per USER: pandas Series ops
+        # and frame construction constants dominate — the sessionizer's
+        # measured construction trick, applied to the grouped-map path)
+        cents = pdf["cents"].to_numpy()
+        mn, mx = int(cents.min()), int(cents.max())
         if mx == mn:
-            s = pdf["cents"] * 0
+            s = np.zeros(len(cents), dtype=np.int64)
         else:
-            s = (pdf["cents"] - mn) * 1_000_000 // (mx - mn)
+            s = (cents - mn) * 1_000_000 // (mx - mn)
         return pd.DataFrame(
             {
-                "event_id": pdf["event_id"],
-                "user_id": pdf["user_id"],
-                "scaled_micro": s.astype("int64"),
-            }
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "scaled_micro": s.astype(np.int64),
+            },
+            copy=False,
         )
 
     e = spread(_t(spark, sf_dir, "events")).select(
@@ -142,21 +149,29 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
+    import numpy as np
+
     def stats(key, clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
         (uid,) = key
         n_c, n_p = len(clicks), len(purchases)
         if n_p:
-            first = int(purchases["us"].min())
-            before = int((clicks["us"] < first).sum()) if n_c else 0
+            first = purchases["us"].to_numpy().min()
+            before = int((clicks["us"].to_numpy() < first).sum()) if n_c else 0
         else:
             before = 0
+        # 1-element numpy construction (the sessionizer's measured
+        # 388→143 µs trick) — this function runs once per USER, so the
+        # frame-construction constant IS the entry's dominant cost
         return pd.DataFrame(
             {
-                "user_id": [uid],
-                "n_clicks": [n_c],
-                "n_purchases": [n_p],
-                "clicks_before_first_purchase": [before],
-            }
+                "user_id": np.array([uid], dtype=np.int64),
+                "n_clicks": np.array([n_c], dtype=np.int64),
+                "n_purchases": np.array([n_p], dtype=np.int64),
+                "clicks_before_first_purchase": np.array(
+                    [before], dtype=np.int64
+                ),
+            },
+            copy=False,
         )
 
     ev = _t(spark, sf_dir, "events")
