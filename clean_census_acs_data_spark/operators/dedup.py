@@ -238,7 +238,14 @@ def ngram_jaccard_pairs(
         F.explode(F.expr("transform(grams, x -> xxhash64(x))")).alias("gram"),
     ).cache()
     g.count()
-    docs_blk = d.select("doc", "blk", F.size("grams").alias("ng")).cache()
+    # per-doc gram counts FROM the cached postings (one row per distinct
+    # gram per doc, so count ≡ size(grams)): the previous
+    # d.select(size(grams)) subtree re-ran the whole tokenize +
+    # array_distinct scan a second time — measured 2.0 s of the entry's
+    # 8.5 s at sf0.1; this agg over the cache is ~0.3 s
+    docs_blk = g.groupBy("doc", "blk").agg(
+        F.count(F.lit(1)).cast("int").alias("ng")
+    ).cache()
 
     post = g.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("p"))
     nblk = docs_blk.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
