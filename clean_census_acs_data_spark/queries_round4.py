@@ -298,10 +298,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(pair_dot("q", "cq"), F.col("n2"), F.col("cn2")).alias("c_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    # materialize + truncate: the assignment feeds THREE consumers (both
+    # pair-join sides and the final projection) — uncached, the 8-way
+    # centroid scoring cross join and window re-run per consumer (the
+    # iterative-lineage discipline; this is the persisted cluster
+    # assignment a production SemDeDup pass writes anyway)
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "q", "n2", "centroid_id")
+        .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
