@@ -106,13 +106,20 @@ def ngram_decontaminate(
     """
     from clean_census_acs_data_spark.operators.text import md5_long
 
+    # cached: the distinct train-gram table feeds TWO consumers (per-doc
+    # totals and the eval-overlap join) — uncached, the tokenize +
+    # explode + md5 + distinct of the whole training corpus runs twice.
+    # Two longs per row; at 100 TB this is the persisted contamination
+    # index. Eager count: sibling subtrees race a lazy cache fill.
     t_grams = (
         train.select(
             F.col(id_col), F.explode(_word_grams(F.col(text_col), n)).alias("gram")
         )
         .select(id_col, md5_long(F.col("gram")).alias("gram_h"))
         .distinct()
+        .cache()
     )
+    t_grams.count()
     e_grams = (
         eval_set.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
         .select(md5_long(F.col("gram")).alias("gram_h"))

@@ -382,14 +382,28 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("t"))
         .where(F.size("t") >= _SPAN_W)
     )
-    win = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("t") - (_SPAN_W - 1))).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        X.md5_long(F.concat_ws(" ", F.slice("t", F.col("i"), _SPAN_W))).alias("wh"),
+    # cached: the window table feeds TWO consumers (the ≥2-docs repeat
+    # set and the per-doc flag join) — uncached, the tokenize + explode
+    # + per-window md5 (the dominant cost) runs twice. Two longs per
+    # row; at 100 TB this is the materialized window index the repeat
+    # scan would persist anyway.
+    win = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (_SPAN_W - 1))
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            X.md5_long(
+                F.concat_ws(" ", F.slice("t", F.col("i"), _SPAN_W))
+            ).alias("wh"),
+        )
+        .cache()
     )
+    win.count()  # eager: sibling subtrees race a lazy cache fill
     rep = (
         win.select("doc_id", "wh")
         .distinct()

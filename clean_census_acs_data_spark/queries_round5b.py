@@ -127,15 +127,25 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pr = _offset_pairs(1).unionAll(_offset_pairs(2))
-    cab = pr.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # cached: cab feeds the PMI join chain AND supplies t_pair (the
+    # total pair count = Σ c_ab, so the pair-generation Generates run
+    # ONCE — previously pr was re-exploded a second time just to count
+    # its rows); uni feeds t_tok plus both broadcast sides, which
+    # uncached re-ran the tokenize+groupBy three times. Both caches are
+    # vocabulary-sized aggregates, not corpus-sized.
+    cab = (
+        pr.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab")).cache()
+    )
     uni = (
         d.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
+    cab.count(), uni.count()  # eager: sibling subtrees race lazy fills
     tot = (
         uni.agg(F.sum("c").cast("long").alias("t_tok"))
-        .crossJoin(pr.agg(F.count(F.lit(1)).alias("t_pair")))
+        .crossJoin(cab.agg(F.sum("c_ab").cast("long").alias("t_pair")))
     )
     ua = uni.select(F.col("w").alias("tok_a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("w").alias("tok_b"), F.col("c").alias("c_b"))

@@ -232,6 +232,9 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
+    # cached: the bigram-position table feeds TWO consumers (the global
+    # bigram LM counts and the per-doc tf) — uncached, the tokenize +
+    # explode + element_at pipeline over the whole corpus runs twice
     bg = (
         d.where(F.size("t") > 1)
         .select(F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "doc_id", "t")
@@ -240,7 +243,9 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(t, i)").alias("w1"),
             F.expr("element_at(t, i + 1)").alias("w2"),
         )
+        .cache()
     )
+    bg.count()  # eager: sibling subtrees race a lazy cache fill
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     cu = (
         d.select(F.explode("t").alias("w"))
