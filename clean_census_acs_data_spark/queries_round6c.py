@@ -169,9 +169,14 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (the blocking-key discipline of the dedup tier); per-part
     counts broadcast back and the single ROUND'd double expression is
     associated identically in both engines."""
+    # cached: the distinct (order, part) table feeds FOUR consumers
+    # (both pair-join sides, the per-part counts, the order total) —
+    # uncached, the lineitem scan + distinct shuffle runs four times.
+    # Two longs per row; this is the basket table an FPM pass persists.
     items = (
         _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    )
+    ).cache()
+    items.count()  # eager: the consumers race a lazy cache fill
     a, b = items.alias("a"), items.alias("b")
     pr = a.join(
         b,
