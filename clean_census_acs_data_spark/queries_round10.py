@@ -2122,13 +2122,17 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
+    # cached: grams feeds the first-seen aggregate AND the scoring join
+    # — uncached, the tokenize + shingle explode runs twice
     grams = (
         d.where(F.size("t") >= 3)
         .select(
             "doc_id",
             F.explode(F.array_distinct(shingles(F.col("t")))).alias("g"),
         )
+        .cache()
     )
+    grams.count()  # eager: sibling subtrees race a lazy cache fill
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     scored = (
         grams.join(firsts, "g")

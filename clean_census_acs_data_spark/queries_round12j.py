@@ -88,9 +88,13 @@ def source_loo_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").repartition(8)
     t = F.split(F.lower(F.col("text")), " ")
+    # cached: the distinct (source, gram) table feeds the holder count
+    # AND the valuation join — uncached, the tokenize + shingle +
+    # distinct shuffle runs twice
     grams = d.select(
         "source", F.explode(F.array_distinct(shingles(t, 2))).alias("gram")
-    ).distinct()
+    ).distinct().cache()
+    grams.count()  # eager: sibling subtrees race a lazy cache fill
     holders = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_sources"))
     per = (
         grams.join(holders, "gram")

@@ -205,7 +205,9 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.min("cnt").alias("est_cnt"))
     )
-    total = tok.agg(F.count(F.lit(1)).alias("__total"))
+    # total token count = Σ exact per-token counts: derived from the
+    # exact aggregate instead of a second full tokenize pass
+    total = exact.agg(F.sum("exact_cnt").cast("long").alias("__total"))
     return (
         est.join(exact, "token")
         .crossJoin(F.broadcast(total))

@@ -365,11 +365,16 @@ def cross_source_fp_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(X.shingles(toks, 3), X.md5_long),
         lambda h: h % 8 == 0,
     )
+    # cached: both sides of the cross-source join read the fingerprint
+    # table — uncached, the tokenize + shingle + md5 + distinct runs
+    # once per side
     fp = (
         d.where(F.size(F.split(F.col("text"), " ")) >= 3)
         .select("source", F.explode(fps).alias("fp"))
         .distinct()
+        .cache()
     )
+    fp.count()  # eager: the two join sides race a lazy cache fill
     a = fp.select(F.col("source").alias("source_a"), "fp")
     b = fp.select(F.col("source").alias("source_b"), "fp")
     return (

@@ -118,9 +118,12 @@ def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("#", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
         for b in range(4)
     ]
+    # cached: both provenance join sides read the band table —
+    # uncached, the shingle + minhash signature pipeline runs per side
     bands = sig.select(
         "doc", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
-    )
+    ).cache()
+    bands.count()  # eager: the two join sides race a lazy cache fill
     pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.5).select(
         "doc_a", "doc_b"
     )
