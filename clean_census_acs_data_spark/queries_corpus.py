@@ -264,15 +264,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale bound: det_ln arguments are plain counts (< 2^63 by construction) and idf_e6 < 44e6 (ln of any int64 ratio < 44 nats); tf·idf products stay < 2^63 while per-doc term frequency < 2·10¹¹ — a per-document bound, corpus size unbounded."""
     d = _t(spark, sf_dir, "documents")
-    # cached: tf feeds the document-frequency aggregate AND the final
-    # join — uncached, the tokenize + (doc, token) agg runs twice
+    # tf feeds two consumers but is deliberately NOT cached: the warm
+    # A/B at sf0.1 measured the cache fill (wide string rows + eager
+    # count) costlier than re-running the codegen tokenize+agg
+    # (1.04 s uncached vs 1.23 s cached). At 100 TB tf is a persisted
+    # table and the trade flips.
     tf = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .cache()
     )
-    tf.count()  # eager: sibling subtrees race a lazy cache fill
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     idf = F.expr(DET_LN("n_docs + 1", "df + 1", div="DIV")) + F.lit(1.0)

@@ -137,12 +137,12 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduction is one partial agg. At 100 TB the vocab is the persisted
     tokenizer artifact and scoring a new slice is scan + broadcast
     lookup + agg — no joins on raw tokens."""
-    # cached: the token table feeds the vocabulary count AND the per-doc
-    # OOV join — uncached, the tokenize explode runs twice
+    # tok feeds two consumers but is NOT cached: warm A/B at sf0.1 put
+    # the cache fill of corpus-token string rows above the cost of
+    # re-running the codegen explode (1.20 s vs 1.29 s cached)
     tok = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).cache()
-    tok.count()  # eager: sibling subtrees race a lazy cache fill
+    )
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     vocab = (
         cnt.orderBy(F.desc("c"), F.asc("w"))

@@ -1007,13 +1007,13 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale bound: w_e6 is a det_ln ratio in micro-nats (|w_e6| < 44e6); Σ f·w_e6 is per document, ≤ doc_tokens·44e6 → int64 to ~2·10¹¹ tokens in one doc."""
     d = _t(spark, sf_dir, "documents")
-    # cached: the token table feeds the corpus LM, the target LM, the
-    # target total and the per-doc tf — uncached, the tokenize explode
-    # ran once per consumer (the persisted token table at 100 TB)
+    # tok feeds four consumers but is NOT cached: warm A/B at sf0.1 put
+    # the cache fill of corpus-token string rows above the re-run cost
+    # of the codegen explode (1.29 s vs 1.37 s cached); at 100 TB the
+    # token table is persisted and the trade flips
     tok = d.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("w")
-    ).cache()
-    tok.count()  # eager: sibling subtrees race a lazy cache fill
+    )
     vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_all"))
     tgt = (
         tok.where(F.col("source") == _DSIR_TARGET)
