@@ -220,6 +220,8 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: iteration cost is independent of event volume (same
     argument as ipf_raking_weights). Strengths stay exact while
     W·10¹² < 2⁶³ (~9·10⁶ wins — days·types², not events)."""
+    # cached: daily feeds both duel self-join sides — uncached, the
+    # events scan + (day, type) agg ran twice. Days×types rows, tiny.
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -227,7 +229,9 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
+    daily.count()  # eager: the two join sides race a lazy cache fill
     a = daily.select("dy", F.col("event_type").alias("i"), F.col("c").alias("ca"))
     b = daily.select("dy", F.col("event_type").alias("j"), F.col("c").alias("cb"))
     duels = (
@@ -249,6 +253,11 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_ij") + F.col("w_ji")).alias("n_ij"),
         )
     )
+    # cached: the directed duel table feeds the win totals, the round-1
+    # denominator and the round-2 pair join — type-pair rows, tiny,
+    # while its upstream is the full duel self-join chain
+    m = m.cache()
+    m.count()
     it = m.groupBy("i").agg(
         F.sum("wins_i").alias("w"), F.sum("n_ij").alias("n")
     )

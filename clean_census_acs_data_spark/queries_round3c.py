@@ -628,10 +628,15 @@ def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(round(cast(x as double) * 1000000) as bigint))"
         ).alias("q"),
     )
+    # cached: the exploded (vector, dim, value) matrix feeds the
+    # centroid init, both Lloyd iterations' scoring joins and the
+    # centroid update — uncached, the scan + quantize + posexplode
+    # re-ran per consumer. Three longs per row, vector-count-bounded.
     d = e.select(
         F.col("vec_id").alias("v"),
         F.posexplode("q").alias("j0", "x"),
-    ).select("v", (F.col("j0") + 1).alias("j"), "x")
+    ).select("v", (F.col("j0") + 1).alias("j"), "x").cache()
+    d.count()  # eager: sibling subtrees race a lazy cache fill
     cent = d.where(F.col("v") < _KMEANS_K).select(
         F.col("v").alias("c"), "j", F.col("x").alias("cx")
     )

@@ -472,6 +472,8 @@ def quantile_log2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     but for rank statistics. The exact-percentile twins
     (percentile_exact, percentile_cont_interp) sort real data; at
     100 TB this sketch answers from 64 longs."""
+    # cached: the ≤64-row histogram feeds the cumulative walk AND the
+    # total — uncached, the full documents scan ran twice for 64 rows
     hist = (
         _t(spark, sf_dir, "documents")
         .where(F.col("n_chars") >= 1)
@@ -479,7 +481,9 @@ def quantile_log2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(F.expr("bin(n_chars)")) - 1).cast("long").alias("bucket")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
     )
+    hist.count()  # eager: sibling subtrees race a lazy cache fill
     cum = hist.select(
         "bucket",
         F.sum("cnt").over(Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cnt"),

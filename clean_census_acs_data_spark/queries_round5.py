@@ -248,12 +248,15 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = r.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
         "prio", F.col("cents").alias("median_cents")
     )
+    # cached: the deviation table feeds the MAD rank pass AND the final
+    # aggregate — uncached, the orders scan + median join ran twice
     d = c.join(F.broadcast(med), "prio").select(
         "prio",
         F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
         "o_orderkey",
         "median_cents",
-    )
+    ).cache()
+    d.count()  # eager: sibling subtrees race a lazy cache fill
     w2 = Window.partitionBy("prio").orderBy("dev", "o_orderkey")
     r2 = d.select(
         "prio",

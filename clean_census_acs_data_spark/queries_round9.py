@@ -1904,10 +1904,14 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = plant_near_dups(_t(spark, sf_dir, "documents"))
-    s1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # cached: each cascade stage feeds the NEXT stage plus its own
+    # count — uncached, stage N's chain re-ran inside every later
+    # stage's count (the n3 count re-ran the whole cascade)
+    s1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id")).cache()
     s2 = s1.groupBy(F.expr(_CASCADE_NORM).alias("__norm")).agg(
         F.min("doc_id").alias("doc_id")
-    )
+    ).cache()
+    s1.count(), s2.count()  # eager: sibling subtrees race lazy fills
     pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.8).select(
         "doc_a", "doc_b"
     )

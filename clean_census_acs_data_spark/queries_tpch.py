@@ -529,13 +529,17 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
+    # cached: the joined line table feeds the late set, the other-
+    # supplier semi probe and the anti probe — uncached, the
+    # lineitem×orders join ran three times
     lines = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         "l_orderkey",
         "l_suppkey",
         (
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("is_late"),
-    )
+    ).cache()
+    lines.count()  # eager: sibling subtrees race a lazy cache fill
     l1 = lines.where(F.col("is_late"))
     l2 = lines.select(
         F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
@@ -618,6 +622,8 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unit_cents_raw"),
     )
+    # cached: offers feeds the per-part minimum AND the final match
+    # join — uncached, the lineitem scan + semi + agg ran twice
     offers = (
         li.join(
             F.broadcast(eu_supp.select("s_suppkey")),
@@ -626,7 +632,9 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("unit_cents_raw").alias("unit_cents"))
+        .cache()
     )
+    offers.count()  # eager: sibling subtrees race a lazy cache fill
     best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cents").alias("min_cents")
     )
