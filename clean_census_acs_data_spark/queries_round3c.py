@@ -312,9 +312,12 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(_PQ_BLOCKS)
     ]
+    # cached: the exploded subvector table feeds the codebook AND the
+    # scoring join (kmeans_lloyd_int's measured pattern)
     ev = e.select("vec_id", F.explode(F.array(*subs)).alias("bs")).select(
         "vec_id", F.col("bs.b").alias("b"), F.col("bs.sub").alias("sub")
-    )
+    ).cache()
+    ev.count()  # eager: sibling subtrees race a lazy cache fill
     cent = ev.where(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), "b", F.col("sub").alias("csub")
     )
@@ -323,9 +326,13 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # cached: the scored table feeds the per-(vec, block) minimum AND
+    # the argmin join — uncached, the zip_with distance fold over
+    # vectors × blocks × centroids (the dominant cost) ran twice
     sc = ev.join(F.broadcast(cent), "b").select(
         "vec_id", "b", "c", dist.alias("d")
-    )
+    ).cache()
+    sc.count()
     md = sc.groupBy("vec_id", "b").agg(F.min("d").alias("md"))
     best = (
         sc.join(md, ["vec_id", "b"])

@@ -127,9 +127,14 @@ def _pq_encoded(emb: DataFrame):
         )
         for b in range(_PQ_BLOCKS)
     ]
+    # cached: ev feeds the codebook, the scoring join AND the caller's
+    # query-subvector probe; scored feeds the per-(vec, block) minimum
+    # AND the argmin join (embedding_pq_codes' measured pattern — the
+    # zip_with distance fold is the dominant cost and ran twice)
     ev = e.select("vec_id", F.explode(F.array(*subs)).alias("bs")).select(
         "vec_id", F.col("bs.b").alias("b"), F.col("bs.sub").alias("sub")
-    )
+    ).cache()
+    ev.count()
     cent = ev.where(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), "b", F.col("sub").alias("csub")
     )
@@ -140,7 +145,8 @@ def _pq_encoded(emb: DataFrame):
     )
     scored = ev.join(F.broadcast(cent), "b").select(
         "vec_id", "b", "c", dist.alias("d")
-    )
+    ).cache()
+    scored.count()
     mind = scored.groupBy("vec_id", "b").agg(F.min("d").alias("md"))
     codes = (
         scored.join(mind, ["vec_id", "b"])
@@ -280,10 +286,16 @@ def _knn_ivf_stages(
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
     ranked = scored.withColumn("rn", F.row_number().over(w))
-    probe_rows = ranked.where(F.col("rn") <= probes).select(
-        "vec_id", "__q", "__n2", "centroid_id"
-    )
-    assigned = ranked.where(F.col("rn") == 1).select(
+    # ONE cached top-`probes` selection feeds both consumers: filtering
+    # ranked twice (rn ≤ probes, rn == 1) re-ran the √n-centroid
+    # scoring cross join — the stage's dominant cost — once per filter.
+    # ≤ probes rows per vector survive, so the cache is vector-sized.
+    sel = ranked.where(F.col("rn") <= probes).select(
+        "vec_id", "__q", "__n2", "centroid_id", "rn"
+    ).cache()
+    sel.count()  # eager: the two consumers race a lazy cache fill
+    probe_rows = sel.select("vec_id", "__q", "__n2", "centroid_id")
+    assigned = sel.where(F.col("rn") == 1).select(
         "vec_id", "__q", "__n2", "centroid_id"
     )
     wl = Window.partitionBy("centroid_id").orderBy(F.asc("vec_id"))
