@@ -617,3 +617,25 @@ def test_stateful_sessionizer_carry_continuation(spark, tmp_path):
         (1, d(10), d(10, 20), 3, 157),
         (1, d(12), d(12), 1, 3),
     }
+
+
+def test_staged_events_dir_memoizes_per_signature(spark):
+    """staged_events_dir builds the staging write at most once per
+    (SparkContext, sf_dir, n_splits, extra_cols) — the sessionizer,
+    rate limiter and CUSUM consumers share one staging pass — while a
+    different signature (extra columns, split count) gets its own dir."""
+    import os
+
+    from clean_census_acs_data_spark.streaming import stateful as S
+
+    sf = "/root/testdata/sf0.001"
+    a = S.staged_events_dir(spark, sf, 2)
+    b = S.staged_events_dir(spark, sf, 2)
+    assert a == b and os.path.isdir(a)
+    c = S.staged_events_dir(spark, sf, 2, extra_cols=("event_type",))
+    d = S.staged_events_dir(spark, sf, 3)
+    assert c != a and d != a and c != d
+    # the memo key includes the application id: a dead context's conf
+    # must never leak staged batches into a fresh JVM
+    key_apps = {k[0] for k in S._STAGE_CACHE}
+    assert key_apps == {spark.sparkContext.applicationId}
