@@ -376,7 +376,11 @@ def kn_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.w1", "p.w2")
         .where((F.col("w1") != "") & (F.col("w2") != ""))
     )
-    cab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    # cached: the bigram-type counts feed the discounted output, the
+    # follower aggregate and the predecessor aggregate — uncached, the
+    # zip_with bigram explode + count shuffle ran three times
+    cab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).cache()
+    cab.count()  # eager: sibling subtrees race a lazy cache fill
     ca = cab.groupBy("w1").agg(
         F.sum("c_ab").alias("c_a"), F.count(F.lit(1)).alias("n_follow_a")
     )

@@ -340,6 +340,9 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale bound: idf < 44 nats (det_ln of int64 counts) so bm25_e6 < ~10⁸ per (doc, term); no cross-row integer products — safe at any corpus size."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    # dl/tf feed two consumers each but are NOT cached: warm A/B at
+    # sf0.1 measured 0.86 s uncached vs 0.97 cached — the two eager
+    # fill actions cost more than re-running the codegen tokenize+agg
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -210,6 +210,9 @@ def lm_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale bound: s_e6 < 44e6 (ln of an int64 ratio < 44 nats); the Σ f·s_e6 sum is PER DOCUMENT, ≤ doc_tokens·44e6 → int64 to ~2·10¹¹ tokens in one doc; corpus size unbounded."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+    # cnt feeds two consumers but is NOT cached: warm A/B at sf0.1
+    # measured 0.96 s uncached vs 1.26 cached — the eager fill action
+    # costs more than re-running the codegen tokenize + count
     cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("t"))
     # −ln(c/t) = ln(t/c) with t ≥ c ≥ 1 exact integers → the

@@ -79,6 +79,9 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = _t(spark, sf_dir, "events").select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     )
+    # cached: the tiny type×type transition table feeds the row totals
+    # AND the final join — uncached, the per-user lag window shuffle
+    # (the dominant cost) ran twice
     tr = (
         seq.where(F.col("prev_type").isNotNull())
         .groupBy(
@@ -86,7 +89,9 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("to_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
     )
+    tr.count()  # eager: sibling subtrees race a lazy cache fill
     tot = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_total"))
     return tr.join(F.broadcast(tot), "from_type").select(
         "from_type",
