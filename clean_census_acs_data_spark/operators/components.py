@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def connected_components(
@@ -64,7 +65,7 @@ def connected_components(
         edges.select(F.col(src).alias("v"), F.col(dst).alias("w"))
         .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("w")))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
     labels = _truncate(
         adj.select("v").distinct().select("v", F.col("v").alias("label"))

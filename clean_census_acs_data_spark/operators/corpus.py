@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.operators.text import shingles, tokens
+from clean_census_acs_data_spark.session import materialize, tracked_cache
 
 
 def _word_grams(text: Column, n: int) -> Column:
@@ -117,9 +118,9 @@ def ngram_decontaminate(
         )
         .select(id_col, md5_long(F.col("gram")).alias("gram_h"))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
-    t_grams.count()
+    materialize(t_grams)
     e_grams = (
         eval_set.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
         .select(md5_long(F.col("gram")).alias("gram_h"))

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.operators.text import md5_long, shingles, tokens
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -106,7 +107,7 @@ def minhash_lsh_pairs(
     sh_tbl = (
         docs.select(F.col(id_col).alias("doc"), sh.alias("sh"))
         .where(F.size("sh") > 0)
-        .cache()
+        .transform(tracked_cache)
     )
     # materialize the cache NOW: four downstream subtrees (both sides of
     # the band self-join, both verification probes) consume sh_tbl inside
@@ -236,7 +237,7 @@ def ngram_jaccard_pairs(
         "doc",
         "blk",
         F.explode(F.expr("transform(grams, x -> xxhash64(x))")).alias("gram"),
-    ).cache()
+    ).transform(tracked_cache)
     g.count()
     # per-doc gram counts FROM the cached postings (one row per distinct
     # gram per doc, so count ≡ size(grams)): the previous
@@ -245,7 +246,7 @@ def ngram_jaccard_pairs(
     # 8.5 s at sf0.1; this agg over the cache is ~0.3 s
     docs_blk = g.groupBy("doc", "blk").agg(
         F.count(F.lit(1)).cast("int").alias("ng")
-    ).cache()
+    ).transform(tracked_cache)
 
     post = g.groupBy("blk", "gram").agg(F.count(F.lit(1)).alias("p"))
     nblk = docs_blk.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))

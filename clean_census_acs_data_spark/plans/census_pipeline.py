@@ -22,6 +22,7 @@ from clean_census_acs_data_spark.sources import census as C
 from clean_census_acs_data_spark.sources import rest as R
 from clean_census_acs_data_spark.sources.audit import append_audit
 from clean_census_acs_data_spark import transforms as T
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def run_census_pipeline(
@@ -74,7 +75,7 @@ def run_census_pipeline(
         spark, year=year, chunk_size=chunk_size,
         datasets={table_name: request_cfg},
     ).where(f"table_name = '{table_name}'")
-    responses = R.fetch_responses(specs, fetcher=fetcher).cache()
+    responses = R.fetch_responses(specs, fetcher=fetcher).transform(tracked_cache)
     if audit_path:
         append_audit(responses, audit_path)
     ok, dead = R.split_dead_letters(responses)
@@ -136,7 +137,7 @@ def run_zcta_pipeline(
         geo_for="zip code tabulation area:*",
         geo_in_states=False,
         num_partitions=4,
-    ).cache()
+    ).transform(tracked_cache)
     if audit_path:
         append_audit(responses, audit_path)
     ok, dead = R.split_dead_letters(responses)

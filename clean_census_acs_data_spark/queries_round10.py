@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.queries import _t, register
+from clean_census_acs_data_spark.session import tracked_cache
 
 # ---------------------------------------------------------------------------
 # dedup: sorted-neighborhood method (SNM), two-pass
@@ -566,7 +567,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select("doc_id", F.col("text").alias("s"))
         .repartition(8)
-        .cache()  # 5+ jobs (pair counts, sizes) re-read this base
+        .transform(tracked_cache)  # 5+ jobs (pair counts, sizes) re-read this base
     )
     docs = d
     out_rows = []
@@ -590,7 +591,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.desc("c"), "l", "r")
             .limit(1)
-            .cache()  # feeds the rewrite AND the output row
+            .transform(tracked_cache)  # feeds the rewrite AND the output row
         )
         top.count()
         pat = F.concat(
@@ -1130,7 +1131,12 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash on user_id, the 7-day predicate prunes state), window ranks
     are per-purchase partitions, and the final aggregate is
     |event_types| cells. Degenerate fan-out is bounded by touches-per-
-    purchase, not corpus size."""
+    purchase, not corpus size.
+
+    Scale bound: per-conversion credit sums to exactly 10⁶ ppm, so a
+    per-type aggregate is ≤ conversions·10⁶ and int64 wraps only past
+    9.2·10¹² conversions; (n−1)·lin_share < 10⁶ per row by
+    construction."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
@@ -1252,7 +1258,7 @@ def setsim_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.where(F.size("t") >= 3)
         .select("doc_id", F.array_distinct(shingles(F.col("t"))).alias("s"))
-        .cache()
+        .transform(tracked_cache)
     )
     # set size travels WITH the exploded rows (array is in hand) — no
     # second count-over-partition window pass
@@ -2130,7 +2136,7 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.array_distinct(shingles(F.col("t")))).alias("g"),
         )
-        .cache()
+        .transform(tracked_cache)
     )
     grams.count()  # eager: sibling subtrees race a lazy cache fill
     firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))

@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 
 from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -508,7 +509,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.lower(F.col("text")), " ")
     grams = d.select(
         "doc_id", F.explode(F.array_distinct(shingles(t, 2))).alias("gram")
-    ).cache()
+    ).transform(tracked_cache)
     grams.count()  # eager: scanned by every greedy round
 
     picked: DataFrame | None = None  # doc_id frame, grows by 1/round
@@ -523,7 +524,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         gains = rem.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("marginal_gain")
         )
-        pick = gains.orderBy(F.desc("marginal_gain"), "doc_id").limit(1).cache()
+        pick = gains.orderBy(F.desc("marginal_gain"), "doc_id").limit(1).transform(tracked_cache)
         pick.count()  # eager: referenced by 3 branches below
         pick_docs = pick.select("doc_id")
         picked = pick_docs if picked is None else picked.union(pick_docs)
@@ -532,7 +533,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick_grams
             if covered is None
             else covered.union(pick_grams).distinct()
-        ).cache()
+        ).transform(tracked_cache)
         covered.count()  # eager: anti-join source + total below
         total = covered.agg(F.count(F.lit(1)).alias("covered_total"))
         rows.append(

@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 
 from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -379,7 +380,7 @@ def kn_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the bigram-type counts feed the discounted output, the
     # follower aggregate and the predecessor aggregate — uncached, the
     # zip_with bigram explode + count shuffle ran three times
-    cab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).cache()
+    cab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).transform(tracked_cache)
     cab.count()  # eager: sibling subtrees race a lazy cache fill
     ca = cab.groupBy("w1").agg(
         F.sum("c_ab").alias("c_a"), F.count(F.lit(1)).alias("n_follow_a")

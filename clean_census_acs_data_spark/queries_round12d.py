@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_round11 import global_rank
+from clean_census_acs_data_spark.session import materialize, tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -229,9 +230,9 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .transform(tracked_cache)
     )
-    daily.count()  # eager: the two join sides race a lazy cache fill
+    materialize(daily)  # eager: the two join sides race a lazy cache fill
     a = daily.select("dy", F.col("event_type").alias("i"), F.col("c").alias("ca"))
     b = daily.select("dy", F.col("event_type").alias("j"), F.col("c").alias("cb"))
     duels = (
@@ -256,8 +257,8 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the directed duel table feeds the win totals, the round-1
     # denominator and the round-2 pair join — type-pair rows, tiny,
     # while its upstream is the full duel self-join chain
-    m = m.cache()
-    m.count()
+    m = m.transform(tracked_cache)
+    materialize(m)
     it = m.groupBy("i").agg(
         F.sum("wins_i").alias("w"), F.sum("n_ij").alias("n")
     )

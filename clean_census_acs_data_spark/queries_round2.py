@@ -423,7 +423,12 @@ def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over one window partition). The oracle-checked twin of the
     applyInPandasWithState streaming sessionizer — same session bounds,
     derivable in pure SQL. One shuffle on user_id serves both windows
-    and the final group-by (same partitioning reused across stages)."""
+    and the final group-by (same partitioning reused across stages).
+
+    Scale bound: the only integer arithmetic is one epoch-µs
+    difference per row compared to 1.8·10⁹ — int64 epoch-µs cannot
+    wrap until ~year 294000 and no µs values are multiplied or
+    summed across rows."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(

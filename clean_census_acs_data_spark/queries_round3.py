@@ -22,6 +22,7 @@ from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
 from clean_census_acs_data_spark.operators import text as X
 from clean_census_acs_data_spark.queries import _t, register
 from clean_census_acs_data_spark.queries_ext import H15
+from clean_census_acs_data_spark.session import tracked_cache
 
 # ---------------------------------------------------------------------------
 # LATERAL correlated subquery (per-outer-row top-k) — SQL-text parity:
@@ -241,7 +242,11 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(bucket_a, bucket_b), so it survives exactly once. Candidate
     pairs per task are bounded by events-per-(user, 5 minutes) — a
     power user with 10^6 events no longer produces a quadratic task,
-    matching operators/asof.py::range_count_join's decomposition."""
+    matching operators/asof.py::range_count_join's decomposition.
+
+    Scale bound: interval ends are epoch-µs + 3·10⁸ and overlaps are
+    single µs differences — int64 epoch-µs cannot wrap until ~year
+    294000; no µs products or cross-row µs sums."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -545,7 +550,7 @@ def hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the per-source estimates and the merged fold consume it, and
     # uncached each branch would re-run the full corpus scan (the tiny
     # reused-subtree rule).
-    reg = r.groupBy("source", "bucket").agg(F.max("rho").alias("m_j")).cache()
+    reg = r.groupBy("source", "bucket").agg(F.max("rho").alias("m_j")).transform(tracked_cache)
     reg.count()
     nr = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
     p2 = lambda e: F.expr(  # noqa: E731 — exact 2^x as BIGINT

@@ -34,6 +34,7 @@ from clean_census_acs_data_spark.queries_ext import (
     _PLANTED_DOCS,
     _quant_list,
 )
+from clean_census_acs_data_spark.session import tracked_cache
 
 # ---------------------------------------------------------------------------
 # Dedup survivor selection — components → canonical doc per cluster.
@@ -134,7 +135,12 @@ def graph_pagerank_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the edge list is the persisted output of the dedup pass and
     each iteration is a plain shuffle-bounded agg (no driver state);
     float PageRank would need a merge-order-independent summation to be
-    reproducible — integers sidestep that entirely."""
+    reproducible — integers sidestep that entirely.
+
+    Scale bound: total rank mass is conserved at n·10⁶ micro-units, so
+    every per-vertex rank, contribution sum, and the 85·Σ product stay
+    < 2⁶³ while n < 10¹⁷ unique docs — int64 is safe at any corpus
+    this engine will see."""
     # session-shared materialized edge list (operators/dedup.
     # standard_undirected_edges): nodes/deg and all three iterations
     # reference it — a per-call private cache re-ran the filter + fill
@@ -319,7 +325,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring join (kmeans_lloyd_int's measured pattern)
     ev = e.select("vec_id", F.explode(F.array(*subs)).alias("bs")).select(
         "vec_id", F.col("bs.b").alias("b"), F.col("bs.sub").alias("sub")
-    ).cache()
+    ).transform(tracked_cache)
     ev.count()  # eager: sibling subtrees race a lazy cache fill
     cent = ev.where(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("c"), "b", F.col("sub").alias("csub")
@@ -334,7 +340,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors × blocks × centroids (the dominant cost) ran twice
     sc = ev.join(F.broadcast(cent), "b").select(
         "vec_id", "b", "c", dist.alias("d")
-    ).cache()
+    ).transform(tracked_cache)
     sc.count()
     md = sc.groupBy("vec_id", "b").agg(F.min("d").alias("md"))
     best = (
@@ -459,7 +465,11 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time − 10 min), Spark's multiple-watermark MIN policy — has passed
     click_ts + 30 min (boundary pinned emit-at-equality, like the
     windowed entries). Both pieces are plain SQL, so the whole output
-    hash-checks against DuckDB."""
+    hash-checks against DuckDB.
+
+    Scale bound: gap_us is one µs difference, join-bounded to
+    [0, 1.8·10⁹]; int64 epoch-µs itself cannot wrap until ~year
+    294000 — no µs products or cross-row µs sums."""
     from clean_census_acs_data_spark.streaming.windows import (
         _events_stream,
         _run_to_memory,
@@ -645,7 +655,7 @@ def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.select(
         F.col("vec_id").alias("v"),
         F.posexplode("q").alias("j0", "x"),
-    ).select("v", (F.col("j0") + 1).alias("j"), "x").cache()
+    ).select("v", (F.col("j0") + 1).alias("j"), "x").transform(tracked_cache)
     d.count()  # eager: sibling subtrees race a lazy cache fill
     cent = d.where(F.col("v") < _KMEANS_K).select(
         F.col("v").alias("c"), "j", F.col("x").alias("cx")

@@ -48,6 +48,7 @@ from clean_census_acs_data_spark.queries_ext import (
     _dot,
     _quant_list,
 )
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -403,7 +404,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(" ", F.slice("t", F.col("i"), _SPAN_W))
             ).alias("wh"),
         )
-        .cache()
+        .transform(tracked_cache)
     )
     win.count()  # eager: sibling subtrees race a lazy cache fill
     rep = (
@@ -481,7 +482,7 @@ def quantile_log2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(F.expr("bin(n_chars)")) - 1).cast("long").alias("bucket")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .cache()
+        .transform(tracked_cache)
     )
     hist.count()  # eager: sibling subtrees race a lazy cache fill
     cum = hist.select(

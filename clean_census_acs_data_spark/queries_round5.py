@@ -57,6 +57,7 @@ from clean_census_acs_data_spark.queries_ext import (
     H15,
     _quant_list,
 )
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -255,7 +256,7 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
         "o_orderkey",
         "median_cents",
-    ).cache()
+    ).transform(tracked_cache)
     d.count()  # eager: sibling subtrees race a lazy cache fill
     w2 = Window.partitionBy("prio").orderBy("dev", "o_orderkey")
     r2 = d.select(
@@ -628,7 +629,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("b"),
         )
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
     und = e.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         e.select(F.col("b").alias("v"), F.col("a").alias("w"))

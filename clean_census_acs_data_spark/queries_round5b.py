@@ -42,6 +42,7 @@ from clean_census_acs_data_spark.operators import dedup as D
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import H15, _quant_list
 from clean_census_acs_data_spark.queries_round5 import _RP_SIGNS, _RP_SIGN_SQL
+from clean_census_acs_data_spark.session import materialize, tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -105,7 +106,12 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocabulary²-bounded, support-pruned — not per occurrence) via the
     deterministic atanh-series ln (functions/detmath, no libm), then
     rounded to micro-nats — the quantized double is bit-identical on
-    both engines, so no rounding boundary can flip the hash."""
+    both engines, so no rounding boundary can flip the hash.
+
+    Scale bound: each det_ln term is ≤ ln(2⁶³) ≈ 43.7 nats, so
+    |pmi_e6| ≤ 1.4·10⁸ — ten decimal orders inside int64; det_ln's
+    internal q·2^m product stays exact while pair/unigram counts fit
+    int64 (functions/detmath)."""
     d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -134,15 +140,15 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached re-ran the tokenize+groupBy three times. Both caches are
     # vocabulary-sized aggregates, not corpus-sized.
     cab = (
-        pr.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab")).cache()
+        pr.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab")).transform(tracked_cache)
     )
     uni = (
         d.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .cache()
+        .transform(tracked_cache)
     )
-    cab.count(), uni.count()  # eager: sibling subtrees race lazy fills
+    materialize(cab), materialize(uni)  # eager: siblings race lazy fills
     tot = (
         uni.agg(F.sum("c").cast("long").alias("t_tok"))
         .crossJoin(cab.agg(F.sum("c_ab").cast("long").alias("t_pair")))
@@ -435,7 +441,7 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.where(F.size(tokens(F.col("text"))) >= 3)
         .select("doc_id", F.array_distinct(shingles(toks, 3)).alias("s"))
-        .cache()
+        .transform(tracked_cache)
     )
     # materialize now: both join sides consume this table inside one job
     # — a lazy cache would recompute the shingle pass per subtree (the

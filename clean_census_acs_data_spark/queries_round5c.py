@@ -47,6 +47,7 @@ from clean_census_acs_data_spark.queries_ext import (
     _SHINGLES,
     H15,
 )
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -120,7 +121,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_tbl = (
         docs.select(F.col("doc_id").alias("doc"), sh.alias("sh"))
         .where(F.size("sh") > 0)
-        .cache()
+        .transform(tracked_cache)
     )
     sh_tbl.count()
     hv = F.transform(F.col("sh"), lambda s: X.md5_long(s) % F.lit(MINHASH_M))
@@ -243,7 +244,7 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(t, i)").alias("w1"),
             F.expr("element_at(t, i + 1)").alias("w2"),
         )
-        .cache()
+        .transform(tracked_cache)
     )
     bg.count()  # eager: sibling subtrees race a lazy cache fill
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
@@ -372,7 +373,7 @@ def cross_source_fp_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.size(F.split(F.col("text"), " ")) >= 3)
         .select("source", F.explode(fps).alias("fp"))
         .distinct()
-        .cache()
+        .transform(tracked_cache)
     )
     fp.count()  # eager: the two join sides race a lazy cache fill
     a = fp.select(F.col("source").alias("source_a"), "fp")

@@ -35,6 +35,7 @@ from clean_census_acs_data_spark.queries_ext import (
     _COMPONENTS_ORACLE,
     _PLANTED_DOCS,
 )
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -89,7 +90,7 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("to_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .cache()
+        .transform(tracked_cache)
     )
     tr.count()  # eager: sibling subtrees race a lazy cache fill
     tot = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_total"))

@@ -26,6 +26,7 @@ from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import _MINHASH_ORACLE
 from clean_census_acs_data_spark.operators import dedup as D
+from clean_census_acs_data_spark.session import materialize, tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -168,15 +169,21 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order pair fan-out is bounded by basket size², never corpus
     size (the blocking-key discipline of the dedup tier); per-part
     counts broadcast back and the single ROUND'd double expression is
-    associated identically in both engines."""
+    associated identically in both engines.
+
+    Scale bound: lift_e6 ≤ n_orders·10⁶ (attained only at c_a=c_b=
+    c_ab=1), so the long cast wraps only past 9.2·10¹² orders; the
+    double expression is exact-and-identical on both engines while
+    intermediate products stay under 2⁵³ (~9·10¹⁵ — beyond that both
+    engines still agree, but the last ulp is a rounding choice)."""
     # cached: the distinct (order, part) table feeds FOUR consumers
     # (both pair-join sides, the per-part counts, the order total) —
     # uncached, the lineitem scan + distinct shuffle runs four times.
     # Two longs per row; this is the basket table an FPM pass persists.
     items = (
         _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    ).cache()
-    items.count()  # eager: the consumers race a lazy cache fill
+    ).transform(tracked_cache)
+    materialize(items)  # eager: the consumers race a lazy cache fill
     a, b = items.alias("a"), items.alias("b")
     pr = a.join(
         b,

@@ -177,7 +177,11 @@ def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) with the range predicate as residual — the same
     skew-bounded decomposition as attribution_first_last; no per-user
     unbounded self-join anywhere. The qualified-click table is
-    distinct-reduced before the second probe."""
+    distinct-reduced before the second probe.
+
+    Scale bound: epoch-µs is compared, never multiplied or summed
+    across rows — int64 µs cannot wrap until ~year 294000; outputs
+    are plain int64 COUNTs."""
     ev = _t(spark, sf_dir, "events")
 
     def typed(t: str, *cols) -> DataFrame:

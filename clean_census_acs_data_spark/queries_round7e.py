@@ -40,6 +40,7 @@ from clean_census_acs_data_spark.queries_ext import (
     _MINHASH_ORACLE,
     _SIM_TOPK_ORACLE,
 )
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -122,7 +123,7 @@ def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uncached, the shingle + minhash signature pipeline runs per side
     bands = sig.select(
         "doc", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
-    ).cache()
+    ).transform(tracked_cache)
     bands.count()  # eager: the two join sides race a lazy cache fill
     pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.5).select(
         "doc_a", "doc_b"

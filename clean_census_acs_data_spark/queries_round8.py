@@ -218,9 +218,15 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale bound: Σ cents·Δµs ≤ max|cents|·user_span_µs, and int64
     wraps already at ~$300 held for 10 years (29,224 cents × 3.2e14
     µs) — a REALISTIC book, so the sum is widened to DECIMAL(38,0) /
-    HUGEINT (good to 10³⁸) and weighted_sum is emitted as the
-    correctly-rounded double of that exact integer (identical on both
-    engines). dur sums telescope to the span (< 2^63 µs always)."""
+    HUGEINT (good to 10³⁸) and weighted_sum is emitted as the double
+    of that exact integer. Cross-engine caveat (ADVICE r8): Spark's
+    Decimal→double is correctly rounded, but DuckDB converts HUGEINT
+    via upper/lower 64-bit limbs and can double-round, so for |wsum|
+    beyond 2⁵³ the engines may differ in the last ulp — sealed
+    identical at sf0.1, where sums stay inside 2⁵³·scale; if a future
+    scale-up hash-mismatches on weighted_sum alone, this is why (the
+    exact fix: emit wsum as DECIMAL/string instead of double). dur
+    sums telescope to the span (< 2^63 µs always)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _t(spark, sf_dir, "events").select(
         "user_id",

@@ -30,6 +30,7 @@ from clean_census_acs_data_spark.operators import text as X
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import H15, _PLANTED_DOCS, _SHINGLES
 from clean_census_acs_data_spark.queries_round3c import _SURVIVOR_ORACLE
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -281,7 +282,7 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_tbl = (
         docs.select(F.col("doc_id").alias("doc"), shg.alias("sh"))
         .where(F.size("sh") > 0)
-        .cache()
+        .transform(tracked_cache)
     )
     # eager materialization on purpose: the count()'s value is discarded
     # — it exists to populate the cache ONCE before the sweep loop fans
@@ -291,7 +292,7 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         sh_tbl.select("doc", hv.alias("hv"))
         .select("doc", *D.minhash_signature_from_hashes(F.col("hv"), 8))
-        .cache()
+        .transform(tracked_cache)
     )
     # same pattern: discarded count() warms the signature cache shared
     # by every banding config below

@@ -48,6 +48,7 @@ from clean_census_acs_data_spark.operators import similarity as S
 from clean_census_acs_data_spark.operators import text as X
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import H15, _dot, _quant_list
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -280,7 +281,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not exchange-reused — uncached, the CORPUS scan reruns per
     # branch. 8 rows; eager count so sibling branches can't race a
     # lazy cache inside one job (the lsh_parameter_sweep discipline).
-    cand = cand.cache()
+    cand = cand.transform(tracked_cache)
     cand.count()
     p1 = cand.orderBy(F.desc("rel"), F.asc("vec_id")).limit(1)
     s1 = (
@@ -660,7 +661,7 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pos and neg branches both consume the full kNN subtree; the
     # output is ≤ 3n tiny rows — cache + eager count so the bounded-
     # list pair join runs once, not twice
-    knn = knn_join_ivf(spark, sf_dir).cache()
+    knn = knn_join_ivf(spark, sf_dir).transform(tracked_cache)
     knn.count()
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     pos = (
@@ -1631,7 +1632,7 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(t, i)").alias("w"),
             F.expr("element_at(t, i + 1)").alias("nw"),
         )
-        .cache()
+        .transform(tracked_cache)
     )
     uni = (
         d.select(F.explode("t").alias("w"))
@@ -1907,10 +1908,10 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: each cascade stage feeds the NEXT stage plus its own
     # count — uncached, stage N's chain re-ran inside every later
     # stage's count (the n3 count re-ran the whole cascade)
-    s1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id")).cache()
+    s1 = base.groupBy("text").agg(F.min("doc_id").alias("doc_id")).transform(tracked_cache)
     s2 = s1.groupBy(F.expr(_CASCADE_NORM).alias("__norm")).agg(
         F.min("doc_id").alias("doc_id")
-    ).cache()
+    ).transform(tracked_cache)
     s1.count(), s2.count()  # eager: sibling subtrees race lazy fills
     pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.8).select(
         "doc_a", "doc_b"

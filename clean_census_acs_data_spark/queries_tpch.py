@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.functions import as_long, cents
 from clean_census_acs_data_spark.queries import _t, register
+from clean_census_acs_data_spark.session import materialize, tracked_cache
 
 _REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 
@@ -538,7 +539,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("is_late"),
-    ).cache()
+    ).transform(tracked_cache)
     lines.count()  # eager: sibling subtrees race a lazy cache fill
     l1 = lines.where(F.col("is_late"))
     l2 = lines.select(
@@ -632,9 +633,9 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("unit_cents_raw").alias("unit_cents"))
-        .cache()
+        .transform(tracked_cache)
     )
-    offers.count()  # eager: sibling subtrees race a lazy cache fill
+    materialize(offers)  # eager: sibling subtrees race a lazy cache fill
     best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cents").alias("min_cents")
     )

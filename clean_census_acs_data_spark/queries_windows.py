@@ -171,7 +171,12 @@ def range_join_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded range join: clicks in the hour before each purchase.
     Implemented as a time-bucketed equi-join (each purchase probes 2
     buckets) — never an inequality join, so the plan is
-    shuffle-hash-joinable and linear at scale."""
+    shuffle-hash-joinable and linear at scale.
+
+    Scale bound: the only integer arithmetic is epoch-µs minus the
+    3.6·10⁹ µs window — int64 epoch-µs cannot wrap until ~year 294000
+    and the offset cannot underflow for any post-1970-01-01T01:00
+    timestamp; counts are plain int64 COUNTs."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")

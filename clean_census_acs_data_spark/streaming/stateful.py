@@ -279,7 +279,17 @@ def staged_events_dir(
         tuple(extra_cols),
     )
     stage = _STAGE_CACHE.get(key)
-    if stage is not None and os.path.isdir(stage):
+    # Reuse only if the staged batch files actually survive: a temp
+    # reaper (or partial cleanup) can empty the dir while leaving it in
+    # place, and every consumer reads b0.parquet first for its schema —
+    # a dir-only check would hand consumers a confusing read failure.
+    # The full complement must be present, not just b0: a half-reaped
+    # stage replays fewer micro-batches and silently changes watermark
+    # firing order. Falls through to re-staging otherwise.
+    if stage is not None and all(
+        os.path.isfile(os.path.join(stage, f"b{i}.parquet"))
+        for i in range(n_splits)
+    ):
         return stage
     stage = tempfile.mkdtemp(prefix="stateful_stage_")
     stage_event_batches(spark, sf_dir, stage, n_splits, extra_cols=extra_cols)

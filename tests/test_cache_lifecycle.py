@@ -1,0 +1,95 @@
+"""Entry-local cache lifecycle + bench drift gauge (VERDICT r8 #2/#5).
+
+Entry functions register their local caches through
+``session.tracked_cache``; bench.py reaps them after each entry so a
+700-entry sweep in one long-lived session cannot accumulate storage
+blocks (ADVICE r8). Session-SHARED memos (dedup pair/edge/component
+tables, the IVF stages) are deliberately untracked and must survive a
+reap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from clean_census_acs_data_spark import session as S
+
+
+def _tracked_len() -> int:
+    return len(S._TRACKED_CACHES)
+
+
+def test_tracked_cache_registers_and_reap_unpersists(spark):
+    df = spark.range(100).select(F.col("id") * 2)
+    before = _tracked_len()
+    cached = S.tracked_cache(df)
+    assert _tracked_len() == before + 1
+    cached.count()  # materialize
+    assert cached.storageLevel.useMemory
+    reaped = S.reap_tracked_caches()
+    assert reaped >= 1
+    assert _tracked_len() == 0
+    # unpersisted: the storage level is back to NONE
+    assert not cached.storageLevel.useMemory
+
+
+def test_reap_is_idempotent_and_safe_when_empty(spark):
+    S.reap_tracked_caches()
+    assert S.reap_tracked_caches() == 0
+
+
+def test_shared_memos_survive_reap(spark):
+    """The dedup family's session-shared pair table must keep its
+    blocks across a reap — it is NOT entry-local (VERDICT r8: the
+    r8 family-sharing wins depend on it)."""
+    from clean_census_acs_data_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    pairs = D.standard_near_dup_pairs(spark, sf, threshold=0.5)
+    n = pairs.count()  # materializes the memoized cache
+    S.reap_tracked_caches()
+    # memo still present and still answers without error
+    assert pairs.count() == n
+
+
+def test_entry_with_tracked_cache_still_correct(spark):
+    """A representative converted entry (market_basket_lift caches its
+    basket table through tracked_cache) returns identical results
+    before and after a reap cycle."""
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, QUERIES["market_basket_lift"](spark, sf).collect()))
+    S.reap_tracked_caches()
+    b = sorted(map(tuple, QUERIES["market_basket_lift"](spark, sf).collect()))
+    S.reap_tracked_caches()
+    assert a == b and len(a) > 0
+
+
+def test_median_ratio_vs_prev_gauge():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {
+        "queries": {f"q{i}": 1.0 for i in range(10)},
+        "secondary": {f"s{i}": 2.0 for i in range(10)},
+    }
+    # uniform 1.5x slowdown + one touched outlier → median stays 1.5
+    cur_q = {f"q{i}": 1.5 for i in range(10)}
+    cur_s = {f"s{i}": 3.0 for i in range(10)}
+    cur_s["s0"] = 40.0  # a "touched" entry cannot move the median
+    assert bench.median_ratio_vs_prev(prev, cur_q, cur_s) == 1.5
+    # sub-0.2s prior entries are excluded (timer noise)
+    prev_small = {"queries": {f"q{i}": 0.01 for i in range(20)}, "secondary": {}}
+    assert (
+        bench.median_ratio_vs_prev(prev_small, {f"q{i}": 1.0 for i in range(20)}, {})
+        is None
+    )
+    # too few overlapping keys → None
+    assert bench.median_ratio_vs_prev({"queries": {}}, {"a": 1.0}, {}) is None

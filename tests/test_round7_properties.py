@@ -57,9 +57,10 @@ def test_knn_join_ranks_and_blocking(spark):
 
 
 def test_attribution_touch_keys_inside_window(spark):
-    """Touch keys decode (÷4096) to a click µs strictly inside
-    (purchase − 30 min, purchase); zero-touch rows have NULL keys;
-    first ≤ last always."""
+    """Touch timestamps lie strictly inside (purchase − 30 min,
+    purchase); zero-touch rows have NULL touch columns; first ≤ last
+    lexically by (µs, event_id) — the r9 struct-extrema form (the
+    µs·4096 packed key wrapped int64 in May 2041)."""
     ev = load_table(spark, SF, "events")
     pus = {
         r.event_id: r.us
@@ -71,11 +72,14 @@ def test_attribution_touch_keys_inside_window(spark):
     assert set(pus) == {r.event_id for r in rows}
     for r in rows:
         if r.n_touches == 0:
-            assert r.first_touch_key is None and r.last_touch_key is None
+            assert r.first_touch_us is None and r.last_touch_us is None
+            assert r.first_touch_id is None and r.last_touch_id is None
             continue
-        assert r.first_touch_key <= r.last_touch_key
-        for key in (r.first_touch_key, r.last_touch_key):
-            cus = key // 4096
+        assert (r.first_touch_us, r.first_touch_id) <= (
+            r.last_touch_us,
+            r.last_touch_id,
+        )
+        for cus in (r.first_touch_us, r.last_touch_us):
             assert pus[r.event_id] - _ATTR_WINDOW_US < cus < pus[r.event_id]
 
 

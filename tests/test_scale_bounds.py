@@ -43,7 +43,14 @@ RISKY = re.compile(
     r"1_000_000|1000000\.0|\* 1000000\)|_e6|unix_micros|epoch_us|"
     r"det_ln|DET_LN|DECIMAL\(38"
 )
-DOCUMENTED = re.compile(r"scale bound|overflow|wraps|bound", re.IGNORECASE)
+# Only a genuine bound statement passes: the structured 'Scale bound:'
+# marker, or overflow/wrap vocabulary, or an explicit int64/2^63 limit.
+# Deliberately NOT the bare word 'bound' — prose like 'corpus size
+# unbounded' or 'bounded by basket size' used to satisfy the sweep
+# without stating an overflow bound at all (ADVICE r8).
+DOCUMENTED = re.compile(
+    r"scale bound|overflow|wrap|int64|2\^63|2\*\*63|2⁶³", re.IGNORECASE
+)
 
 
 def _registry():
@@ -109,8 +116,8 @@ def test_e6_vector_dot_is_per_vector_bounded():
 def test_epoch_micros_ordering_key_bounds():
     """Raw epoch-µs fits int64 to ~year 294000; the retired µs·4096
     packing died at May 2041 — pinned so it cannot come back silently
-    (ohlc_bars_hourly now orders by struct, attribution_first_last
-    documents the packing as its output contract)."""
+    (ohlc_bars_hourly AND attribution_first_last both order by struct
+    now; no arithmetic ordering key with a dated wrap remains)."""
     us_year_2042 = int((2042 - 1970) * 365.25 * 86400) * 1_000_000
     us_year_2100 = int((2100 - 1970) * 365.25 * 86400) * 1_000_000
     assert us_year_2100 < INT64_MAX  # raw µs: fine
