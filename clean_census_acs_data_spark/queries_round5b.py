@@ -42,7 +42,7 @@ from clean_census_acs_data_spark.operators import dedup as D
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import H15, _quant_list
 from clean_census_acs_data_spark.queries_round5 import _RP_SIGNS, _RP_SIGN_SQL
-from clean_census_acs_data_spark.session import materialize, tracked_cache
+from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -133,22 +133,19 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pr = _offset_pairs(1).unionAll(_offset_pairs(2))
-    # cached: cab feeds the PMI join chain AND supplies t_pair (the
-    # total pair count = Σ c_ab, so the pair-generation Generates run
-    # ONCE — previously pr was re-exploded a second time just to count
-    # its rows); uni feeds t_tok plus both broadcast sides, which
-    # uncached re-ran the tokenize+groupBy three times. Both caches are
-    # vocabulary-sized aggregates, not corpus-sized.
-    cab = (
-        pr.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab")).transform(tracked_cache)
-    )
+    # NOT cached: cab feeds the PMI join chain and supplies t_pair, uni
+    # feeds t_tok plus both broadcast sides — but Spark's exchange reuse
+    # shares each agg's shuffle across its consumers, so the r8 caches
+    # only added eager fill barriers and writes: a net COLD loss
+    # (scripts/cold_ab.py, 2×2 interleaved at sf0.1: cache 4.90/4.93 s
+    # vs nocache 4.08/4.31 s, 0.85×). Both aggregates stay
+    # vocabulary-sized, never corpus-sized.
+    cab = pr.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
     uni = (
         d.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .transform(tracked_cache)
     )
-    materialize(cab), materialize(uni)  # eager: siblings race lazy fills
     tot = (
         uni.agg(F.sum("c").cast("long").alias("t_tok"))
         .crossJoin(cab.agg(F.sum("c_ab").cast("long").alias("t_pair")))

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.functions import as_long, cents
 from clean_census_acs_data_spark.queries import _t, register
-from clean_census_acs_data_spark.session import materialize, tracked_cache
+from clean_census_acs_data_spark.session import tracked_cache
 
 _REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 
@@ -623,8 +623,12 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("unit_cents_raw"),
     )
-    # cached: offers feeds the per-part minimum AND the final match
-    # join — uncached, the lineitem scan + semi + agg ran twice
+    # NOT cached: offers feeds the per-part minimum AND the final match
+    # join, but the COLD first-rep A/B (scripts/cold_ab.py, 2×2
+    # interleaved at sf0.1: cache 4.43/5.00 s vs nocache 3.42/3.51 s,
+    # 0.74×) shows exchange reuse already shares the agg's shuffle
+    # between the two consumers — the r8 cache only added a fill
+    # barrier and a write.
     offers = (
         li.join(
             F.broadcast(eu_supp.select("s_suppkey")),
@@ -633,9 +637,7 @@ def tpch_q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("unit_cents_raw").alias("unit_cents"))
-        .transform(tracked_cache)
     )
-    materialize(offers)  # eager: sibling subtrees race a lazy cache fill
     best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_cents").alias("min_cents")
     )

@@ -297,6 +297,22 @@ def staged_events_dir(
     return stage
 
 
+
+# stage dir -> staged-batch schema: the three stateful consumers each
+# ran a batch footer read of b0.parquet per call; the staged files are
+# written once per (session, sf_dir, splits) so the schema is as
+# immutable as the stage itself.
+_STAGE_SCHEMA_MEMO: dict = {}
+
+
+def _staged_schema(spark, stage: str):
+    schema = _STAGE_SCHEMA_MEMO.get(stage)
+    if schema is None:
+        schema = spark.read.parquet(stage + "/b0.parquet").schema
+        _STAGE_SCHEMA_MEMO[stage] = schema
+    return schema
+
+
 def stage_event_batches(
     spark,
     sf_dir: str,
@@ -412,7 +428,7 @@ def sessionize_events_availablenow(
     # sp=16 ≈ 3.85-3.95 s end-to-end incl. staging). Applied on a
     # session clone so the override is scoped to this one plan.
     spark = _streaming_scope(spark, state_partitions=16)
-    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    schema = _staged_schema(spark, stage)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -558,7 +574,7 @@ def rate_limit_events_availablenow(
 
     stage = staged_events_dir(spark, sf_dir, n_splits)
     spark = _streaming_scope(spark, state_partitions=16)
-    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    schema = _staged_schema(spark, stage)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -689,7 +705,7 @@ def cusum_events_availablenow(
         spark, sf_dir, n_splits, extra_cols=("event_type",)
     )
     spark = _streaming_scope(spark, state_partitions=8)
-    schema = spark.read.parquet(f"{stage}/b0.parquet").schema
+    schema = _staged_schema(spark, stage)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

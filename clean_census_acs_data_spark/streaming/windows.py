@@ -72,6 +72,13 @@ def session_agg(events: DataFrame, gap: str = "6 hours") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# (applicationId, sf_dir) -> events.parquet schema. Every streaming
+# entry (and BOTH sources of the two stream-stream joins) ran a batch
+# read just to learn the static schema — a driver-side footer job per
+# call. The file is immutable for a session's lifetime; memoize it.
+_EVENTS_SCHEMA_MEMO: dict = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream. ``ts`` is normalized to
     TimestampType with the SAME dtype guard as the batch loader
@@ -82,7 +89,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    key = (spark.sparkContext.applicationId, sf_dir)
+    raw_schema = _EVENTS_SCHEMA_MEMO.get(key)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _EVENTS_SCHEMA_MEMO[key] = raw_schema
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
