@@ -686,7 +686,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
     dim = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"

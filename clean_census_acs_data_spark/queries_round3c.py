@@ -476,7 +476,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     clicks = (
         _events_stream(spark, sf_dir)
         .where(F.col("event_type") == "click")

@@ -644,7 +644,7 @@ def streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     cells = F.array(*[_cms_cell(F.col("event_type"), d) for d in range(CMS_D)])
     agg = (

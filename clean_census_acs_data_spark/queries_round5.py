@@ -704,7 +704,7 @@ def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("long")
     agg = (

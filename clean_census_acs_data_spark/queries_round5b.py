@@ -498,7 +498,7 @@ def streaming_topk_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.groupBy("event_type")

@@ -58,7 +58,7 @@ def streaming_bitmap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     bit = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BM_WORD} AS INT))"
@@ -101,7 +101,7 @@ def streaming_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     h = ev.select(X.md5_long(F.col("user_id").cast("string")).alias("h"))
     agg = (

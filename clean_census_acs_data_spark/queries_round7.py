@@ -844,7 +844,7 @@ def streaming_minhash_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _streaming_scope,
     )
 
-    spark = _streaming_scope(spark)  # 8 state partitions, clone-scoped
+    spark = _streaming_scope(spark)  # default state partitions, clone-scoped
     ev = _events_stream(spark, sf_dir)
     h = (X.md5_long(F.col("user_id").cast("string")) % MINHASH_M).alias("h")
     fns = F.array(

@@ -420,7 +420,14 @@ def sessionize_events_availablenow(
         _streaming_scope,
     )
 
-    stage = staged_events_dir(spark, sf_dir, n_splits)
+    # staged WITH event_type so all three stateful consumers (sessions,
+    # rate limiter, CUSUM — which needs the column) share ONE memoized
+    # staging pass per session instead of two; the extra column is
+    # inert for consumers that don't select it (r9: saves a full
+    # events scan + partitioned write per bench/correctness sweep).
+    stage = staged_events_dir(
+        spark, sf_dir, n_splits, extra_cols=("event_type",)
+    )
     # 16 state partitions: unlike the JVM streaming entries this one is
     # bound by per-GROUP serializer cost in the Python state workers, so
     # it wants MORE parallelism than the 8-partition default (measured
@@ -572,7 +579,14 @@ def rate_limit_events_availablenow(
         _streaming_scope,
     )
 
-    stage = staged_events_dir(spark, sf_dir, n_splits)
+    # staged WITH event_type so all three stateful consumers (sessions,
+    # rate limiter, CUSUM — which needs the column) share ONE memoized
+    # staging pass per session instead of two; the extra column is
+    # inert for consumers that don't select it (r9: saves a full
+    # events scan + partitioned write per bench/correctness sweep).
+    stage = staged_events_dir(
+        spark, sf_dir, n_splits, extra_cols=("event_type",)
+    )
     spark = _streaming_scope(spark, state_partitions=16)
     schema = _staged_schema(spark, stage)
     stream = (
