@@ -160,6 +160,10 @@ def test_no_degenerate_joins_anywhere(plans):
         "stratified_ate_estimate",  # broadcast 1-row user-count scalar over ranks
         "ann_binary_hamming_topk",  # broadcast 1-row query word-pair
         "source_loo_coverage",  # broadcast 1-row corpus-vocab total
+        "apportion_largest_remainder",  # broadcast 1-row member-total + floor-seat-sum scalars
+        "token_budget_waterfill",  # broadcast 1-row budget-total + water-level scalars
+        "kendall_tau_rankings",  # broadcast 1-row n_items scalar over the pair aggregate
+        "kcenter_coreset_select",  # broadcast 1-row center per greedy round
     }
     for name, p in plans.items():
         base = name.split("/")[0]

@@ -21,16 +21,20 @@ def spark():
 
 def test_partitioned_readback_prunes(spark):
     import hashlib
+    import os
     import tempfile
 
     from clean_census_acs_data_spark.queries_round9 import (
         partitioned_write_prune_scan,
     )
 
-    # run once so the partitioned copy exists
+    # run once so the partitioned copy exists; the entry writes to a
+    # per-process path (md5(sf_dir) + pid — ADVICE r4 #5 race fix), so
+    # the readback must compute the SAME suffix, not rely on a stale
+    # suffix-less dir from an older code version surviving in /tmp
     partitioned_write_prune_scan(spark, SF_DIR).collect()
     tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
-    path = f"{tempfile.gettempdir()}/sparkgraft_part_{tag}"
+    path = f"{tempfile.gettempdir()}/sparkgraft_part_{tag}_{os.getpid()}"
     plan = (
         spark.read.parquet(path)
         .where(F.col("source") == "src1")
