@@ -111,23 +111,16 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     two shingle arrays).
 
     Shape identical to dedup_minhash_lsh through candidate
-    generation (shingle cache materialized once, banded self-join on
-    (band_id, band_key)); the audit then joins the 8-int signature
-    rows — not the shingle arrays — for the estimate, and the arrays
-    only for the ground truth this audit exists to compare against."""
-    docs = spread(D.plant_near_dups(_t(spark, sf_dir, "documents")))
-    toks = X.tokens("text")
-    sh = F.array_distinct(X.shingles(toks, 3))
-    sh_tbl = (
-        docs.select(F.col("doc_id").alias("doc"), sh.alias("sh"))
-        .where(F.size("sh") > 0)
-        .transform(tracked_cache)
-    )
-    sh_tbl.count()
-    hv = F.transform(F.col("sh"), lambda s: X.md5_long(s) % F.lit(MINHASH_M))
-    sig = sh_tbl.select("doc", hv.alias("hv")).select(
-        "doc", *minhash_signature_from_hashes(F.col("hv"), _MH_K)
-    )
+    generation (banded self-join on (band_id, band_key)); the audit
+    then joins the 8-int signature rows — not the shingle arrays — for
+    the estimate, and the arrays only for the ground truth this audit
+    exists to compare against. Both stages come from the session-shared
+    memos (standard_shingle_table / standard_minhash_signatures): this
+    entry used to build private plan-identical caches that only looked
+    cheap while CacheManager substituted an earlier entry's copy —
+    per-entry cache reaping exposed the recompute (round 9)."""
+    sh_tbl = D.standard_shingle_table(spark, sf_dir)
+    sig = D.standard_minhash_signatures(spark, sf_dir)
     band_cols = [
         F.concat_ws("#", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
         for b in range(4)

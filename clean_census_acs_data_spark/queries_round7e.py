@@ -30,17 +30,16 @@ from clean_census_acs_data_spark.operators.dedup import (
     MINHASH_M,
     minhash_signature_from_hashes,
     plant_near_dups,
+    standard_minhash_signatures,
     standard_near_dup_pairs,
 )
 from clean_census_acs_data_spark.operators.layout import morton_code, morton_code_sql
-from clean_census_acs_data_spark.operators.text import md5_long, shingles, tokens
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import (
     H15,
     _MINHASH_ORACLE,
     _SIM_TOPK_ORACLE,
 )
-from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -105,26 +104,20 @@ def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs); the verified pair table is collision-sized, so
     both provenance joins key an 8-byte doc id against it and the
     band-match check compares ≤4 rows per pair."""
-    docs = spread(plant_near_dups(_t(spark, sf_dir, "documents")))
-    toks = tokens(F.col("text"))
-    sh = F.array_distinct(shingles(toks, 3))
-    sh_tbl = docs.select(F.col("doc_id").alias("doc"), sh.alias("sh")).where(
-        F.size("sh") > 0
-    )
-    hv = F.transform(F.col("sh"), lambda s: md5_long(s) % F.lit(MINHASH_M))
-    sig = sh_tbl.select("doc", hv.alias("hv")).select(
-        "doc", *minhash_signature_from_hashes(F.col("hv"), 8)
-    )
+    # signatures from the session-shared memo: this entry used to
+    # recompute the shingle+md5 corpus pass privately — visible only
+    # once per-entry cache reaping stopped CacheManager substituting an
+    # earlier entry's plan-identical cache (round 9)
+    sig = standard_minhash_signatures(spark, sf_dir)
     band_cols = [
         F.concat_ws("#", F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
         for b in range(4)
     ]
-    # cached: both provenance join sides read the band table —
-    # uncached, the shingle + minhash signature pipeline runs per side
+    # banding the cached tiny signature table is a narrow projection —
+    # no private cache needed on top of the shared signature memo
     bands = sig.select(
         "doc", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
-    ).transform(tracked_cache)
-    bands.count()  # eager: the two join sides race a lazy cache fill
+    )
     pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.5).select(
         "doc_a", "doc_b"
     )

@@ -30,7 +30,6 @@ from clean_census_acs_data_spark.operators import text as X
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import H15, _PLANTED_DOCS, _SHINGLES
 from clean_census_acs_data_spark.queries_round3c import _SURVIVOR_ORACLE
-from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -276,27 +275,14 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     changing dedup_minhash_lsh's parameters, alongside
     near_dup_jaccard_histogram (threshold calibration) and
     dedup_pair_provenance (per-pair margins)."""
-    docs = spread(D.plant_near_dups(_t(spark, sf_dir, "documents")))
-    toks = X.tokens("text")
-    shg = F.array_distinct(X.shingles(toks, 3))
-    sh_tbl = (
-        docs.select(F.col("doc_id").alias("doc"), shg.alias("sh"))
-        .where(F.size("sh") > 0)
-        .transform(tracked_cache)
-    )
-    # eager materialization on purpose: the count()'s value is discarded
-    # — it exists to populate the cache ONCE before the sweep loop fans
-    # out, so the shingle pass isn't recomputed per (bands, rpb) config
-    sh_tbl.count()
-    hv = F.transform(F.col("sh"), lambda s: X.md5_long(s) % F.lit(D.MINHASH_M))
-    sig = (
-        sh_tbl.select("doc", hv.alias("hv"))
-        .select("doc", *D.minhash_signature_from_hashes(F.col("hv"), 8))
-        .transform(tracked_cache)
-    )
-    # same pattern: discarded count() warms the signature cache shared
-    # by every banding config below
-    sig.count()
+    # both stages from the session-shared memos (round 9): the sweep
+    # used to build private plan-identical caches of the shingle and
+    # signature tables — cheap-looking only while CacheManager
+    # substituted an earlier entry's live copy; per-entry cache reaping
+    # exposed the recompute. The memos are already eagerly materialized,
+    # so every (bands, rpb) config below reads, never recomputes.
+    sh_tbl = D.standard_shingle_table(spark, sf_dir)
+    sig = D.standard_minhash_signatures(spark, sf_dir)
     outs = []
     for bands, rpb in _SWEEP_CONFIGS:
         band_cols = [
