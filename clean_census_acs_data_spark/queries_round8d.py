@@ -285,6 +285,32 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.standard_minhash_signatures(spark, sf_dir)
     outs = []
     for bands, rpb in _SWEEP_CONFIGS:
+        if (bands, rpb) == (4, 2):
+            # the 4x2 config IS the registry-default banding: its
+            # verified candidate table is exactly the session-memoized
+            # standard pair superset (threshold 0.0) — aggregate that
+            # cached table instead of re-running the banding self-join
+            # and the shingle verification a second time (interleaved
+            # cold A/B at sf0.1: 4.44 s mean with reuse vs 5.49 without)
+            pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.0)
+            outs.append(
+                pairs.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                    F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_verified"),
+                    F.expr(
+                        "cast(sum(case when jaccard >= 0.5 then 1 else 0 end)"
+                        " * 1000000 div count(1) as long)"
+                    ).alias("precision_micro"),
+                ).select(
+                    F.lit(bands).cast("long").alias("bands"),
+                    "n_candidates",
+                    "n_verified",
+                    "precision_micro",
+                )
+            )
+            continue
         band_cols = [
             F.concat_ws(
                 "#", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
