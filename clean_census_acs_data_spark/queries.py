@@ -838,3 +838,4 @@ from clean_census_acs_data_spark import queries_round12m  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round13  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round14  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round15  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round16  # noqa: E402,F401
