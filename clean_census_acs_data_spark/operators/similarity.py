@@ -286,9 +286,19 @@ def cosine_neardup_pairs(
     quantizing inside the pair expression re-runs 2×dim rounds/casts
     per *pair* (O(pairs·dim) redundant work, 6× slower measured at
     sf0.1); pre-quantized long arrays make the per-pair dot a bare
-    integer zip_with fold. Same exact-integer results."""
+    integer zip_with fold. Same exact-integer results.
+
+    The probe side is spread() to core count first: the block join
+    broadcasts the tiny build side, so the pair-generation + dot stage
+    inherits the PROBE side's partitioning — single-row-group local
+    parquet scans as 1-2 splits, serializing O(pairs·dim) integer
+    folds on 2 of 32 cores (measured 6.3 s at sf0.1; ~1 s spread). At
+    100 TB the scan is already thousands of splits and spread is a
+    no-op choice (io.spread docstring)."""
+    from clean_census_acs_data_spark.io import spread
+
     qv = F.transform(F.col(vec_col), lambda x: _quant(x))
-    d = emb.select(
+    d = spread(emb).select(
         F.col(id_col).alias("vid"),
         F.col(block_col).alias("blk"),
         qv.alias("v"),

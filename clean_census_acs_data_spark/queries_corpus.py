@@ -75,8 +75,13 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram; docs over 20% / 60% flag as repetitive. Two same-key
     aggregations (one (doc, gram) shuffle, the rollup reuses the doc_id
     partitioning); per-doc state is bounded by doc length, so the gate
-    runs at corpus scale as a map-heavy pipeline."""
-    return C.repetition_metrics(_t(spark, sf_dir, "documents"), n=2)
+    runs at corpus scale as a map-heavy pipeline. spread() first: the
+    tokenize+explode map side before the (doc, gram) exchange otherwise
+    runs on the local file's 1-2 scan splits (io.spread policy; no-op
+    at real split counts)."""
+    from clean_census_acs_data_spark.io import spread
+
+    return C.repetition_metrics(spread(_t(spark, sf_dir, "documents")), n=2)
 
 
 _DECONTAM_ORACLE = f"""

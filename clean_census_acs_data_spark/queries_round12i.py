@@ -241,7 +241,13 @@ def udtf_ngrams_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield (i + 1, *toks[i : i + n])
 
     spark.udtf.register("ngrams_poly_fn", NGrams)
-    _t(spark, sf_dir, "documents").createOrReplaceTempView("__poly_docs")
+    # spread: the row-at-a-time Python UDTF inherits the scan's 1-2
+    # local splits — Python-worker parallelism is partition-bounded, so
+    # the lateral otherwise serializes on 2 of 32 workers (io.spread
+    # policy; the doc_id filter pushes below the round-robin exchange)
+    from clean_census_acs_data_spark.io import spread
+
+    spread(_t(spark, sf_dir, "documents")).createOrReplaceTempView("__poly_docs")
     return spark.sql(
         """
         SELECT d.doc_id, t.pos, t.g1, t.g2, t.g3

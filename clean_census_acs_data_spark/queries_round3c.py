@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.functions.detmath import det_ln_ratio as DET_LN
+from clean_census_acs_data_spark.io import spread
 from clean_census_acs_data_spark.operators import dedup as D
 from clean_census_acs_data_spark.operators import text as X
 from clean_census_acs_data_spark.queries import _t, register
@@ -772,11 +773,18 @@ def doc_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit md5 of the 8-gram starting at i ≡ 0 (mod 64) — expected
     chunk ~64 chars, and an edit only reshuffles the chunks it touches.
     All higher-order functions (filter/transform over sequences) plus
-    one Generate: no shuffle at any scale; the (chunk_hash → doc)
-    inverted index this feeds is a plain groupBy downstream. DuckDB
-    mirrors the exact hash and spans, so chunk_hash matches
-    bit-for-bit."""
-    d = _t(spark, sf_dir, "documents").where(F.length("text") >= 1)
+    one Generate: the (chunk_hash → doc) inverted index this feeds is
+    a plain groupBy downstream. DuckDB mirrors the exact hash and
+    spans, so chunk_hash matches bit-for-bit.
+
+    spread() first (round 9): the kernel computes an md5 PER CHARACTER
+    POSITION — by far the heaviest per-row compute in the registry —
+    and a single-row-group local file scans as 1-2 splits, serializing
+    it on 2 of 32 cores (3.9 s at sf0.1; ~1 s spread). This is exactly
+    io.spread's documented policy case; the one round-robin Exchange it
+    adds moves only raw doc rows and is a no-op choice once the source
+    has real split counts (the 100-TB case)."""
+    d = spread(_t(spark, sf_dir, "documents").where(F.length("text") >= 1))
     bs = F.expr(
         "concat(array(1),"
         " CASE WHEN length(text) >= 9 THEN"

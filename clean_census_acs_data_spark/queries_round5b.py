@@ -42,7 +42,6 @@ from clean_census_acs_data_spark.operators import dedup as D
 from clean_census_acs_data_spark.queries import register
 from clean_census_acs_data_spark.queries_ext import H15, _quant_list
 from clean_census_acs_data_spark.queries_round5 import _RP_SIGNS, _RP_SIGN_SQL
-from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -430,21 +429,15 @@ def doc_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     table twice, and the exact set intersection runs only on candidate
     pairs — never all pairs. The shingle arrays stay JVM-side
     (array_intersect/size), no UDFs."""
-    docs = D.plant_near_dups(_t(spark, sf_dir, "documents"))
     pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
-    from clean_census_acs_data_spark.operators.text import shingles, tokens
-
-    toks = tokens(F.col("text"))
-    sh = (
-        docs.where(F.size(tokens(F.col("text"))) >= 3)
-        .select("doc_id", F.array_distinct(shingles(toks, 3)).alias("s"))
-        .transform(tracked_cache)
+    # the shingle stage comes from the session-shared memo (round 9):
+    # this entry's private plan-identical cache only looked cheap while
+    # CacheManager substituted an earlier entry's live copy — per-entry
+    # cache reaping exposed the recompute. (tokens >= 3 ⟺ at least one
+    # 3-shingle, so the memo's size(sh) > 0 filter is the same set.)
+    sh = D.standard_shingle_table(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), F.col("sh").alias("s")
     )
-    # materialize now: both join sides consume this table inside one job
-    # — a lazy cache would recompute the shingle pass per subtree (the
-    # same rationale as minhash_lsh_pairs' sh_tbl.count(), measured
-    # 10.4 s -> ~5 s at sf0.1)
-    sh.count()
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     j = (
