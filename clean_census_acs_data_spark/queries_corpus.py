@@ -122,8 +122,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grams join on 60-bit md5 hashes — 8-byte shuffle keys; the eval
     side is small by construction so AQE broadcasts it and the train
     side shuffles once (its distinct). Docs over 10% overlap flag for
-    removal."""
-    docs = _t(spark, sf_dir, "documents")
+    removal. spread() first: the tokenize+5-gram+md5 map side before
+    the distinct exchange otherwise runs on the local file's 1-2 scan
+    splits (io.spread policy; no-op at real split counts; round-9
+    interleaved cold A/B at sf0.1: 2.5 s spread vs 3.6 unspread)."""
+    from clean_census_acs_data_spark.io import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     train = docs.where(F.col("doc_id") % 17 != 0)
     eval_set = docs.where(F.col("doc_id") % 17 == 0)
     return C.ngram_decontaminate(train, eval_set, n=5)

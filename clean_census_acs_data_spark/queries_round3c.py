@@ -640,7 +640,12 @@ def kmeans_lloyd_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB each iteration persists its centroid table and the loop
     is driver-controlled, exactly like connected_components.
 
-    Scale bound: per-row squared distances ≤ dim·(2·max|q|)² ≈ 2.6e14; centroid-update component sums ≤ n_members·2e6 → int64 to ~4.6e12 vectors per cluster."""
+    Scale bound: per-row squared distances ≤ dim·(2·max|q|)² ≈ 2.6e14; centroid-update component sums ≤ n_members·2e6 → int64 to ~4.6e12 vectors per cluster.
+
+    NOT spread: measured (round-9 interleaved cold A/B at sf0.1)
+    spread's 32-partition cache made every iterative scoring join pay
+    task scheduling — 6.5 s vs 4.2 unspread; the 128k-row long matrix
+    is too small to amortize the fan-out."""
     emb = _t(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
