@@ -93,3 +93,26 @@ def test_median_ratio_vs_prev_gauge():
     )
     # too few overlapping keys → None
     assert bench.median_ratio_vs_prev({"queries": {}}, {"a": 1.0}, {}) is None
+
+
+def test_shingle_and_signature_memos_are_shared_and_reap_exempt(spark):
+    """Round-9 memos: the shingle and signature stages are session-
+    shared (reap-exempt) and return the SAME DataFrame handle per
+    (session, sf_dir) — the fix for entries that only looked cheap
+    while CacheManager substituted an earlier entry's private cache."""
+    from clean_census_acs_data_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    sh1 = D.standard_shingle_table(spark, sf)
+    sh2 = D.standard_shingle_table(spark, sf)
+    assert sh1 is sh2  # memoized handle, not a rebuilt plan
+    sig1 = D.standard_minhash_signatures(spark, sf)
+    assert sig1 is D.standard_minhash_signatures(spark, sf)
+    assert sh1.storageLevel.useMemory and sig1.storageLevel.useMemory
+    n_sh, n_sig = sh1.count(), sig1.count()
+    S.reap_tracked_caches()
+    # still cached after a reap (session-shared artifacts, by design)
+    assert sh1.storageLevel.useMemory and sig1.storageLevel.useMemory
+    assert sh1.count() == n_sh and sig1.count() == n_sig
+    # the signature table is exactly one row per shingled doc
+    assert n_sig == n_sh
