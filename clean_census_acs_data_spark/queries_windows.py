@@ -657,8 +657,9 @@ def streaming_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overhead. Scoped to a session clone (shared SparkContext,
     # independent SQLConf) so concurrent queries never observe it;
     # the Python DataSource registration is per-session, so register
-    # on the clone.
-    spark = _streaming_scope(spark, state_partitions=8)
+    # on the clone. sp=2 (the r9 default) re-A/B'd here too: warm
+    # interleaved at sf0.1, sp=2 2.96/3.02 s vs sp=8 3.19/3.56.
+    spark = _streaming_scope(spark, state_partitions=2)
     register_replay_source(spark)
     # Size batches off the parquet footer so the run is always exactly
     # 2 micro-batches at ANY scale factor: per-micro-batch engine +
