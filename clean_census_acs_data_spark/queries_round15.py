@@ -429,8 +429,11 @@ def _busday_w(n: str) -> str:
     # integer division: n is always >= 0 here (dates are post-1970), so
     # truncation (Spark DIV) == floor (DuckDB //); the shared /-free
     # spelling below parses as integer division on both engines via DIV
-    # (Spark) and // (DuckDB) — interpolated per engine.
-    return f"(5 * ({n}) {{div}} 7 + {_BUSDAY_PREFIX.format(n=n)})"
+    # (Spark) and // (DuckDB) — interpolated per engine. The inner
+    # parens around (n) {div} 7 are load-bearing: *, DIV and // share
+    # precedence and left-associate on both engines, so the unparenthesized
+    # form would compute (5*n) div 7, not 5*(n div 7).
+    return f"(5 * (({n}) {{div}} 7) + {_BUSDAY_PREFIX.format(n=n)})"
 
 
 _BUSDAY_ORACLE = f"""

@@ -79,13 +79,20 @@ def test_business_day_latency_bounds(spark):
 
 
 def test_busday_closed_form_matches_naive_count(spark):
-    # the W(n) closed form against a literal day walk, over a span
-    # crossing several weekends and the epoch-day mod-7 phase
+    # the GENERATED W(n) SQL text (not a hand-written re-derivation,
+    # which once green-lit an operator-precedence bug: 5*(n) DIV 7
+    # parses as (5*n) DIV 7) against a literal day walk, driven through
+    # a real engine so the precedence the engine applies is what's
+    # tested — over spans crossing weekends and every mod-7 phase
     from datetime import date, timedelta
 
+    import duckdb
+
+    from clean_census_acs_data_spark.queries_round15 import _busday_w
+
     def w(n: int) -> int:
-        prefix = [0, 1, 2, 2, 2, 3, 4]
-        return 5 * (n // 7) + prefix[n % 7]
+        sql = _busday_w(str(n)).format(div="//")
+        return duckdb.sql(f"SELECT {sql} AS w").fetchone()[0]
 
     def naive(a: date, b: date) -> int:
         d, cnt = a, 0
@@ -102,3 +109,12 @@ def test_busday_closed_form_matches_naive_count(spark):
             b = a + timedelta(days=span)
             na, nb = (a - epoch).days, (b - epoch).days
             assert w(nb) - w(na) == naive(a, b), (a, b)
+    # and the Spark spelling agrees with the DuckDB spelling for a
+    # sample of epoch days (both engines evaluate the shared text)
+    samples = [0, 1, 2, 3, 4, 5, 6, 7, 8035, 8041, 10000]
+    spark_vals = spark.sql(
+        "SELECT "
+        + ", ".join(f"{_busday_w(str(n)).format(div='DIV')} AS w{i}" for i, n in enumerate(samples))
+    ).collect()[0]
+    for i, n in enumerate(samples):
+        assert spark_vals[f"w{i}"] == w(n), n
