@@ -103,7 +103,20 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     if shingle_tbl is not None:
         # caller supplies the session-shared materialized shingle stage
-        # (standard_shingle_table) — already cached + eagerly counted
+        # (standard_shingle_table) — already cached + eagerly counted.
+        # The injected table REPLACES the shingling stage entirely, so
+        # shingling parameters passed alongside it would be silently
+        # ignored — reject the combination rather than return pairs
+        # computed from a different corpus/shingle-n than the caller
+        # asked for (ADVICE r9).
+        if shingle_n != 3 or id_col != "doc_id" or text_col != "text":
+            raise ValueError(
+                "shingle_tbl replaces the shingling stage: it cannot be "
+                "combined with non-default shingle_n/id_col/text_col "
+                f"(got shingle_n={shingle_n}, id_col={id_col!r}, "
+                f"text_col={text_col!r}); build the table with those "
+                "parameters instead, or omit shingle_tbl"
+            )
         sh_tbl = shingle_tbl
     else:
         # parallelize the md5-shingling stage across all cores regardless
@@ -377,6 +390,18 @@ _STD_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _STD_SHINGLES_MEMO: dict[tuple[str, str], DataFrame] = {}
 _STD_SIG_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+# Reap-exempt ≠ immortal (ADVICE r9): these memos are registered with
+# session.teardown_shared_memos(), the explicit unpersist+clear hook
+# for long-lived sessions. Caveat: after spark.catalog.clearCache() or
+# a data refresh under a memoized sf_dir, the handles go STALE — still
+# valid plans, but every read silently recomputes; call
+# teardown_shared_memos() BEFORE such an event so the next access
+# re-fills cleanly.
+from clean_census_acs_data_spark.session import register_shared_memo  # noqa: E402
+
+for _memo in (_STD_PAIRS_MEMO, _STD_COMPONENTS_MEMO, _STD_SHINGLES_MEMO, _STD_SIG_MEMO):
+    register_shared_memo(_memo)
+
 
 def standard_shingle_table(spark, sf_dir: str) -> DataFrame:
     """The repo-standard materialized shingle stage: (doc, sh) distinct
@@ -481,6 +506,7 @@ def standard_near_dup_pairs(
 
 
 _STD_UND_MEMO: dict[tuple[str, str, float], DataFrame] = {}
+register_shared_memo(_STD_UND_MEMO)  # localCheckpoint handles: unpersist no-ops, clear() frees them
 
 
 def standard_undirected_edges(

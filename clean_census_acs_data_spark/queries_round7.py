@@ -253,7 +253,12 @@ SELECT vec_id, neighbor_id, cosine, CAST(nn_rank AS BIGINT) AS nn_rank FROM (
 # cache reaper would defeat). The internal cache() is deliberately
 # NOT tracked_cache — it is a protected cross-entry artifact, the
 # persisted IVF index of a production ANN pipeline.
-_KNN_STAGES_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_KNN_STAGES_MEMO: dict[tuple, tuple[DataFrame, DataFrame, DataFrame]] = {}
+# third slot = the internal cached `sel` stage, kept so the session
+# teardown hook can unpersist it (ADVICE r9: reap-exempt ≠ immortal)
+from clean_census_acs_data_spark.session import register_shared_memo  # noqa: E402
+
+register_shared_memo(_KNN_STAGES_MEMO, handles=lambda v: v[2:])
 
 
 def _knn_ivf_stages(
@@ -282,7 +287,7 @@ def _knn_ivf_stages(
     )
     memo = _KNN_STAGES_MEMO.get(key)
     if memo is not None:
-        return memo
+        return memo[0], memo[1]
     base = S._quantized(spread(_t(spark, sf_dir, "embeddings")), "vec_id", "embedding")
     if n_centroids is None:
         # same k as the oracle's scalar subquery: ceil(sqrt(count))
@@ -333,7 +338,7 @@ def _knn_ivf_stages(
             "centroid_id",
         )
     )
-    _KNN_STAGES_MEMO[key] = (probe_rows, candidates)
+    _KNN_STAGES_MEMO[key] = (probe_rows, candidates, sel)
     return probe_rows, candidates
 
 

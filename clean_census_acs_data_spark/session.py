@@ -343,6 +343,50 @@ def materialize(df) -> None:
         df.count()
 
 
+# Session-SHARED memos (dedup's standard shingle/signature/pair/edge
+# tables, round7's IVF stages) are reap-EXEMPT by design but must not
+# be immortal: a long-lived session serving many (applicationId,
+# sf_dir) combinations accumulates one cached table per key with no
+# eviction path, and after spark.catalog.clearCache() (or a data
+# refresh under the same path) the memoized handles go STALE — they
+# keep working but silently recompute on every read, which is worse
+# than a fresh fill. Modules owning such a memo register it here;
+# teardown_shared_memos() is the explicit end-of-session/refresh hook
+# (ADVICE r9). Each registration is (memo_dict, handles_fn) where
+# handles_fn maps a memo VALUE to the list of cached DataFrames to
+# unpersist (values may be tuples of frames).
+
+_SHARED_MEMO_REGISTRY: list[tuple[dict, object]] = []
+
+
+def register_shared_memo(memo: dict, handles=None) -> None:
+    """Register a session-shared memo dict so teardown_shared_memos()
+    can unpersist its cached frames and clear it. ``handles`` maps a
+    memo value to an iterable of DataFrames (default: the value itself
+    is a single DataFrame)."""
+    _SHARED_MEMO_REGISTRY.append((memo, handles or (lambda v: (v,))))
+
+
+def teardown_shared_memos() -> int:
+    """Unpersist and clear every registered session-shared memo;
+    returns how many frames were unpersisted.
+
+    Call on session end, or BEFORE spark.catalog.clearCache() / a data
+    refresh under a memoized sf_dir — otherwise the memos hold handles
+    to evicted caches and silently recompute per read."""
+    n = 0
+    for memo, handles in _SHARED_MEMO_REGISTRY:
+        for v in list(memo.values()):
+            for df in handles(v):
+                try:
+                    df.unpersist()
+                    n += 1
+                except Exception:  # session already stopped
+                    pass
+        memo.clear()
+    return n
+
+
 def reap_tracked_caches() -> int:
     """Unpersist every tracked entry-local cache; returns how many.
 

@@ -95,6 +95,61 @@ def test_median_ratio_vs_prev_gauge():
     assert bench.median_ratio_vs_prev({"queries": {}}, {"a": 1.0}, {}) is None
 
 
+def test_teardown_shared_memos_unpersists_and_clears(spark):
+    """ADVICE r9: reap-exempt memos need an explicit end-of-session /
+    pre-clearCache teardown path. teardown_shared_memos() unpersists
+    the cached frames, clears every registered memo dict, and the next
+    access re-fills cleanly (fresh handle, same rows)."""
+    from clean_census_acs_data_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    sh1 = D.standard_shingle_table(spark, sf)
+    n = sh1.count()
+    assert sh1.storageLevel.useMemory
+    freed = S.teardown_shared_memos()
+    assert freed >= 1
+    assert not sh1.storageLevel.useMemory
+    assert not D._STD_SHINGLES_MEMO and not D._STD_SIG_MEMO
+    # idempotent + safe when empty
+    assert S.teardown_shared_memos() == 0
+    # next access re-fills: NEW handle, identical contents
+    sh2 = D.standard_shingle_table(spark, sf)
+    assert sh2 is not sh1
+    assert sh2.count() == n and sh2.storageLevel.useMemory
+
+
+def test_knn_memo_teardown_frees_internal_cache(spark):
+    """The IVF stages memo stores its internal cached `sel` stage so
+    teardown can actually free blocks (the returned probe/candidate
+    frames are uncached derivations)."""
+    from clean_census_acs_data_spark import queries_round7 as R7
+
+    sf = "/root/testdata/sf0.001"
+    R7._knn_ivf_stages(spark, sf)
+    assert R7._KNN_STAGES_MEMO
+    sel = next(iter(R7._KNN_STAGES_MEMO.values()))[2]
+    assert sel.storageLevel.useMemory
+    S.teardown_shared_memos()
+    assert not R7._KNN_STAGES_MEMO
+    assert not sel.storageLevel.useMemory
+
+
+def test_minhash_lsh_rejects_shingle_tbl_param_conflict(spark):
+    """ADVICE r9: an injected shingle_tbl replaces the shingling stage,
+    so pairing it with non-default shingle params must raise instead of
+    silently returning pairs from a different corpus/shingle-n."""
+    import pytest
+
+    from clean_census_acs_data_spark.operators import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    tbl = D.standard_shingle_table(spark, sf)
+    with pytest.raises(ValueError, match="shingle_tbl"):
+        D.minhash_lsh_pairs(None, shingle_tbl=tbl, shingle_n=5)
+    with pytest.raises(ValueError, match="shingle_tbl"):
+        D.minhash_lsh_pairs(None, shingle_tbl=tbl, id_col="other")
+
+
 def test_shingle_and_signature_memos_are_shared_and_reap_exempt(spark):
     """Round-9 memos: the shingle and signature stages are session-
     shared (reap-exempt) and return the SAME DataFrame handle per
