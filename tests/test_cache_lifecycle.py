@@ -95,6 +95,41 @@ def test_median_ratio_vs_prev_gauge():
     assert bench.median_ratio_vs_prev({"queries": {}}, {"a": 1.0}, {}) is None
 
 
+def test_pinned_ratio_gauge_and_skew_refusal():
+    """VERDICT r9 #3: the pinned sentinel gauge reads pure box skew
+    (trivial untouched plans only) and gates the round-keyed artifact
+    write at PINNED_SKEW_BOUND."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    pins = bench.PINNED_SENTINELS
+    assert len(pins) >= 10
+    prev = {"queries": {k: 0.5 for k in pins}, "secondary": {}}
+    # quiet box: sentinels ~1.0x, heavy entries 3x cannot move the gauge
+    cur = {k: 0.55 for k in pins}
+    cur["dedup_ngram_jaccard"] = 40.0
+    assert bench.pinned_ratio_vs_prev(prev, cur, {}) == 1.1
+    assert not bench.refuse_round_artifact(1.1)
+    # skewed box: sentinels 1.5x -> refuse
+    assert bench.pinned_ratio_vs_prev(prev, {k: 0.75 for k in pins}, {}) == 1.5
+    assert bench.refuse_round_artifact(1.5)
+    assert not bench.refuse_round_artifact(None)  # no prior artifact: stamp
+    assert not bench.refuse_round_artifact(bench.PINNED_SKEW_BOUND)  # bound inclusive
+    # sub-0.15s prior sentinels are timer noise -> excluded -> None
+    prev_small = {"queries": {k: 0.01 for k in pins}, "secondary": {}}
+    assert bench.pinned_ratio_vs_prev(prev_small, {k: 1.0 for k in pins}, {}) is None
+    # every sentinel is a real registered query (list can't rot)
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    assert all(k in QUERIES for k in pins)
+
+
 def test_teardown_shared_memos_unpersists_and_clears(spark):
     """ADVICE r9: reap-exempt memos need an explicit end-of-session /
     pre-clearCache teardown path. teardown_shared_memos() unpersists
