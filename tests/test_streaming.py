@@ -570,6 +570,43 @@ def test_rate_limiter_query_deterministic(spark):
     assert rows_a == sorted(map(tuple, b.collect()))
 
 
+def test_rate_limiter_split_invariance(spark):
+    """Replay-split invariance (justifies the n_splits=1 registered
+    default, r10): staged batches are fixed TIME splits, so the
+    per-key admission fold visits events in the same order at any
+    split count — the admitted set and balances must be identical."""
+    from clean_census_acs_data_spark.streaming.stateful import (
+        rate_limit_events_availablenow,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        n: sorted(
+            map(tuple, rate_limit_events_availablenow(spark, sf, n_splits=n).collect())
+        )
+        for n in (1, 3)
+    }
+    assert rows[1] and rows[1] == rows[3]
+
+
+def test_stateful_sessionizer_split_invariance(spark):
+    """Same property for the sessionizer: only the FINAL watermark
+    decides the trailing session (the oracle's closed form), so the
+    emitted session set is split-invariant."""
+    from clean_census_acs_data_spark.streaming.stateful import (
+        sessionize_events_availablenow,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        n: sorted(
+            map(tuple, sessionize_events_availablenow(spark, sf, n_splits=n).collect())
+        )
+        for n in (1, 3)
+    }
+    assert rows[1] and rows[1] == rows[3]
+
+
 def test_stateful_sessionizer_carry_continuation(spark, tmp_path):
     """Regression (round-10 review): an open session carried in state
     whose next batch's FIRST event falls WITHIN the gap must merge into
