@@ -119,3 +119,120 @@ def connected_components(
 
     adj.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components via the alternating LARGE-STAR / SMALL-STAR
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the module docstring's long-promised alternative
+    to min-label propagation. Per phase, every node u with neighborhood
+    Γ(u) and m = min(Γ(u) ∪ {u}):
+
+    - large-star: re-attach every STRICTLY LARGER neighbor to m —
+      emit (x, m) for x ∈ Γ(u), x > u
+    - small-star: re-attach every smaller neighbor AND u itself to m —
+      emit (x, m) for x ∈ Γ(u), x < u, plus (u, m)
+
+    Alternating the two provably converges in O(log² n) rounds to a
+    star forest rooted at each component's MINIMUM id — the same
+    (doc_id, component_id) mapping min-label propagation reaches, so
+    the two algorithms share one oracle. The win over plain label
+    propagation is diameter-independence: a 10⁶-hop chain needs 10⁶
+    propagation rounds but only ~⌈log²⌉ star rounds; pointer-jumping
+    (connected_components above) gets O(log d) — this gets it while
+    touching only the EDGE LIST (no separate label table), the shape
+    MapReduce-era CC jobs shipped.
+
+    Spark shape per phase: one symmetrize (projection union), one
+    groupBy(u).min (partial-agg shuffle on vertex id), one equi-join
+    back to the symmetrized edges, one distinct — all whole-stage
+    codegen; the edge list is eagerly localCheckpoint-ed per phase
+    (O(1) plan depth, the iterative-DataFrame discipline). Convergence
+    is an edge-multiset signature (count + xxhash64 sum) compare — two
+    driver-sized actions per round on a collision-sized frame.
+    """
+    spark = edges.sparkSession  # noqa: F841 — parity with sibling signature
+
+    # canonical (lo, hi) undirected edge list, self-loops dropped
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # original vertex set — the output must cover every edge-touching
+    # vertex (roots stop appearing on the child side at convergence)
+    vertices = (
+        e.select(F.col("lo").alias("doc_id"))
+        .union(e.select(F.col("hi").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(cur: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-free like sum, but cannot overflow
+        # under ANSI mode (a sum of int64 hashes does), and the edge
+        # list is distinct so the multiset IS a set — xor is a faithful
+        # set signature
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("sig"),
+        ).collect()[0]
+        return int(row["n"]), int(row["sig"])
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
+            cur.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        joined = sym.join(mins, "a")
+        if large:
+            out = joined.where(F.col("b") > F.col("a")).select(
+                F.col("m").alias("lo"), F.col("b").alias("hi")
+            )
+        else:
+            out = (
+                joined.where(F.col("b") < F.col("a"))
+                .select(F.col("m").alias("lo"), F.col("b").alias("hi"))
+                .union(
+                    mins.select(F.col("m").alias("lo"), F.col("a").alias("hi"))
+                )
+            )
+        # m = min(Γ(a) ∪ {a}) ≤ every emitted partner, so (m, x) is
+        # already canonical; x == m rows are self-loops — drop them
+        return out.where(F.col("lo") != F.col("hi")).distinct().localCheckpoint(
+            eager=True
+        )
+
+    sig = _signature(e)
+    for _ in range(max_iters):
+        e = _star(e, large=True)
+        e = _star(e, large=False)
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"two-phase components did not converge in {max_iters} rounds"
+        )
+
+    # star forest: every non-root appears exactly once as hi with its
+    # root as lo; roots map to themselves
+    return vertices.join(
+        e.select(F.col("hi").alias("doc_id"), F.col("lo").alias("root")),
+        "doc_id",
+        "left",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.coalesce(F.col("root"), F.col("doc_id")).cast("long").alias("component_id"),
+    )

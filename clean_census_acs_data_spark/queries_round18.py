@@ -1,0 +1,346 @@
+"""Round-18 tier: rank statistics, information theory, string-similarity
+join pruning, and the MapReduce-classic components algorithm.
+
+- ``spearman_rho_exact``      — per-nation Spearman rank correlation with
+  tie-averaged ranks kept EXACT via integer double-ranks (2·rank+ties−1);
+  every sum is int64, the only float ops are the shared-text final
+  division and an IEEE-correctly-rounded sqrt.
+- ``mutual_information_cells`` — exact mutual information between
+  l_returnflag and l_linestatus in integer micro-nats via the
+  deterministic atanh-series ln (functions/detmath), decomposed
+  sign-definite as ln(N/c_x) − ln(c_y/c_xy).
+- ``edjoin_edit_distance_pairs`` — Ed-Join-style edit-similarity join
+  (Xiao et al., VLDB'08): lossless df-ordered q-gram PREFIX filter +
+  length filter prune candidates, banded levenshtein verifies.
+- ``components_large_star``   — connected components via the alternating
+  large-star/small-star algorithm (Kiveris et al., SoCC'14); same
+  oracle as dedup_components — two algorithms, one fixpoint.
+
+Determinism discipline per the package standard: integer cents/ranks/
+counts, micro-nat quantization of deterministic doubles BEFORE integer
+sums, single final divisions, IEEE-exact sqrt only.
+
+Reference tie: none (SURVEY.md §2D engine-extension tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.functions.detmath import det_ln_ratio
+from clean_census_acs_data_spark.io import load_table, register_views
+from clean_census_acs_data_spark.queries import register
+from clean_census_acs_data_spark.queries_ext import _COMPONENTS_ORACLE, _PLANTED_DOCS
+from clean_census_acs_data_spark.session import tracked_cache
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation, tie-exact via integer double-ranks
+# ---------------------------------------------------------------------------
+
+# ONE dialect-shared text: Spark runs it via spark.sql on registered
+# views, DuckDB runs it verbatim — bit-parity by construction. The
+# tie-averaged rank r + (c−1)/2 is kept integer as the DOUBLE-RANK
+# 2·rank + c − 1; Spearman = Pearson on (double-)ranks, and scaling
+# both variables by 2 cancels in rho. All sums are exact int64; the
+# final expression is int64→double conversions (exact to 2^53), one
+# multiply, one IEEE-correctly-rounded sqrt, one division — the only
+# transcendental-free float tail the repo's detmath contract allows.
+_SPEARMAN_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS cust,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+base AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+         s.spend_cents
+  FROM customer c JOIN spend s ON c.c_custkey = s.cust
+),
+r AS (
+  SELECT nk,
+         CAST(2 * RANK() OVER (PARTITION BY nk ORDER BY bal_cents)
+              + COUNT(*) OVER (PARTITION BY nk, bal_cents) - 1 AS BIGINT)
+           AS drx,
+         CAST(2 * RANK() OVER (PARTITION BY nk ORDER BY spend_cents)
+              + COUNT(*) OVER (PARTITION BY nk, spend_cents) - 1 AS BIGINT)
+           AS dry
+  FROM base
+),
+agg AS (
+  SELECT nk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(drx * dry) AS BIGINT) AS sxy,
+         CAST(SUM(drx) AS BIGINT) AS sx,
+         CAST(SUM(dry) AS BIGINT) AS sy,
+         CAST(SUM(drx * drx) AS BIGINT) AS sxx,
+         CAST(SUM(dry * dry) AS BIGINT) AS syy
+  FROM r GROUP BY nk
+)
+SELECT nat.n_name AS nation_name,
+       a.n AS n_cust,
+       CAST(a.n * a.sxy - a.sx * a.sy AS BIGINT) AS rho_num,
+       CASE WHEN (a.n * a.sxx - a.sx * a.sx) > 0
+             AND (a.n * a.syy - a.sy * a.sy) > 0
+            THEN CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE)
+                 / sqrt(CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE)
+                        * CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE))
+            ELSE NULL END AS spearman_rho
+FROM agg a JOIN nation nat ON a.nk = nat.n_nationkey
+"""
+
+
+@register("spearman_rho_exact", oracle=_SPEARMAN_SQL)
+def spearman_rho_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Spearman rank correlation between a customer's account
+    balance and their total order spend — the tie-robust monotone-
+    association companion to kendall_tau_rankings (which counts pair
+    concordance) and stats_corr_covar (Pearson on raw values). Ranks
+    use the standard tie-average, kept EXACT as integer double-ranks
+    (2·rank + tie_count − 1 = twice the average rank); the uniform ×2
+    cancels in rho, so the statistic is textbook Spearman with no float
+    rank arithmetic anywhere.
+
+    100-TB shape: one groupBy(custkey) partial agg, a fact⋈fact equi
+    join, two ranking windows partitioned by the 25-value nation key
+    (the skew-bounded partition column), then a 25-row aggregate — the
+    windows are the dominant exchange, same profile as window_rank.
+    Scale bound: double-ranks ≤ 2n per nation; n·Σ(drx·dry) ≤ 4n⁴ —
+    int64-exact to n ≈ 1.2×10⁹ customers per nation, and the final
+    int64→double conversions stay 2^53-exact to n ≈ 1.5×10⁴ per nation
+    (beyond that both engines round the SAME shared-text conversion
+    identically, so parity holds even when the last ulp is lossy)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SPEARMAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# exact mutual information in integer micro-nats
+# ---------------------------------------------------------------------------
+
+
+def _mi_sql(div: str) -> str:
+    # PMI(x,y) = ln(N·c_xy / (c_x·c_y)) decomposed SIGN-DEFINITE into
+    # ln(N/c_x) − ln(c_y/c_xy): both ratios ≥ 1 by construction
+    # (marginals bound cells), so each term is one det_ln_ratio on its
+    # natural ≥1 orientation — the r7 discipline that also avoids the
+    # BIGINT overflow of cross-multiplied single-ratio forms.
+    t1 = det_ln_ratio("n", "c_x", div=div)
+    t2 = det_ln_ratio("c_y", "c_xy", div=div)
+    return f"""
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+m AS (
+  SELECT l_returnflag, l_linestatus, c_xy,
+         CAST(SUM(c_xy) OVER (PARTITION BY l_returnflag) AS BIGINT) AS c_x,
+         CAST(SUM(c_xy) OVER (PARTITION BY l_linestatus) AS BIGINT) AS c_y,
+         CAST(SUM(c_xy) OVER () AS BIGINT) AS n
+  FROM c
+),
+p AS (
+  SELECT l_returnflag, l_linestatus, c_xy, c_x, c_y, n,
+         CAST(ROUND(({t1} - {t2}) * 1E6) AS BIGINT) AS pmi_micro_nats
+  FROM m
+)
+SELECT l_returnflag, l_linestatus, c_xy, c_x, c_y, pmi_micro_nats,
+       CAST(c_xy * pmi_micro_nats AS BIGINT) AS contrib_micro,
+       CAST(SUM(c_xy * pmi_micro_nats) OVER () AS BIGINT) AS mi_sum_micro,
+       CAST(SUM(c_xy * pmi_micro_nats) OVER () AS DOUBLE)
+         / CAST(n AS DOUBLE) / 1E6 AS mi_nats
+FROM p
+"""
+
+
+@register("mutual_information_cells", oracle=_mi_sql("//"))
+def mutual_information_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information between l_returnflag and l_linestatus
+    (TPC-H's canonically dependent pair: returns only exist for old
+    shipdates, status F only for recent ones) — per-cell PMI plus the
+    count-weighted MI total, the feature-dependence score a training
+    pipeline uses to drop redundant categoricals and audit label
+    leakage. Each cell's ln is the deterministic atanh-series
+    (micro-nat-quantized BEFORE the integer contribution sum, so the
+    cross-cell total is order-free); MI itself is one final shared-text
+    division pair.
+
+    100-TB shape: one partial-agg scan to the (|X|·|Y|)-cell frame,
+    then in-frame windows over ≤ dozens of rows — marginals never
+    re-scan the fact table. Scale bound: pmi_micro ≤ 44·10⁶ (ln of any
+    int64 ratio < 44 nats); Σ c_xy·pmi_micro ≤ 4.4·10⁷·N — int64 to
+    N ≈ 2×10¹¹ rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_mi_sql("DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Ed-Join: edit-distance similarity join with lossless prefix pruning
+# ---------------------------------------------------------------------------
+
+_EDJOIN_Q = 3  # q-gram width
+_EDJOIN_D = 10  # edit-distance threshold
+
+# The oracle is the NAIVE definition (block-free pair join + full
+# levenshtein): the Spark side's prefix filter is a candidate-pruning
+# device and must be LOSSLESS, so the verified output is filter-
+# independent — exactly what the hash check proves. Two EXACT lower
+# bounds keep DuckDB's unbanded O(n·m) levenshtein off the 6k+
+# length-compatible pairs: |Δlen| ≤ d, and the character-bag bound
+# ed ≥ L1(char histograms)/2 (a substitution moves two counts by 1,
+# an indel one — and untracked characters only make the bound
+# LOOSER, never wrong). The CTE is MATERIALIZED because DuckDB
+# otherwise reorders the cheap bounds BEHIND the levenshtein call
+# (measured 24 s → 0.6 s at sf0.01). Documents shorter than q chars
+# carry no q-gram signature and are outside the operator's declared
+# domain on BOTH sides (fixtures: min length 48).
+_EDJOIN_HIST = (
+    "list_transform(string_split('a b c d e f g h i j k l m n o p q r s t"
+    " u v w x y z', ' ') || [' '],"
+    " ch -> length(text) - length(replace(text, ch, '')))"
+)
+
+_EDJOIN_ORACLE = f"""
+WITH base AS ({_PLANTED_DOCS}),
+d AS (
+  SELECT doc_id, text, {_EDJOIN_HIST} AS h
+  FROM base WHERE length(text) >= {_EDJOIN_Q}
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+  FROM d a JOIN d b
+    ON a.doc_id < b.doc_id
+   AND abs(length(a.text) - length(b.text)) <= {_EDJOIN_D}
+   AND list_sum(list_transform(range(1, 28), j -> abs(a.h[j] - b.h[j])))
+       <= {2 * _EDJOIN_D}
+)
+SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance
+FROM cand WHERE levenshtein(ta, tb) <= {_EDJOIN_D}
+"""
+
+
+@register("edjoin_edit_distance_pairs", oracle=_EDJOIN_ORACLE)
+def edjoin_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT edit-distance similarity join (levenshtein ≤ d = 10) over
+    the planted corpus — the edit-distance complement of
+    setsim_join_prefix_filter (PPJoin, Jaccard): together they cover
+    both classic exact string-similarity-join regimes. Finds every
+    planted first-token-dropped near-dup (ed = len(token)+1 ≤ 10).
+
+    Plan: SLIDING LENGTH BLOCKS generate candidates exactly once
+    (bucket = len div d; a pair with |Δlen| ≤ d differs by ≤ 1 bucket,
+    so exploding one side to {b−1, b, b+1} and keying the other on b
+    meets every qualifying pair exactly once — no dedup pass), then
+    TWO exact lower bounds prune before the quadratic step: the length
+    bound itself and the character-bag bound ed ≥ L1(char counts)/2
+    (one substitution moves two counts by 1, one indel moves one;
+    untracked characters only loosen it). Survivors get a BANDED
+    levenshtein verify (Spark's 3-arg form is O(d·len), not O(len²)).
+
+    Rejected alternative, measured: Ed-Join's df-ordered q-gram PREFIX
+    filter (Xiao et al., VLDB'08 — order grams rarest-first, join on
+    the first q·d+1; lossless by the prefix lemma) was implemented
+    first and is counterproductive on this corpus: the word-soup
+    vocabulary is 377 distinct trigrams over 5 500 docs (2 041 at q=5,
+    6 344 at q=7), so every gram is a stopword and the prefix join
+    generates Σp² = 1.1×10⁸ candidate rows at q=3 (6.0×10⁷ at q=5) —
+    43–78 s at sf0.1 vs ~3 s for this plan. The bag bound is the form
+    of Ed-Join's count-filtering that survives stopword-dominated
+    vocabularies.
+
+    100-TB shape: candidate volume is Σ_b n_b·(n_{b−1}+n_b+n_{b+1}) —
+    quadratic in the LENGTH-BLOCK occupancy, not the corpus, and the
+    blocks carry only (id, len, 27-int histogram) through the shuffle
+    (texts join AFTER both bounds, survivor-sized). As the exact-verify
+    kernel it runs downstream of a blocking key (source/lang) or an
+    LSH prescreen at corpus scale, exactly like ngram_jaccard. Scale
+    bound: all counts int64; histogram entries ≤ len < 2³¹."""
+    from clean_census_acs_data_spark.operators.dedup import plant_near_dups
+
+    q, d = _EDJOIN_Q, _EDJOIN_D
+    hist = F.expr(
+        "transform(split('a b c d e f g h i j k l m n o p q r s t u v w x y z',"
+        " ' ') || array(' '),"
+        " ch -> length(text) - length(replace(text, ch)))"
+    )
+    corpus = (
+        plant_near_dups(_t(spark, sf_dir, "documents"))
+        .where(F.length("text") >= q)
+        .select("doc_id", F.length("text").alias("len"), hist.alias("h"))
+        .withColumn("bucket", F.expr(f"len DIV {d}"))
+        .transform(tracked_cache)  # both block-join sides read it
+    )
+    corpus.count()
+    left = corpus.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("len").alias("la"),
+        F.col("h").alias("ha"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("k"),
+    )
+    right = corpus.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("len").alias("lb"),
+        F.col("h").alias("hb"),
+        F.col("bucket").alias("k"),
+    )
+    bag_l1 = F.expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0, (a, v) -> a + v)")
+    survivors = (
+        left.join(right, "k")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.abs(F.col("la") - F.col("lb")) <= d)
+        .where(bag_l1 <= 2 * d)  # exact bound: one edit moves L1 by ≤ 2
+        .select("doc_a", "doc_b")
+    )
+    texts = plant_near_dups(_t(spark, sf_dir, "documents")).where(
+        F.length("text") >= q
+    )
+    ta = texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    ed = F.expr(f"levenshtein(ta, tb, {d})")  # banded; -1 when > d
+    return (
+        survivors.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", ed.cast("long").alias("edit_distance"))
+        .where(F.col("edit_distance") >= 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components, the MapReduce way: large-star / small-star
+# ---------------------------------------------------------------------------
+
+
+@register("components_large_star", oracle=_COMPONENTS_ORACLE)
+def components_large_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the standard near-dup pair graph via
+    the alternating LARGE-STAR/SMALL-STAR algorithm (Kiveris et al.,
+    SoCC'14) — the diameter-independent MapReduce classic
+    operators/components.py's docstring cites as the adversarial-graph
+    alternative to min-label propagation, now implemented
+    (connected_components_two_phase). Both algorithms reach the same
+    min-rooted fixpoint, so this entry shares dedup_components' oracle
+    verbatim: one transitive-closure truth, two distributed algorithms
+    hash-checked against it.
+
+    100-TB shape: each phase touches only the EDGE LIST (symmetrize →
+    vertex-keyed min agg → equi-join back → distinct), no separate
+    label table; O(log² n) rounds regardless of diameter, each round
+    eagerly localCheckpoint-ed (O(1) plan depth). Convergence is a
+    count+xxhash64 edge-multiset signature — two driver-sized actions
+    per round on a collision-sized frame."""
+    from clean_census_acs_data_spark.operators.components import (
+        connected_components_two_phase,
+    )
+    from clean_census_acs_data_spark.operators.dedup import standard_near_dup_pairs
+
+    pairs = standard_near_dup_pairs(spark, sf_dir, threshold=0.5)
+    return connected_components_two_phase(pairs)
