@@ -315,6 +315,71 @@ def edjoin_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DataFrame.transpose — Spark 4 relational-transpose surface
+# ---------------------------------------------------------------------------
+
+_TRANSPOSE_ORACLE = """
+WITH a AS (
+  SELECT l_returnflag AS f,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS net_cents
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT 'n_items' AS key,
+       CAST(MAX(CASE WHEN f = 'A' THEN n_items END) AS BIGINT) AS A,
+       CAST(MAX(CASE WHEN f = 'N' THEN n_items END) AS BIGINT) AS N,
+       CAST(MAX(CASE WHEN f = 'R' THEN n_items END) AS BIGINT) AS R
+FROM a
+UNION ALL
+SELECT 'qty_sum',
+       CAST(MAX(CASE WHEN f = 'A' THEN qty_sum END) AS BIGINT),
+       CAST(MAX(CASE WHEN f = 'N' THEN qty_sum END) AS BIGINT),
+       CAST(MAX(CASE WHEN f = 'R' THEN qty_sum END) AS BIGINT)
+FROM a
+UNION ALL
+SELECT 'net_cents',
+       CAST(MAX(CASE WHEN f = 'A' THEN net_cents END) AS BIGINT),
+       CAST(MAX(CASE WHEN f = 'N' THEN net_cents END) AS BIGINT),
+       CAST(MAX(CASE WHEN f = 'R' THEN net_cents END) AS BIGINT)
+FROM a
+"""
+
+
+@register("transpose_metrics_matrix", oracle=_TRANSPOSE_ORACLE)
+def transpose_metrics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``DataFrame.transpose()`` — the native relational
+    transpose (rows ↔ columns) added in 4.0: the per-returnflag metrics
+    frame (n_items / qty_sum / net_cents, all exact int64) flips into a
+    metrics-by-flag MATRIX with one column per index value, the report
+    layout every BI handoff asks for. The inverse-ish companion of
+    unpivot_measures (melt); the oracle spells the transpose as the
+    manual conditional-aggregation UNION it replaces, proving the
+    operator is pure re-layout.
+
+    100-TB shape: the expensive part is the upstream q1-style
+    partial-agg scan; transpose itself acts on the 3-row aggregate
+    (index values become column NAMES, so the frame must be
+    driver-small — the operator's documented contract, same as any
+    pivot without explicit values). Scale bound: cents sums int64 to
+    ~9.2·10¹⁶ (the q1 bound)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy(F.col("l_returnflag").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("net_cents"),
+        )
+    )
+    return agg.transpose()
+
+
+# ---------------------------------------------------------------------------
 # connected components, the MapReduce way: large-star / small-star
 # ---------------------------------------------------------------------------
 

@@ -188,6 +188,29 @@ def test_spearman_matches_exact_fraction_computation(spark):
     assert checked >= 5
 
 
+def test_transpose_is_pure_relayout(spark):
+    """transpose() must carry exactly the aggregate's cells: the (key,
+    flag) matrix equals the pre-transpose frame read the other way."""
+    rows = QUERIES["transpose_metrics_matrix"](spark, SF).collect()
+    assert {r.key for r in rows} == {"n_items", "qty_sum", "net_cents"}
+    mat = {r.key: {"A": r.A, "N": r.N, "R": r.R} for r in rows}
+    from clean_census_acs_data_spark.io import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    agg = {
+        r.key: (r.n, r.q)
+        for r in li.groupBy(F.col("l_returnflag").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+        )
+        .collect()
+    }
+    for flag, (n, qty) in agg.items():
+        assert mat["n_items"][flag] == n
+        assert mat["qty_sum"][flag] == qty
+
+
 def test_mutual_information_nonnegative_and_consistent(spark):
     """MI ≥ 0 (up to micro-nat quantization), marginals consistent, and
     the quantized total is within the per-cell quantization budget of
