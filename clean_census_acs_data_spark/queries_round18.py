@@ -25,13 +25,18 @@ Reference tie: none (SURVEY.md §2D engine-extension tier).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clean_census_acs_data_spark.functions.detmath import det_ln_ratio
 from clean_census_acs_data_spark.io import load_table, register_views
 from clean_census_acs_data_spark.queries import register
-from clean_census_acs_data_spark.queries_ext import _COMPONENTS_ORACLE, _PLANTED_DOCS
+from clean_census_acs_data_spark.queries_ext import (
+    _COMPONENTS_ORACLE,
+    _PLANTED_DOCS,
+    _dot,
+    _quant_list,
+)
 from clean_census_acs_data_spark.session import tracked_cache
 
 
@@ -312,6 +317,186 @@ def edjoin_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ed.cast("long").alias("edit_distance"))
         .where(F.col("edit_distance") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion of a lexical and a dense ranking
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the canonical RRF damping constant (Cormack et al., SIGIR'09)
+
+_RRF_ORACLE = f"""
+WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
+qq AS (SELECT q AS qv, {_dot("q", "q")} AS qn2 FROM e WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST({_dot("q", "qv")} AS DOUBLE)
+                    / (sqrt(CAST({_dot("q", "q")} AS DOUBLE))
+                       * sqrt(CAST(qn2 AS DOUBLE)))
+                    DESC, vec_id) AS rank_dense
+  FROM e, qq WHERE vec_id <> 0
+),
+tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents
+),
+q0 AS (SELECT t AS tq FROM tok WHERE doc_id = 0),
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY len(list_intersect(t, tq)) DESC, doc_id) AS rank_lex
+  FROM tok, q0 WHERE doc_id <> 0
+)
+SELECT l.doc_id,
+       CAST(l.rank_lex AS BIGINT) AS rank_lex,
+       CAST(d.rank_dense AS BIGINT) AS rank_dense,
+       CAST(CAST(ROUND(1E9 / ({_RRF_K} + l.rank_lex)) AS BIGINT)
+            + CAST(ROUND(1E9 / ({_RRF_K} + d.rank_dense)) AS BIGINT)
+            AS BIGINT) AS rrf_score
+FROM lex l JOIN dense d ON l.doc_id = d.vec_id
+ORDER BY rrf_score DESC, l.doc_id LIMIT 10
+"""
+
+
+@register("rrf_fusion_topk", oracle=_RRF_ORACLE)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): fuse a LEXICAL ranking
+    (distinct-token overlap with the query document) and a DENSE
+    ranking (exact quantized cosine against the query embedding —
+    vec_id and doc_id share the id space) into one top-10 by
+    Σ 1/(60+rank), each reciprocal quantized to an exact nano-unit
+    integer (ROUND(1e9/(60+rank)) — one correctly-rounded division per
+    ranker, so the fused score is an order-free integer sum). The
+    hybrid-retrieval primitive every RAG stack ships: rank-space fusion
+    needs no score calibration between BM25-like and cosine-like
+    scales, which is exactly why it wins over score averaging.
+
+    100-TB shape: each leg is a 1-row broadcast cross (query vector /
+    query token set) over a streamed scan + one TakeOrdered-style
+    ranking window; the fusion join keys on the id. At corpus scale
+    the legs come from indexes (inverted postings / ANN lists —
+    inverted_index_postings, knn_join_ivf are the registered scale
+    paths) and RRF still consumes only (id, rank) pairs. Scale bound:
+    rrf_score ≤ 2·ROUND(1e9/61) < 2^63; ranks are row_number
+    (deterministic ties on doc_id)."""
+    from clean_census_acs_data_spark.operators import similarity as S
+    from clean_census_acs_data_spark.io import spread
+
+    base = S._quantized(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    qv = base.where(F.col("vec_id") == 0).select(
+        F.col("__q").alias("__qvec"), F.col("__n2").alias("__qn2")
+    )
+    dense = (
+        spread(base.where(F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            S.cosine(
+                S._dot_q(F.col("__q"), F.col("__qvec")),
+                F.col("__n2"),
+                F.col("__qn2"),
+            ).alias("cosine"),
+        )
+        .withColumn(
+            "rank_dense",
+            F.row_number().over(
+                Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .select("vec_id", "rank_dense")
+    )
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    q0 = tok.where(F.col("doc_id") == 0).select(F.col("t").alias("tq"))
+    lex = (
+        tok.where(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("t", "tq")).alias("overlap"),
+        )
+        .withColumn(
+            "rank_lex",
+            F.row_number().over(
+                Window.orderBy(F.desc("overlap"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank_lex")
+    )
+    rr = lambda rank: F.round(F.lit(1e9) / (F.lit(_RRF_K) + F.col(rank))).cast(  # noqa: E731
+        "long"
+    )
+    return (
+        lex.join(dense, lex.doc_id == dense.vec_id)
+        .select(
+            "doc_id",
+            F.col("rank_lex").cast("long").alias("rank_lex"),
+            F.col("rank_dense").cast("long").alias("rank_dense"),
+            (rr("rank_lex") + rr("rank_dense")).cast("long").alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact pass@k estimator (unbiased combinatorial form)
+# ---------------------------------------------------------------------------
+
+# pass@k = 1 − C(n−c, k)/C(n, k) (the HumanEval estimator), computed as
+# the falling-factorial ratio Π_{i<k}(n−c−i)/(n−i) with k=3 unrolled —
+# exact int64 products (n ≤ a customer's order count), one shared-text
+# division, micro-quantized per entity BEFORE the per-nation integer sum.
+_PASSK_SQL = """
+WITH t AS (
+  SELECT o_custkey AS cust,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS c
+  FROM orders GROUP BY o_custkey
+),
+p AS (
+  SELECT cust, n, c,
+         CASE WHEN n - c >= 3
+              THEN CAST(ROUND(1E6 - 1E6 *
+                     (CAST((n - c) * (n - c - 1) * (n - c - 2) AS DOUBLE)
+                      / CAST(n * (n - 1) * (n - 2) AS DOUBLE))) AS BIGINT)
+              ELSE 1000000 END AS pass3_micro
+  FROM t WHERE n >= 3
+)
+SELECT nat.n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(p.pass3_micro) AS BIGINT) AS sum_pass_micro,
+       CAST(SUM(p.pass3_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_pass_micro
+FROM p
+JOIN customer cu ON p.cust = cu.c_custkey
+JOIN nation nat ON cu.c_nationkey = nat.n_nationkey
+GROUP BY nat.n_name
+"""
+
+
+@register("pass_at_k_exact", oracle=_PASSK_SQL)
+def pass_at_k_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (k=3) from the HumanEval paper —
+    pass@k = 1 − C(n−c,k)/C(n,k) over n trials with c successes —
+    evaluated per entity (customer ↔ task; fulfilled order ↔ passing
+    sample) and averaged per nation. The falling-factorial form
+    Π(n−c−i)/(n−i) needs no binomials; with k=3 unrolled it is two
+    exact int64 products and ONE division, micro-quantized per entity
+    before the group's integer sum (order-free), with the single final
+    average division. The eval-pipeline aggregation every code-model
+    report runs at corpus scale; dialect-shared SQL text on both
+    engines.
+
+    100-TB shape: one groupBy(entity) partial agg over the trials
+    fact, a dimension join, a tiny group agg — no window, no shuffle
+    beyond the two keyed aggs. Scale bound: n³ int64-exact to
+    n ≈ 2×10⁶ trials per entity; the double ratio is exact to
+    n³ < 2^53 (n ≈ 2×10⁵) and shared-text identical beyond."""
+    register_views(spark, sf_dir)
+    return spark.sql(_PASSK_SQL)
 
 
 # ---------------------------------------------------------------------------

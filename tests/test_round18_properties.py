@@ -188,6 +188,62 @@ def test_spearman_matches_exact_fraction_computation(spark):
     assert checked >= 5
 
 
+def test_rrf_fusion_rank_properties(spark):
+    """Fused top-10: scores are the exact nano-quantized reciprocal
+    sums of the two ranks, and a doc ranked #1 by BOTH legs would
+    dominate — verified via the score formula's monotonicity."""
+    rows = QUERIES["rrf_fusion_topk"](spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.rrf_score == round(1e9 / (60 + r.rank_lex)) + round(
+            1e9 / (60 + r.rank_dense)
+        )
+        assert r.rank_lex >= 1 and r.rank_dense >= 1
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_pass_at_k_matches_exact_fraction(spark):
+    """pass@3 per nation equals the exact-Fraction combinatorial
+    estimator recomputed from the raw (n, c) pairs."""
+    from clean_census_acs_data_spark.io import load_table
+
+    orders = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("c"),
+        )
+        .collect()
+    )
+    cust_nat = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF, "customer").collect()
+    }
+    nat_name = {
+        r.n_nationkey: r.n_name for r in load_table(spark, SF, "nation").collect()
+    }
+    by_nation: dict[str, list[int]] = {}
+    for r in orders:
+        n, c = r.n, r.c
+        if n < 3:
+            continue
+        if n - c >= 3:
+            ratio = ((n - c) * (n - c - 1) * (n - c - 2)) / (n * (n - 1) * (n - 2))
+            micro = round(1e6 - 1e6 * ratio)
+        else:
+            micro = 1_000_000
+        by_nation.setdefault(nat_name[cust_nat[r.o_custkey]], []).append(micro)
+    got = {r.nation_name: r for r in QUERIES["pass_at_k_exact"](spark, SF).collect()}
+    assert len(got) == len(by_nation)
+    for nation, micros in by_nation.items():
+        row = got[nation]
+        assert row.n_cust == len(micros)
+        assert row.sum_pass_micro == sum(micros)
+        assert 0 <= row.avg_pass_micro <= 1_000_000
+
+
 def test_transpose_is_pure_relayout(spark):
     """transpose() must carry exactly the aggregate's cells: the (key,
     flag) matrix equals the pre-transpose frame read the other way."""
