@@ -9,9 +9,10 @@ join pruning, and the MapReduce-classic components algorithm.
   l_returnflag and l_linestatus in integer micro-nats via the
   deterministic atanh-series ln (functions/detmath), decomposed
   sign-definite as ln(N/c_x) − ln(c_y/c_xy).
-- ``edjoin_edit_distance_pairs`` — Ed-Join-style edit-similarity join
-  (Xiao et al., VLDB'08): lossless df-ordered q-gram PREFIX filter +
-  length filter prune candidates, banded levenshtein verifies.
+- ``edjoin_edit_distance_pairs`` — exact edit-similarity join: sliding
+  length blocks + the exact char-bag bound prune candidates, banded
+  levenshtein verifies (Ed-Join's prefix filter measured and rejected
+  in-docstring).
 - ``components_large_star``   — connected components via the alternating
   large-star/small-star algorithm (Kiveris et al., SoCC'14); same
   oracle as dedup_components — two algorithms, one fixpoint.
@@ -324,8 +325,11 @@ def edjoin_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _RRF_K = 60  # the canonical RRF damping constant (Cormack et al., SIGIR'09)
+# NOTE: distinct from round-10's rrf_fusion_topk, which fuses a length
+# ranking with a HASH-SCORED stand-in list — this entry fuses two REAL
+# retrieval legs (token-overlap lexical, exact quantized-cosine dense).
 
-_RRF_ORACLE = f"""
+_RRF_HYBRID_ORACLE = f"""
 WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
 qq AS (SELECT q AS qv, {_dot("q", "q")} AS qn2 FROM e WHERE vec_id = 0),
 dense AS (
@@ -358,8 +362,8 @@ ORDER BY rrf_score DESC, l.doc_id LIMIT 10
 """
 
 
-@register("rrf_fusion_topk", oracle=_RRF_ORACLE)
-def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("rrf_hybrid_dense_lexical", oracle=_RRF_HYBRID_ORACLE)
+def rrf_hybrid_dense_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al.): fuse a LEXICAL ranking
     (distinct-token overlap with the query document) and a DENSE
     ranking (exact quantized cosine against the query embedding —

@@ -164,7 +164,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "token_budget_waterfill",  # broadcast 1-row budget-total + water-level scalars
         "kendall_tau_rankings",  # broadcast 1-row n_items scalar over the pair aggregate
         "kcenter_coreset_select",  # broadcast 1-row center per greedy round
-    "rrf_fusion_topk",  # broadcast 1-row query vector + 1-row query token set
+    "rrf_hybrid_dense_lexical",  # broadcast 1-row query vector + 1-row query token set
     }
     for name, p in plans.items():
         base = name.split("/")[0]

@@ -192,7 +192,7 @@ def test_rrf_fusion_rank_properties(spark):
     """Fused top-10: scores are the exact nano-quantized reciprocal
     sums of the two ranks, and a doc ranked #1 by BOTH legs would
     dominate — verified via the score formula's monotonicity."""
-    rows = QUERIES["rrf_fusion_topk"](spark, SF).collect()
+    rows = QUERIES["rrf_hybrid_dense_lexical"](spark, SF).collect()
     assert len(rows) == 10
     for r in rows:
         assert r.rrf_score == round(1e9 / (60 + r.rank_lex)) + round(
