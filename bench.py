@@ -57,20 +57,16 @@ def median_ratio_vs_prev(
     noise dominates their ratio). Returns None when too few overlap."""
     prev_map = {**prev_full.get("queries", {}), **prev_full.get("secondary", {})}
     cur_map = {**timings, **secondary}
-    ratios = sorted(
+    ratios = [
         cur_map[k] / prev_map[k]
         for k in cur_map.keys() & prev_map.keys()
         if prev_map[k] >= 0.2
-    )
+    ]
     if len(ratios) < 10:
         return None
-    mid = len(ratios) // 2
-    med = (
-        ratios[mid]
-        if len(ratios) % 2
-        else (ratios[mid - 1] + ratios[mid]) / 2
-    )
-    return round(med, 4)
+    import statistics
+
+    return round(statistics.median(ratios), 4)
 
 # Box-skew sentinels (VERDICT r9 ask #3): trivial, plan-fingerprint-
 # stable relational entries untouched since r1/r2 (pinned by
@@ -117,16 +113,16 @@ def pinned_ratio_vs_prev(
     artifact are excluded (timer noise); needs ≥ 5 overlapping."""
     prev_map = {**prev_full.get("queries", {}), **prev_full.get("secondary", {})}
     cur_map = {**timings, **secondary}
-    ratios = sorted(
+    ratios = [
         cur_map[k] / prev_map[k]
         for k in PINNED_SENTINELS
         if k in cur_map and prev_map.get(k, 0.0) >= 0.15
-    )
+    ]
     if len(ratios) < 5:
         return None
-    mid = len(ratios) // 2
-    med = ratios[mid] if len(ratios) % 2 else (ratios[mid - 1] + ratios[mid]) / 2
-    return round(med, 4)
+    import statistics
+
+    return round(statistics.median(ratios), 4)
 
 
 def refuse_round_artifact(pinned_ratio: float | None) -> bool:
@@ -541,27 +537,34 @@ def main() -> None:
         # BENCH_r{N} for the in-progress round landed first — same
         # round, same box, overwrite is the intended refresh there.
         force = os.environ.get("SPARK_GRAFT_ROUND_FORCE", "") == "1"
-        if refuse_round_artifact(full.get("pinned_ratio_vs_prev")) and not force:
+        # Guard order matters: the SEAL guard wins so its message is
+        # never shadowed by the skew one — otherwise a stale
+        # SPARK_GRAFT_ROUND on a hot box would print only the skew hint,
+        # whose FORCE suggestion bypasses BOTH guards at once and
+        # clobbers a sealed prior-round artifact with skewed timings.
+        if env_round.isdigit() and os.path.exists(round_path) and not force:
+            print(
+                f"bench: refusing to overwrite sealed {round_path} "
+                "(stale SPARK_GRAFT_ROUND? set SPARK_GRAFT_ROUND_FORCE=1 "
+                "to override)",
+                file=sys.stderr,
+            )
+        elif refuse_round_artifact(full.get("pinned_ratio_vs_prev")) and not force:
             # Box-skew refusal (VERDICT r9 ask #3): the pinned trivial
             # sentinels — plans no round touches — ran >1.3× the prior
             # artifact, so stamping a round artifact now would misstate
             # the ROUND by the BOX (the r9 artifact read 1.66× slower
             # on a machine the judge measured at 0.97×). The rolling
             # BENCH_FULL.json above is still written (data, not a
-            # seal); rerun on a quiet box to stamp the round.
+            # seal); rerun on a quiet box to stamp the round. The
+            # FORCE hint is safe HERE because the seal guard above
+            # already passed (no prior-round file at risk).
             print(
                 "bench: box skew detected — pinned sentinel gauge "
                 f"{full['pinned_ratio_vs_prev']}x vs prior round "
                 f"(bound {PINNED_SKEW_BOUND}x); refusing to write "
                 f"{os.path.basename(round_path)}. Rerun on a quiet box "
                 "(or set SPARK_GRAFT_ROUND_FORCE=1 to override).",
-                file=sys.stderr,
-            )
-        elif env_round.isdigit() and os.path.exists(round_path) and not force:
-            print(
-                f"bench: refusing to overwrite sealed {round_path} "
-                "(stale SPARK_GRAFT_ROUND? set SPARK_GRAFT_ROUND_FORCE=1 "
-                "to override)",
                 file=sys.stderr,
             )
         else:

@@ -157,8 +157,6 @@ def connected_components_two_phase(
     is an edge-multiset signature (count + xxhash64 sum) compare — two
     driver-sized actions per round on a collision-sized frame.
     """
-    spark = edges.sparkSession  # noqa: F841 — parity with sibling signature
-
     # canonical (lo, hi) undirected edge list, self-loops dropped
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -119,10 +119,13 @@ def spearman_rho_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the skew-bounded partition column), then a 25-row aggregate — the
     windows are the dominant exchange, same profile as window_rank.
     Scale bound: double-ranks ≤ 2n per nation; n·Σ(drx·dry) ≤ 4n⁴ —
-    int64-exact to n ≈ 1.2×10⁹ customers per nation, and the final
-    int64→double conversions stay 2^53-exact to n ≈ 1.5×10⁴ per nation
-    (beyond that both engines round the SAME shared-text conversion
-    identically, so parity holds even when the last ulp is lossy)."""
+    int64-exact to n ≈ 3.9×10⁴ customers per nation ((2⁶¹)^¼), and the
+    final int64→double conversions stay 2^53-exact to n ≈ 6.9×10³
+    ((2⁵¹)^¼; beyond that both engines round the SAME shared-text
+    conversion identically, so cross-engine parity holds even when the
+    last ulp is lossy). Past ~4×10⁴ per group the sums need
+    DECIMAL(38,0) (the corpus_mix_sample discipline) — at that point
+    switch the agg casts, not the algorithm."""
     register_views(spark, sf_dir)
     return spark.sql(_SPEARMAN_SQL)
 

@@ -379,8 +379,15 @@ def teardown_shared_memos() -> int:
         for v in list(memo.values()):
             for df in handles(v):
                 try:
+                    # count only frames that actually HELD storage:
+                    # localCheckpoint-backed memo values have no
+                    # storage level set, their unpersist is a no-op
+                    # (the checkpointed RDD is released by clearing
+                    # the memo reference, via the ContextCleaner)
+                    lvl = df.storageLevel
                     df.unpersist()
-                    n += 1
+                    if lvl.useMemory or lvl.useDisk:
+                        n += 1
                 except Exception:  # session already stopped
                     pass
         memo.clear()

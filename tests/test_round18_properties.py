@@ -67,8 +67,9 @@ def test_edjoin_finds_planted_near_dups(spark):
 
 
 def test_edjoin_prefix_filter_lossless_vs_bruteforce(spark):
-    """The df-ordered prefix filter is a PRUNING device: the verified
-    output must equal the brute-force all-pairs levenshtein join."""
+    """The candidate pruning (sliding length blocks + char-bag L1/2
+    bound) is lossless: the verified output must equal the brute-force
+    all-pairs levenshtein join."""
     from clean_census_acs_data_spark.operators.dedup import plant_near_dups
     from clean_census_acs_data_spark.io import load_table
 
@@ -275,7 +276,6 @@ def test_mutual_information_nonnegative_and_consistent(spark):
 
     rows = QUERIES["mutual_information_cells"](spark, SF).collect()
     assert rows
-    n = rows[0].c_x + 0  # populate below
     n = sum(r.c_xy for r in rows)
     mi_exact = 0.0
     for r in rows:
