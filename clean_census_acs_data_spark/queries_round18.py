@@ -580,6 +580,48 @@ def transpose_metrics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LISTAGG ... WITHIN GROUP — Spark 4 ordered string aggregation surface
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT r.r_name AS region_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("sql_listagg_within_group", oracle=_LISTAGG_ORACLE)
+def sql_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0's LISTAGG(expr, sep) WITHIN GROUP (ORDER BY …) — the
+    ANSI ordered string aggregation (finally native; pre-4.0 this was
+    concat_ws(sort_array(collect_list(...))) as string_agg_sorted still
+    demonstrates). Region → alphabetized CSV of its nations; the
+    in-agg ORDER BY makes the output deterministic by construction.
+    Oracle: DuckDB's string_agg(expr, sep ORDER BY …), the same ANSI
+    feature under its other common spelling.
+
+    100-TB shape: an ordered string agg concentrates each group's
+    values on one reducer — correct for dimension-sized groups like
+    this; for data-sized groups the scale answer is the sorted
+    collect_list window or an explode-join, never a giant single
+    string. Scale bound: output string length = Σ name lengths per
+    group (dimension-bounded here)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+                 AS nations_csv
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components, the MapReduce way: large-star / small-star
 # ---------------------------------------------------------------------------
 
