@@ -39,6 +39,19 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        # A dict assignment would silently REPLACE an existing entry —
+        # in round 10 a new fusion entry registered under round-10's
+        # rrf_fusion_topk and shadowed a driver-attested operator until
+        # the registry count came up one short. Name collisions are
+        # always a bug here; fail at import time, where the traceback
+        # names the offending module.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} is already "
+                f"registered (by {QUERIES[name].__wrapped__.__module__}); "
+                "pick a distinct entry name"
+            )
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_engine_conf(spark)
             return fn(spark, sf_dir)

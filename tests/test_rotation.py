@@ -226,3 +226,19 @@ def test_rotation_survives_unreadable_artifacts(monkeypatch, tmp_path):
     monkeypatch.setattr(_glob, "glob", lambda *a, **k: [str(bad)])
     order = entrymod._rotation_order(list(QUERIES))
     assert order == list(QUERIES)
+
+
+def test_duplicate_registration_raises():
+    """register() must fail loudly on a name collision — in round 10 a
+    new entry silently replaced round-10's rrf_fusion_topk (a
+    driver-attested operator) until the registry count came up short."""
+    import pytest
+
+    from clean_census_acs_data_spark.queries import register
+
+    existing = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @register(existing)
+        def clone(spark, sf_dir):  # pragma: no cover — never registered
+            raise AssertionError
