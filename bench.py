@@ -125,9 +125,23 @@ def pinned_ratio_vs_prev(
     return round(statistics.median(ratios), 4)
 
 
-def refuse_round_artifact(pinned_ratio: float | None) -> bool:
-    """True when the box is too skewed to stamp a round artifact."""
-    return pinned_ratio is not None and pinned_ratio > PINNED_SKEW_BOUND
+def refuse_round_artifact(
+    pinned_ratio: float | None, baseline_stamp_ratio: float | None = None
+) -> bool:
+    """True when the box is too skewed to stamp a round artifact.
+
+    ``baseline_stamp_ratio`` is the prior artifact's OWN pinned gauge at
+    the moment it was FORCE-stamped past this guard (recorded by the
+    ADVICE r10 fix). A forced baseline was measured on a box that read
+    ``baseline_stamp_ratio``× its predecessor, so a current gauge of r
+    against it is really r × baseline_stamp_ratio against the last
+    honestly-stamped round — chain through the poisoned link instead of
+    letting it make the gauge read <1.0× forever (never refusing) or
+    refuse honest runs."""
+    if pinned_ratio is None:
+        return False
+    effective = pinned_ratio * (baseline_stamp_ratio or 1.0)
+    return effective > PINNED_SKEW_BOUND
 
 
 HEADLINE = [
@@ -497,6 +511,23 @@ def main() -> None:
                     prev_full, timings, secondary
                 )
                 full["ratio_prev_artifact"] = os.path.basename(prevs[-1])
+                # ADVICE r10: a FORCE-stamped baseline was itself
+                # measured on a skewed box; carry its stamp-time gauge
+                # so the refusal chains ratios back to the last honest
+                # round instead of trusting the poisoned link.
+                if prev_full.get("forced_stamp"):
+                    full["ratio_prev_forced"] = True
+                    full["ratio_prev_stamp_ratio"] = prev_full.get(
+                        "forced_stamp_pinned_ratio"
+                    )
+                    print(
+                        "bench: WARNING — comparison baseline "
+                        f"{os.path.basename(prevs[-1])} was FORCE-stamped "
+                        f"(stamp-time pinned gauge "
+                        f"{prev_full.get('forced_stamp_pinned_ratio')}); "
+                        "gauge ratios are normalized through it",
+                        file=sys.stderr,
+                    )
     except (OSError, ValueError, AttributeError):
         pass
     # Persist the COMPLETE per-query map to a committed artifact: the
@@ -542,14 +573,18 @@ def main() -> None:
         # SPARK_GRAFT_ROUND on a hot box would print only the skew hint,
         # whose FORCE suggestion bypasses BOTH guards at once and
         # clobbers a sealed prior-round artifact with skewed timings.
-        if env_round.isdigit() and os.path.exists(round_path) and not force:
+        seal_blocked = env_round.isdigit() and os.path.exists(round_path)
+        skew_blocked = refuse_round_artifact(
+            full.get("pinned_ratio_vs_prev"), full.get("ratio_prev_stamp_ratio")
+        )
+        if seal_blocked and not force:
             print(
                 f"bench: refusing to overwrite sealed {round_path} "
                 "(stale SPARK_GRAFT_ROUND? set SPARK_GRAFT_ROUND_FORCE=1 "
                 "to override)",
                 file=sys.stderr,
             )
-        elif refuse_round_artifact(full.get("pinned_ratio_vs_prev")) and not force:
+        elif skew_blocked and not force:
             # Box-skew refusal (VERDICT r9 ask #3): the pinned trivial
             # sentinels — plans no round touches — ran >1.3× the prior
             # artifact, so stamping a round artifact now would misstate
@@ -568,6 +603,16 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
+            if force and (seal_blocked or skew_blocked):
+                # ADVICE r10: FORCE bypassed a guard — record it INSIDE
+                # the artifact (plus the measured pinned ratio) so every
+                # later round that uses this file as its comparison
+                # baseline knows the link is poisoned and normalizes
+                # through forced_stamp_pinned_ratio.
+                full["forced_stamp"] = True
+                full["forced_stamp_pinned_ratio"] = full.get(
+                    "pinned_ratio_vs_prev"
+                )
             with open(round_path, "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
     except OSError:

@@ -121,6 +121,27 @@ def connected_components(
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component_id"))
 
 
+def _is_star_forest(cur: DataFrame) -> bool:
+    """Exact convergence confirmation for the two-phase CC loop (ADVICE
+    r10): the signature compare is probabilistic — a (count,
+    xor-of-hash) collision could end the loop on a non-star-forest edge
+    list and the final left join would silently emit duplicated/wrong
+    (doc_id, component_id) rows. A star forest over canonical (lo, hi)
+    edges — each child appears exactly once as ``hi``, and no root
+    (``lo``) is also a child — is precisely the fixpoint of the
+    large-star/small-star iteration (small-star rewrites any root that
+    has a smaller child), so structure implies convergence AND
+    min-rooting. Two driver-sized isEmpty actions, paid only when the
+    signature already matched (normally once per call)."""
+    dup_child = cur.groupBy("hi").count().where(F.col("count") > 1)
+    if not dup_child.isEmpty():
+        return False
+    root_as_child = cur.select("lo").join(
+        cur.select(F.col("hi").alias("lo")), "lo", "left_semi"
+    )
+    return root_as_child.isEmpty()
+
+
 def connected_components_two_phase(
     edges: DataFrame,
     *,
@@ -154,8 +175,10 @@ def connected_components_two_phase(
     back to the symmetrized edges, one distinct — all whole-stage
     codegen; the edge list is eagerly localCheckpoint-ed per phase
     (O(1) plan depth, the iterative-DataFrame discipline). Convergence
-    is an edge-multiset signature (count + xxhash64 sum) compare — two
-    driver-sized actions per round on a collision-sized frame.
+    is an edge-set signature (count + bit_xor of xxhash64) compare —
+    two driver-sized actions per round — CONFIRMED exactly by a
+    star-forest structure check when the signature matches (ADVICE r10:
+    hash collisions must not end the loop early), see _is_star_forest.
     """
     # canonical (lo, hi) undirected edge list, self-loops dropped
     e = (
@@ -216,7 +239,8 @@ def connected_components_two_phase(
         e = _star(e, large=True)
         e = _star(e, large=False)
         new_sig = _signature(e)
-        if new_sig == sig:
+        # signature match is necessary; _is_star_forest makes it exact
+        if new_sig == sig and _is_star_forest(e):
             break
         sig = new_sig
     else:

@@ -374,10 +374,22 @@ def teardown_shared_memos() -> int:
     Call on session end, or BEFORE spark.catalog.clearCache() / a data
     refresh under a memoized sf_dir — otherwise the memos hold handles
     to evicted caches and silently recompute per read."""
+    from py4j.protocol import Py4JError
+    from pyspark.sql import DataFrame
+
     n = 0
     for memo, handles in _SHARED_MEMO_REGISTRY:
         for v in list(memo.values()):
             for df in handles(v):
+                # A handles fn that yields non-DataFrames is a
+                # registration bug, not a stopped session — surface it
+                # (ADVICE r10: the bare except turned teardown into a
+                # silent leak with an undercounted return value).
+                if not isinstance(df, DataFrame):
+                    raise TypeError(
+                        "register_shared_memo handles fn yielded "
+                        f"{type(df).__name__}, expected DataFrame"
+                    )
                 try:
                     # count only frames that actually HELD storage:
                     # localCheckpoint-backed memo values have no
@@ -388,7 +400,9 @@ def teardown_shared_memos() -> int:
                     df.unpersist()
                     if lvl.useMemory or lvl.useDisk:
                         n += 1
-                except Exception:  # session already stopped
+                except (Py4JError, AttributeError):
+                    # session already stopped (py4j error or a torn-down
+                    # JVM handle) — nothing to free
                     pass
         memo.clear()
     return n

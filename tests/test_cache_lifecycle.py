@@ -121,6 +121,13 @@ def test_pinned_ratio_gauge_and_skew_refusal():
     assert bench.refuse_round_artifact(1.5)
     assert not bench.refuse_round_artifact(None)  # no prior artifact: stamp
     assert not bench.refuse_round_artifact(bench.PINNED_SKEW_BOUND)  # bound inclusive
+    # ADVICE r10: a FORCE-stamped baseline (its own gauge recorded at
+    # stamp time) chains into the refusal — a 0.9x gauge against a
+    # baseline stamped at 1.6x is really 1.44x vs the last honest round
+    assert bench.refuse_round_artifact(0.9, 1.6)
+    # and an honest run against an honest baseline is unchanged
+    assert not bench.refuse_round_artifact(0.9, None)
+    assert not bench.refuse_round_artifact(1.1, 1.0)
     # sub-0.15s prior sentinels are timer noise -> excluded -> None
     prev_small = {"queries": {k: 0.01 for k in pins}, "secondary": {}}
     assert bench.pinned_ratio_vs_prev(prev_small, {k: 1.0 for k in pins}, {}) is None
@@ -151,6 +158,25 @@ def test_teardown_shared_memos_unpersists_and_clears(spark):
     sh2 = D.standard_shingle_table(spark, sf)
     assert sh2 is not sh1
     assert sh2.count() == n and sh2.storageLevel.useMemory
+
+
+def test_teardown_surfaces_bad_handles_fn(spark):
+    """ADVICE r10: a handles fn that yields non-DataFrames is a
+    registration bug — teardown must raise TypeError, not swallow it
+    into a silent leak with an undercounted return value."""
+    import pytest
+
+    memo = {"k": spark.range(1).cache()}
+    S.register_shared_memo(memo, handles=lambda v: ("not-a-dataframe",))
+    try:
+        with pytest.raises(TypeError, match="handles fn yielded"):
+            S.teardown_shared_memos()
+    finally:
+        # remove the poisoned registration so later tests' teardowns work
+        S._SHARED_MEMO_REGISTRY[:] = [
+            (m, h) for (m, h) in S._SHARED_MEMO_REGISTRY if m is not memo
+        ]
+        memo["k"].unpersist()
 
 
 def test_knn_memo_teardown_frees_internal_cache(spark):

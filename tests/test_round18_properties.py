@@ -40,6 +40,22 @@ def test_two_phase_components_long_chain(spark):
     assert len(got) == n + 2
 
 
+def test_is_star_forest_exact_confirmation(spark):
+    """ADVICE r10: signature-match convergence is probabilistic; the
+    exact confirmation accepts precisely the fixpoints (min-rooted star
+    forests) and rejects chains, duplicate children, and roots that are
+    also children."""
+    from clean_census_acs_data_spark.operators.components import _is_star_forest
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "lo long, hi long")
+
+    assert _is_star_forest(mk([(0, 1), (0, 2), (5, 6)]))  # two stars
+    assert _is_star_forest(mk([]))  # empty graph is trivially converged
+    assert not _is_star_forest(mk([(0, 1), (1, 2)]))  # chain: 1 is lo AND hi
+    assert not _is_star_forest(mk([(0, 2), (1, 2)]))  # child 2 appears twice
+
+
 def test_edjoin_finds_planted_near_dups(spark):
     """Every planted mutant whose dropped-first-token edit cost fits the
     threshold must pair with its original — recall on the known truth."""
