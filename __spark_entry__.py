@@ -28,52 +28,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotation_order(names: list[str]) -> list[str]:
-    """Order the registry so never-driver-attested entries come FIRST.
+    """Order the registry so the driver's first-50 sample window lands
+    on the entries most worth (re-)checking.
 
     The driver samples the first 50 entries of ``queries()`` in
     insertion order for its per-round CORRECTNESS check (verified:
     CORRECTNESS_r01..r03 key sets equal the registry's first 50 at each
-    round's close — VERDICT r3 'What's missing #1'). 200 of 250 entries
-    therefore carried local-only evidence. This reorders each round so
-    the sample window lands on entries with no CORRECTNESS row yet:
-    never-attested oracle-backed first (hash-checkable), then
-    never-attested rows-only, then already-attested — registry order
-    preserved within each tier, so the rotation is deterministic and
-    self-advancing as the driver writes new artifacts each round.
+    round's close — VERDICT r3 'What's missing #1'). Rounds 4-10
+    rotated never-attested entries into the window; by r10 close every
+    entry carried a driver attestation, so from r11 the rotation is
+    CHANGE-AWARE (VERDICT r10 ask #3): never-attested / red entries
+    still front, then attested entries whose implementing module
+    changed since the round that attested them (git-diff against the
+    commit that landed that round's artifact), then oldest-attested
+    first. Full tier rules + git fallback:
+    clean_census_acs_data_spark.rotation.
     """
-    import glob
-    import json
-    import re
+    from clean_census_acs_data_spark import rotation as _rot
 
     here = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, dict] = {}  # name -> row from the newest round seen
-
-    def _round_no(path: str) -> int:
-        # Numeric merge order: lexicographic filename sort would place an
-        # unpadded CORRECTNESS_r7.json AFTER r10+, letting an older round
-        # overwrite a newer one. Keep the glob results; sort by parsed
-        # round number (unparsable names sort first, so real rounds win).
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
-        return int(m.group(1)) if m else -1
-
-    try:
-        paths = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no)
-        for path in paths:
-            with open(path) as f:
-                latest.update(json.load(f))
-    except (OSError, ValueError):
-        return names  # artifacts unreadable — keep registry order
-    # re-attest: had a driver row, but not hash-green, and NOW has an
-    # oracle (e.g. a rows-only entry later given a deterministic oracle)
-    reattest = [
-        n
-        for n in names
-        if n in latest and not latest[n].get("hash_match") and n in _q.ORACLES
-    ]
-    fresh_oracle = [n for n in names if n not in latest and n in _q.ORACLES]
-    fresh_rows = [n for n in names if n not in latest and n not in _q.ORACLES]
-    seen = [n for n in names if n in latest and n not in reattest]
-    return reattest + fresh_oracle + fresh_rows + seen
+    return _rot.rotation_order(names, _q.ORACLES, _q.QUERIES, repo=here)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -228,6 +228,106 @@ def test_rotation_survives_unreadable_artifacts(monkeypatch, tmp_path):
     assert order == list(QUERIES)
 
 
+def _all_green(rnd: int) -> dict[str, dict]:
+    return {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None, "round": rnd}
+        for n in QUERIES
+    }
+
+
+def test_rotation_fronts_changed_modules(monkeypatch):
+    """VERDICT r10 ask #3: with every entry attested green, entries
+    whose implementing file changed since their attestation round's
+    commit must front the window, ahead of unchanged entries."""
+    from clean_census_acs_data_spark import rotation as rot
+
+    probe = "components_large_star"
+    if probe not in QUERIES:
+        return
+    probe_file = next(
+        f
+        for f in rot.entry_files(QUERIES)[probe]
+        if f.endswith("operators/components.py")
+    )
+    monkeypatch.setattr(rot, "round_commit", lambda repo, rnd: "deadbeef")
+    monkeypatch.setattr(
+        rot, "changed_since", lambda repo, c: frozenset({probe_file})
+    )
+    order = rot.rotation_order(
+        list(QUERIES), ORACLES, QUERIES, latest=_all_green(5)
+    )
+    assert sorted(order) == sorted(QUERIES)
+    changed = {
+        n for n, fs in rot.entry_files(QUERIES).items() if probe_file in fs
+    }
+    assert changed and order[: len(changed)] == [
+        n for n in QUERIES if n in changed
+    ], "changed-module entries must front in registry order"
+
+
+def test_rotation_oldest_attested_first_when_nothing_changed(monkeypatch):
+    """With no file changes, attested entries order oldest-round-first
+    (registry order within a round)."""
+    from clean_census_acs_data_spark import rotation as rot
+
+    monkeypatch.setattr(rot, "round_commit", lambda repo, rnd: "deadbeef")
+    monkeypatch.setattr(rot, "changed_since", lambda repo, c: frozenset())
+    names = list(QUERIES)
+    latest = _all_green(5)
+    # stamp alternating rounds: odd registry positions attested LATER
+    for i, n in enumerate(names):
+        latest[n]["round"] = 5 if i % 2 == 0 else 9
+    order = rot.rotation_order(names, ORACLES, QUERIES, latest=latest)
+    rounds = [latest[n]["round"] for n in order]
+    assert rounds == sorted(rounds), "oldest attestation must come first"
+    # registry order preserved within each round tier
+    r5 = [n for n in order if latest[n]["round"] == 5]
+    assert r5 == [n for n in names if latest[n]["round"] == 5]
+
+
+def test_rotation_survives_git_unavailable(monkeypatch):
+    """Git failure (driver box without git, shallow copy without .git)
+    degrades to oldest-attested-first — never an exception, still a
+    permutation."""
+    from clean_census_acs_data_spark import rotation as rot
+
+    monkeypatch.setattr(rot, "_git", lambda repo, *a: None)
+    rot.clear_caches()
+    try:
+        names = list(QUERIES)
+        latest = _all_green(7)
+        order = rot.rotation_order(names, ORACLES, QUERIES, latest=latest)
+        assert sorted(order) == sorted(QUERIES)
+        assert order == names  # same round everywhere -> registry order
+    finally:
+        rot.clear_caches()
+
+
+def test_entry_files_cover_defining_and_deferred_imports():
+    """The entry->files map must include the defining module AND
+    deferred (function-local) in-package imports, and must exclude hub
+    files shared by more than half the registry (io/session would mark
+    everything changed every round)."""
+    from clean_census_acs_data_spark import rotation as rot
+
+    files = rot.entry_files(QUERIES)
+    assert set(files) == set(QUERIES)
+    cls = files.get("components_large_star", frozenset())
+    if cls:
+        # deferred import inside the entry body (queries_round18.py:647)
+        assert any(f.endswith("operators/components.py") for f in cls)
+        assert any(f.endswith("queries_round18.py") for f in cls)
+    hub_cut = len(QUERIES) // 2
+    freq: dict[str, int] = {}
+    for fs in files.values():
+        for f in fs:
+            freq[f] = freq.get(f, 0) + 1
+    assert all(c <= hub_cut for c in freq.values())
+    assert not any(f.endswith("/io.py") or f.endswith("/session.py")
+                   for fs in files.values() for f in fs)
+
+
 def test_duplicate_registration_raises():
     """register() must fail loudly on a name collision — in round 10 a
     new entry silently replaced round-10's rrf_fusion_topk (a
