@@ -408,24 +408,42 @@ def main() -> None:
     # are self-describing: a cold consumer pays these once on top.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
+        # The three one-time engine spawns are INDEPENDENT init paths —
+        # the JVM micro-batch/state-store machinery, the Python
+        # DataSource planner worker pool, and the applyInPandasWithState
+        # state-worker pool — so their spawn waits overlap cleanly in
+        # threads (SparkSession actions are thread-safe). Serial, they
+        # cost their sum (~16 s quiet-box, ~40% of headline-equivalent
+        # time — VERDICT r10 ask #4); parallel, the suite pays ~max of
+        # the three. streaming_parallel_spawn is the WALL cost the
+        # suite actually paid; the per-engine detail values OVERLAP
+        # (each includes contention) and must not be summed.
+        import threading
+
+        detail: dict[str, float] = {}
+
+        def _warm(key: str, qname: str) -> None:
+            t = time.perf_counter()
+            QUERIES[qname](spark, warm_dir).collect()
+            detail[key] = round(time.perf_counter() - t, 4)
+
+        threads = [
+            threading.Thread(target=_warm, args=(key, qname))
+            for key, qname in [
+                ("streaming_engine_first_query", "streaming_tumbling_watermark"),
+                ("python_datasource_spawn", "streaming_replay_source"),
+                ("pandas_state_worker_spawn", "streaming_stateful_sessions"),
+            ]
+        ]
         t0 = time.perf_counter()
-        QUERIES["streaming_tumbling_watermark"](spark, warm_dir).collect()
-        warmup_init["streaming_engine_first_query"] = round(
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        warmup_init["streaming_parallel_spawn"] = round(
             time.perf_counter() - t0, 4
         )
-        t0 = time.perf_counter()
-        QUERIES["streaming_replay_source"](spark, warm_dir).collect()
-        warmup_init["python_datasource_spawn"] = round(
-            time.perf_counter() - t0, 4
-        )
-        # applyInPandasWithState spins up its own Python state-worker
-        # path (distinct from the JVM streaming init above) — warm it so
-        # the stateful-sessions entry measures the operator, not spawn
-        t0 = time.perf_counter()
-        QUERIES["streaming_stateful_sessions"](spark, warm_dir).collect()
-        warmup_init["pandas_state_worker_spawn"] = round(
-            time.perf_counter() - t0, 4
-        )
+        warmup_init["parallel_detail_overlapping"] = detail
 
     storage_after: dict[str, int] = {}
 

@@ -402,3 +402,30 @@ def test_merge_schema_evolution_read(spark, tmp_path):
     assert set(df.columns) == {"doc_id", "text", "lang"}
     rows = {r["doc_id"]: r for r in df.collect()}
     assert rows[1]["lang"] is None and rows[2]["lang"] == "en"
+
+
+def test_census_write_readback_layout(spark):
+    """The warehouse-layout entry's physical contract (VERDICT r10 ask
+    #6): one directory per STATE_FIPS chunk (DISTKEY analog), and rows
+    INSIDE each partition's parquet file ordered by (COUNTY, TRACT) —
+    the SORTKEY analog that makes sort-key predicates prune pages. The
+    hash-green oracle proves losslessness; this proves the layout."""
+    import glob
+    import os
+
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    out = QUERIES["census_write_readback"](spark, "/root/testdata/sf0.001")
+    n_keys = out.select("STATE_FIPS").distinct().count()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo, "spark-warehouse", "census_write_readback.parquet")
+    part_dirs = sorted(glob.glob(os.path.join(base, "STATE_FIPS=*")))
+    # one directory per surviving chunk (the fake retry/dead-letter path
+    # drops some of the 17 three-state chunks — derive, don't hard-code)
+    assert len(part_dirs) == n_keys > 10, part_dirs
+    for d in part_dirs[:3]:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, files  # repartition: one file per key
+        rows = spark.read.parquet(files[0]).select("COUNTY", "TRACT").collect()
+        keys = [(r["COUNTY"], r["TRACT"]) for r in rows]
+        assert keys == sorted(keys), f"unsorted rows in {files[0]}"
