@@ -854,3 +854,4 @@ from clean_census_acs_data_spark import queries_round15  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round16  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round17  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round18  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round19  # noqa: E402,F401

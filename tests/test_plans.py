@@ -165,6 +165,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "kendall_tau_rankings",  # broadcast 1-row n_items scalar over the pair aggregate
         "kcenter_coreset_select",  # broadcast 1-row center per greedy round
     "rrf_hybrid_dense_lexical",  # broadcast 1-row query vector + 1-row query token set
+    "rbo_rank_overlap",  # same two legs as rrf_hybrid: 1-row query vector/token crosses
     }
     for name, p in plans.items():
         base = name.split("/")[0]

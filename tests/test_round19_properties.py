@@ -1,0 +1,169 @@
+"""Round-19 tier property tests: wide-decimal Spearman, χ² cells,
+repeated-median regression, RBO, and the table-arg UDTF sessionizer."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from clean_census_acs_data_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_spearman_decimal_matches_int64_form(spark):
+    """Where the int64 form is in-range (every sealed fixture), the
+    DECIMAL(38,0) switch must agree exactly: same rho double, and
+    rho_num_str equal to the int64 numerator digit-for-digit."""
+    wide = {
+        r["nation_name"]: r
+        for r in QUERIES["spearman_rho_decimal"](spark, SF).collect()
+    }
+    narrow = {
+        r["nation_name"]: r
+        for r in QUERIES["spearman_rho_exact"](spark, SF).collect()
+    }
+    assert set(wide) == set(narrow) and wide
+    for k in wide:
+        assert wide[k]["n_cust"] == narrow[k]["n_cust"]
+        assert wide[k]["rho_num_str"] == str(narrow[k]["rho_num"])
+        assert wide[k]["spearman_rho"] == narrow[k]["spearman_rho"]
+
+
+def test_chi_squared_cells_exact_fraction_recompute(spark):
+    """Every cell's chi2_micro must equal the exact-Fraction
+    floor(10⁶·(O·N−R·C)²/(N·R·C)), and the window total must be the
+    plain sum of the cells."""
+    rows = QUERIES["chi_squared_cells"](spark, SF).collect()
+    assert rows
+    total = sum(r["chi2_micro"] for r in rows)
+    # recompute marginals independently from the cells
+    n = sum(r["o_xy"] for r in rows)
+    rx = {}
+    cy = {}
+    for r in rows:
+        rx[r["l_returnflag"]] = rx.get(r["l_returnflag"], 0) + r["o_xy"]
+        cy[r["l_linestatus"]] = cy.get(r["l_linestatus"], 0) + r["o_xy"]
+    for r in rows:
+        assert r["r_x"] == rx[r["l_returnflag"]]
+        assert r["c_y"] == cy[r["l_linestatus"]]
+        assert r["dev"] == r["o_xy"] * n - r["r_x"] * r["c_y"]
+        expect = (1_000_000 * r["dev"] * r["dev"]) // (n * r["r_x"] * r["c_y"])
+        assert r["chi2_micro"] == expect
+        assert r["chi2_total_micro"] == total
+        assert r["chi2"] == total / 1e6
+    # independence sanity: returnflag/linestatus are strongly dependent
+    # in TPC-H (returns only exist for old shipdates) -> chi2 far from 0
+    assert total > 0
+
+
+def test_repeated_median_brute_force(spark):
+    """Exact brute-force recompute of Siegel's repeated median (lower
+    medians, the operator's tiebreaks) from the raw purchase points."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.functions import cents
+    from clean_census_acs_data_spark.io import load_table
+
+    pts = (
+        load_table(spark, SF, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("eid"),
+            F.unix_micros("ts").alias("x"),
+            cents("value").alias("y"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in pts:
+        by_user.setdefault(r["user_id"], []).append((r["eid"], r["x"], r["y"]))
+
+    def lower_median(items):  # items: [(sortkey..., value)] pre-sorted
+        return items[(len(items) + 1) // 2 - 1]
+
+    expect = {}
+    for u, ps in by_user.items():
+        meds = []
+        for eid, x, y in ps:
+            slopes = sorted(
+                ((y2 - y) / (x2 - x), e2)
+                for e2, x2, y2 in ps
+                if e2 != eid and x2 != x
+            )
+            if slopes:
+                meds.append((lower_median(slopes)[0], eid))
+        if meds:
+            meds.sort()
+            expect[u] = (len(meds), lower_median(meds)[0])
+    got = {
+        r["user_id"]: (r["n_anchors"], r["repeated_median_slope"])
+        for r in QUERIES["repeated_median_slope"](spark, SF).collect()
+    }
+    assert got == expect and got
+
+
+def test_rbo_structure_and_bounds(spark):
+    """Weights are the exact integers 2520·2^(10−d)/d, intersection
+    counts are monotone in depth, rbo_num is the contrib sum, and the
+    final score sits in [0, 1] (1 ⟺ identical top-10 prefixes)."""
+    rows = sorted(
+        QUERIES["rbo_rank_overlap"](spark, SF).collect(),
+        key=lambda r: r["depth"],
+    )
+    assert [r["depth"] for r in rows] == list(range(1, 11))
+    prev = 0
+    for r in rows:
+        d = r["depth"]
+        assert r["weight_num"] == 2520 * (1 << (10 - d)) // d
+        assert (2520 * (1 << (10 - d))) % d == 0  # weights exactly integer
+        assert r["inter_cnt"] >= prev and r["inter_cnt"] <= d
+        assert r["contrib"] == r["inter_cnt"] * r["weight_num"]
+        prev = r["inter_cnt"]
+    total = sum(r["contrib"] for r in rows)
+    scale = 2 * 2520 * (1 << 10)
+    for r in rows:
+        assert r["rbo_num"] == total
+        assert r["rbo"] == total / scale
+    # truncated-RBO@10 of identical prefixes = (1/2)·Σ 1/2^d = 1 − 2^-10
+    assert 0.0 <= rows[0]["rbo"] <= 1.0
+    assert Fraction(total, scale) <= 1 - Fraction(1, 2) ** 10
+
+
+def test_udtf_sessionize_python_recompute(spark):
+    """Independent Python recompute of the 30-min-gap sessionization
+    from the raw purchase stream (strict-greater gap, total order)."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+    from clean_census_acs_data_spark.queries_round19 import _SESSION_GAP_US
+
+    raw = (
+        load_table(spark, SF, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    expect = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, n, start, last = 1, 0, None, None
+        for us, _eid in evs:
+            if start is None:
+                n, start, last = 1, us, us
+            elif us - last > _SESSION_GAP_US:
+                expect.add((u, sid, n, start, last))
+                sid += 1
+                n, start, last = 1, us, us
+            else:
+                n, last = n + 1, us
+        if start is not None:
+            expect.add((u, sid, n, start, last))
+    got = {
+        (r["user_id"], r["session_idx"], r["n_events"], r["start_us"], r["end_us"])
+        for r in QUERIES["udtf_table_arg_sessionize"](spark, SF).collect()
+    }
+    assert got == expect and got
