@@ -1,0 +1,273 @@
+"""Round-19 tier, second batch: suffix windowed distinct, the
+Hodges–Lehmann robust location estimator, and the Mann–Whitney U test.
+
+- ``windowed_distinct_suffix`` — exact distinct-count over the SUFFIX
+  frame (CURRENT ROW .. UNBOUNDED FOLLOWING): the carried "two-phase
+  pattern at other frame shapes" ask. COUNT(DISTINCT) OVER a frame is
+  unsupported by engines generally; the two-phase rewrite (flag the
+  LAST occurrence per key, then a suffix running sum of flags) is
+  exact and runs as two windows on one shuffle. "Distinct event types
+  this user will still produce from here on" is the dedup-budget /
+  exploration-decay feature.
+- ``hodges_lehmann_location``  — median of pairwise Walsh averages
+  (xᵢ+xⱼ)/2, i ≤ j — the location estimator dual to the Wilcoxon
+  signed-rank test (~95% Gaussian efficiency, 29% breakdown). Averages
+  stay INTEGER as the sum xᵢ+xⱼ; the median is selection with total
+  tiebreaks; the only float is the final /2.
+- ``mann_whitney_u``           — the rank-sum two-sample test with
+  tie-exact integer double-ranks (spearman_rho_exact's device): 2·U
+  and the tie-correction Σ(t³−t) are exact int64, z is a single
+  shared-text float tail. The nonparametric A/B answer to "did this
+  cohort's distribution shift" that needs no normality assumption.
+
+Determinism discipline per the package standard. Reference tie: none
+(SURVEY.md §2D engine-extension tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table, register_views
+from clean_census_acs_data_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# suffix-frame exact distinct count (two-phase: last-occurrence + suffix sum)
+# ---------------------------------------------------------------------------
+
+_SUFFIX_DISTINCT_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+f AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN LEAD(us) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY us, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_last
+  FROM e
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_last) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT)
+         AS n_distinct_remaining
+FROM f
+"""
+
+
+@register("windowed_distinct_suffix", oracle=_SUFFIX_DISTINCT_ORACLE)
+def windowed_distinct_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT event_type) over the SUFFIX frame — for
+    each event, how many distinct types the user still produces from
+    this row (inclusive) to the end of their history. Engines reject
+    COUNT(DISTINCT) OVER any frame; the exact two-phase rewrite is:
+    (1) flag each (user, type)'s LAST occurrence (LEAD over the
+    per-type ordering is NULL), (2) suffix running sum of flags over
+    the per-user ordering — a distinct type is counted from exactly
+    its last occurrence backward, which is precisely suffix
+    distinctness. The mirror of the classic first-occurrence/prefix
+    trick, shipped at the other frame shape (VERDICT r10 ask #5
+    carried candidate); window_distinct_rolling covers the bounded
+    frame by frame-local array_distinct.
+
+    100-TB shape: both windows hash-partition on user_id — ONE
+    shuffle, two in-partition sorts ((type, us) then (us)); per-row
+    state is a single running integer, never a set. Skew = the
+    heaviest user's history, same bound as any per-user window."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    w_suffix = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.when(F.lead("us").over(w_type).isNull(), 1)
+        .otherwise(0)
+        .alias("is_last"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.sum("is_last").over(w_suffix).cast("long").alias(
+            "n_distinct_remaining"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hodges–Lehmann location (median of Walsh averages), exact by selection
+# ---------------------------------------------------------------------------
+
+_HL_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nk, c_custkey AS ck,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+w AS (
+  SELECT a.nk, a.cents + b.cents AS s, a.ck AS ia, b.ck AS ib
+  FROM c a JOIN c b ON a.nk = b.nk AND a.ck <= b.ck
+),
+r AS (
+  SELECT nk, s,
+         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY s, ia, ib) AS rn,
+         COUNT(*) OVER (PARTITION BY nk) AS np
+  FROM w
+)
+SELECT nk AS nation_key,
+       CAST(np AS BIGINT) AS n_walsh_pairs,
+       CAST(s AS BIGINT) AS hl_doubled_cents,
+       CAST(s AS DOUBLE) / 2 AS hl_location_cents
+FROM r WHERE rn = (np + 1) // 2
+"""
+
+
+@register("hodges_lehmann_location", oracle=_HL_ORACLE)
+def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges–Lehmann location estimate of customer account balance per
+    nation: the median of all pairwise Walsh averages (xᵢ+xⱼ)/2 over
+    i ≤ j (self-pairs included — the one-sample estimator). The robust
+    location that keeps ~95% of the mean's Gaussian efficiency while
+    tolerating 29% contamination — between exact_median_disc (50%
+    breakdown, 64% efficiency) and avg on the robustness ladder, and
+    the estimator dual to the Wilcoxon signed-rank test. Walsh
+    averages stay INTEGER as the pair sum xᵢ+xⱼ (hl_doubled_cents);
+    the median is lower-median selection with (sum, idᵢ, idⱼ)
+    tiebreaks; the single float is the final /2 display division.
+
+    100-TB shape: the Walsh join is partition-key-bounded (nation) —
+    the per-entity-bounded quadratic discipline; one window sort per
+    group selects the median. Past ~10⁵ rows per group, sample or
+    switch to the binary-search-on-value HL algorithm (O(n log n)) —
+    document, don't silently degrade. Scale bound: pair sums ≤ 2·max
+    cents, nowhere near int64; pair count n(n+1)/2 per group wraps
+    nothing (count only)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    b = c.select(
+        F.col("nk").alias("nkb"),
+        F.col("ck").alias("ib"),
+        F.col("cents").alias("cb"),
+    )
+    w = c.join(
+        b, (F.col("nk") == F.col("nkb")) & (F.col("ck") <= F.col("ib"))
+    ).select(
+        "nk",
+        (F.col("cents") + F.col("cb")).alias("s"),
+        F.col("ck").alias("ia"),
+        "ib",
+    )
+    wr = Window.partitionBy("nk").orderBy("s", "ia", "ib")
+    return (
+        w.select(
+            "nk",
+            "s",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("nk")).alias("np"),
+        )
+        .where(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        .select(
+            F.col("nk").alias("nation_key"),
+            F.col("np").cast("long").alias("n_walsh_pairs"),
+            F.col("s").cast("long").alias("hl_doubled_cents"),
+            (F.col("s").cast("double") / 2).alias("hl_location_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (rank-sum) test, tie-exact integer core
+# ---------------------------------------------------------------------------
+
+# Dialect-shared text (Spark: DIV; DuckDB: //): samples are F-status vs
+# O-status order totals per order priority; pooled tie-averaged ranks
+# ride the integer double-rank device (2·rank + ties − 1 = 2·avg rank),
+# so 2·R1 and hence 2·U1 = 2·R1 − n1(n1+1) are exact int64; the tie correction Σ(t³−t)
+# is exact; z is the single shared-text float tail (normal
+# approximation with tie-corrected variance, no continuity correction).
+
+
+def _mwu_sql(div: str) -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s1,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+r AS (
+  SELECT grp, s1, cents,
+         CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY cents)
+              + COUNT(*) OVER (PARTITION BY grp, cents) - 1 AS BIGINT)
+           AS dr
+  FROM o
+),
+t AS (
+  SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS tie
+  FROM r GROUP BY grp, cents
+),
+ties AS (
+  SELECT grp, CAST(SUM(tie * tie * tie - tie) AS BIGINT) AS tie_cubes
+  FROM t GROUP BY grp
+),
+agg AS (
+  SELECT grp,
+         CAST(SUM(s1) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(s1) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN s1 = 1 THEN dr ELSE 0 END) AS BIGINT) AS r1_dbl
+  FROM r GROUP BY grp
+)
+SELECT a.grp AS order_priority,
+       a.n1, a.n2,
+       CAST(a.r1_dbl - a.n1 * (a.n1 + 1) AS BIGINT) AS u1_doubled,
+       ti.tie_cubes,
+       CASE WHEN a.n1 > 0 AND a.n2 > 0 AND a.n1 + a.n2 > 1 THEN
+         (CAST(a.r1_dbl - a.n1 * (a.n1 + 1) AS DOUBLE) / 2
+          - CAST(a.n1 * a.n2 AS DOUBLE) / 2)
+         / sqrt(CAST(a.n1 * a.n2 AS DOUBLE) / 12
+                * (CAST(a.n1 + a.n2 + 1 AS DOUBLE)
+                   - CAST(ti.tie_cubes AS DOUBLE)
+                     / CAST((a.n1 + a.n2) * (a.n1 + a.n2 - 1) AS DOUBLE)))
+       ELSE NULL END AS z_score
+FROM agg a JOIN ties ti ON a.grp = ti.grp
+"""
+
+
+@register("mann_whitney_u", oracle=_mwu_sql("//"))
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test per order priority:
+    does the order-value distribution of finished ('F') orders differ
+    from open ('O') ones? The nonparametric two-sample test every
+    experimentation pipeline reaches for when value distributions are
+    heavy-tailed and a t-test's normality assumption is indefensible.
+    Pooled tie-averaged ranks use the integer double-rank device
+    (spearman_rho_exact), so 2·R1 — and with it 2·U1 = 2·R1 −
+    n1(n1+1) — is an exact int64; the tie correction Σ(t³−t)
+    is an exact integer aggregate; the z statistic (tie-corrected
+    normal approximation) is the single shared-text float tail over
+    those exact integers.
+
+    100-TB shape: one ranking window partitioned by the 5-value group
+    key, one groupBy for tie runs, one 5-row agg — the window is the
+    only heavy exchange, same profile as spearman. Scale bound:
+    r1_dbl ≤ 2n² (int64 to n ≈ 2×10⁹ per group); Σ(t³−t) ≤ n³ (int64
+    to n ≈ 2×10⁶ per group — past that, the DECIMAL(38,0) switch per
+    spearman_rho_decimal)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_mwu_sql("DIV"))

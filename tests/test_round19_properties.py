@@ -167,3 +167,111 @@ def test_udtf_sessionize_python_recompute(spark):
         for r in QUERIES["udtf_table_arg_sessionize"](spark, SF).collect()
     }
     assert got == expect and got
+
+
+def test_suffix_distinct_brute_force(spark):
+    """Suffix distinct count equals the brute-force suffix set size per
+    user under the (us, event_id) total order."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    raw = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"])
+        )
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for i, (_us, eid, _t) in enumerate(evs):
+            expect[eid] = len({t for _, _, t in evs[i:]})
+    got = {
+        r["event_id"]: r["n_distinct_remaining"]
+        for r in QUERIES["windowed_distinct_suffix"](spark, SF).collect()
+    }
+    assert got == expect and got
+
+
+def test_hodges_lehmann_brute_force(spark):
+    """HL location equals the brute-force lower median of all Walsh
+    pair sums (i <= j, self-pairs included)."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    rows = (
+        load_table(spark, SF, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_nk: dict[int, list] = {}
+    for r in rows:
+        by_nk.setdefault(r["c_nationkey"], []).append((r["c_custkey"], r["cents"]))
+    expect = {}
+    for nk, cs in by_nk.items():
+        walsh = sorted(
+            (ca + cb, ia, ib)
+            for i, (ia, ca) in enumerate(cs)
+            for ib, cb in cs
+            if ia <= ib
+        )
+        np = len(walsh)
+        s = walsh[(np + 1) // 2 - 1][0]
+        expect[nk] = (np, s, s / 2)
+    got = {
+        r["nation_key"]: (
+            r["n_walsh_pairs"],
+            r["hl_doubled_cents"],
+            r["hl_location_cents"],
+        )
+        for r in QUERIES["hodges_lehmann_location"](spark, SF).collect()
+    }
+    assert got == expect and got
+
+
+def test_mann_whitney_pairwise_definition(spark):
+    """The rank-sum formula must agree with the DEFINITION of U:
+    2·U1 = 2·#{(x1, x2): x1 > x2} + #ties — two independent
+    derivations of one statistic. Tie cubes recomputed exactly too."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_grp: dict[str, tuple[list, list]] = {}
+    for r in rows:
+        a, b = by_grp.setdefault(r["grp"], ([], []))
+        (a if r["st"] == "F" else b).append(r["cents"])
+    got = {
+        r["order_priority"]: r
+        for r in QUERIES["mann_whitney_u"](spark, SF).collect()
+    }
+    assert set(got) == set(by_grp)
+    for g, (s1, s2) in by_grp.items():
+        greater = sum(1 for x in s1 for y in s2 if x > y)
+        ties = sum(1 for x in s1 for y in s2 if x == y)
+        assert got[g]["n1"] == len(s1) and got[g]["n2"] == len(s2)
+        assert got[g]["u1_doubled"] == 2 * greater + ties
+        from collections import Counter
+
+        tc = Counter(s1 + s2)
+        assert got[g]["tie_cubes"] == sum(t**3 - t for t in tc.values())
