@@ -542,7 +542,12 @@ def udtf_table_arg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     single ordered pass per partition in the Python worker — the same
     profile as applyInPandas sessionizers; Python crossing is the
     declared cost (the streaming sessionizer and the lag/cumsum SQL
-    form are the registered JVM-side twins)."""
+    form are the registered JVM-side twins).
+
+    Scale bound: the only arithmetic on epoch-µs is the gap DIFFERENCE
+    us − last (< the user's span, int64 to ~292,000 years) compared to
+    a constant; session counters are per-user counts — no products, no
+    overflow surface."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType=(

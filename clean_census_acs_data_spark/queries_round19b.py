@@ -79,7 +79,12 @@ def windowed_distinct_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: both windows hash-partition on user_id — ONE
     shuffle, two in-partition sorts ((type, us) then (us)); per-row
     state is a single running integer, never a set. Skew = the
-    heaviest user's history, same bound as any per-user window."""
+    heaviest user's history, same bound as any per-user window.
+
+    Scale bound: epoch-µs values are compared, never multiplied or
+    differenced, and the suffix sum of 0/1 flags is bounded by the
+    per-user distinct-type count — nothing here can approach int64 at
+    any corpus size."""
     e = _t(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
