@@ -241,6 +241,12 @@ agg AS (
 SELECT a.grp AS order_priority,
        a.n1, a.n2,
        CAST(a.r1_dbl - a.n1 * (a.n1 + 1) AS BIGINT) AS u1_doubled,
+       CAST(a.r1_dbl - a.n1 * (a.n1 + 1) - a.n1 * a.n2 AS BIGINT)
+         AS cliffs_delta_num,
+       CASE WHEN a.n1 > 0 AND a.n2 > 0 THEN
+         CAST(a.r1_dbl - a.n1 * (a.n1 + 1) - a.n1 * a.n2 AS DOUBLE)
+         / CAST(a.n1 * a.n2 AS DOUBLE)
+       ELSE NULL END AS cliffs_delta,
        ti.tie_cubes,
        CASE WHEN a.n1 > 0 AND a.n2 > 0 AND a.n1 + a.n2 > 1 THEN
          (CAST(a.r1_dbl - a.n1 * (a.n1 + 1) AS DOUBLE) / 2
@@ -264,9 +270,11 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pooled tie-averaged ranks use the integer double-rank device
     (spearman_rho_exact), so 2·R1 — and with it 2·U1 = 2·R1 −
     n1(n1+1) — is an exact int64; the tie correction Σ(t³−t)
-    is an exact integer aggregate; the z statistic (tie-corrected
-    normal approximation) is the single shared-text float tail over
-    those exact integers.
+    is an exact integer aggregate; Cliff's delta — the standard effect
+    size, (#greater − #less)/(n1·n2) = (2·U1 − n1·n2)/(n1·n2) — rides
+    the same exact integers; the z statistic (tie-corrected normal
+    approximation) and delta are the only float tails, each a single
+    shared-text expression over exact ints.
 
     100-TB shape: one ranking window partitioned by the 5-value group
     key, one groupBy for tie runs, one 5-row agg — the window is the
@@ -276,3 +284,67 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     spearman_rho_decimal)."""
     register_views(spark, sf_dir)
     return spark.sql(_mwu_sql("DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample statistic, exact integer numerator
+# ---------------------------------------------------------------------------
+
+# D = sup_x |F1(x) − F2(x)| evaluated at pooled sample points, kept
+# exact as the INTEGER numerator max |n2·cum1(v) − n1·cum2(v)| (common
+# denominator n1·n2); the max is selection, not summation, so no float
+# accumulation exists. Dialect-shared text.
+
+_KS_SQL = """
+WITH o AS (
+  SELECT o_orderpriority AS grp,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s1,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+v AS (
+  SELECT grp, cents,
+         CAST(SUM(s1) AS BIGINT) AS c1,
+         CAST(COUNT(*) - SUM(s1) AS BIGINT) AS c2
+  FROM o GROUP BY grp, cents
+),
+cum AS (
+  SELECT grp, cents,
+         CAST(SUM(c1) OVER (PARTITION BY grp ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (PARTITION BY grp ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+         CAST(SUM(c1) OVER (PARTITION BY grp) AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER (PARTITION BY grp) AS BIGINT) AS n2
+  FROM v
+)
+SELECT grp AS order_priority,
+       MAX(n1) AS n1, MAX(n2) AS n2,
+       CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS ks_num,
+       CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE)
+         / CAST(MAX(n1) * MAX(n2) AS DOUBLE) AS ks_stat
+FROM cum GROUP BY grp
+"""
+
+
+@register("kolmogorov_smirnov_2sample", oracle=_KS_SQL)
+def kolmogorov_smirnov_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per order priority
+    (finished vs open order values): D = sup|F1 − F2| over the pooled
+    points — the SHAPE-sensitive drift test that catches what the
+    rank-sum test (mann_whitney_u, same two samples) misses: a
+    variance or tail change with equal medians moves D while U sleeps.
+    The canonical pairing a distribution-shift monitor runs per
+    source/day at corpus scale. The numerator max|n2·cum1 − n1·cum2|
+    is exact int64 over the common denominator n1·n2 (cum sums are
+    counting integers, the max is SELECTION); ks_stat is the single
+    final division. Dialect-shared SQL text on both engines.
+
+    100-TB shape: one partial agg to per-(group, value) counts, one
+    running-sum window on the group key, a group max — the same single
+    heavy exchange as any per-group window. Scale bound:
+    n2·cum1 ≤ n1·n2 wraps int64 at n1·n2 ≈ 9.2×10¹⁸ (≈ 3×10⁹ rows per
+    side per group); past that, the DECIMAL(38,0) switch per
+    spearman_rho_decimal."""
+    register_views(spark, sf_dir)
+    return spark.sql(_KS_SQL)

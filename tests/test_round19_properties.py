@@ -275,3 +275,53 @@ def test_mann_whitney_pairwise_definition(spark):
 
         tc = Counter(s1 + s2)
         assert got[g]["tie_cubes"] == sum(t**3 - t for t in tc.values())
+
+
+def test_ks_statistic_brute_force(spark):
+    """KS numerator equals the brute-force sup over pooled points of
+    |n2·cum1 − n1·cum2|, and Cliff's delta (mann_whitney_u) equals its
+    pairwise definition (#greater − #less)/(n1·n2)."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_grp: dict[str, tuple[list, list]] = {}
+    for r in rows:
+        a, b = by_grp.setdefault(r["grp"], ([], []))
+        (a if r["st"] == "F" else b).append(r["cents"])
+    ks = {
+        r["order_priority"]: r
+        for r in QUERIES["kolmogorov_smirnov_2sample"](spark, SF).collect()
+    }
+    mwu = {
+        r["order_priority"]: r
+        for r in QUERIES["mann_whitney_u"](spark, SF).collect()
+    }
+    assert set(ks) == set(by_grp) == set(mwu)
+    for g, (s1, s2) in by_grp.items():
+        n1, n2 = len(s1), len(s2)
+        pooled = sorted(set(s1) | set(s2))
+        best = max(
+            abs(
+                n2 * sum(1 for x in s1 if x <= v)
+                - n1 * sum(1 for y in s2 if y <= v)
+            )
+            for v in pooled
+        )
+        assert (ks[g]["n1"], ks[g]["n2"]) == (n1, n2)
+        assert ks[g]["ks_num"] == best
+        assert ks[g]["ks_stat"] == best / (n1 * n2)
+        greater = sum(1 for x in s1 for y in s2 if x > y)
+        less = sum(1 for x in s1 for y in s2 if x < y)
+        assert mwu[g]["cliffs_delta_num"] == greater - less
+        assert mwu[g]["cliffs_delta"] == (greater - less) / (n1 * n2)
