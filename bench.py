@@ -421,11 +421,19 @@ def main() -> None:
         import threading
 
         detail: dict[str, float] = {}
+        warm_errors: list[BaseException] = []
 
         def _warm(key: str, qname: str) -> None:
-            t = time.perf_counter()
-            QUERIES[qname](spark, warm_dir).collect()
-            detail[key] = round(time.perf_counter() - t, 4)
+            # a failed warm must ABORT bench like the serial code did —
+            # otherwise the spawn cost is silently billed to whichever
+            # entry runs first and the artifact records a phantom
+            # regression with no error anywhere (review r11)
+            try:
+                t = time.perf_counter()
+                QUERIES[qname](spark, warm_dir).collect()
+                detail[key] = round(time.perf_counter() - t, 4)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                warm_errors.append(exc)
 
         threads = [
             threading.Thread(target=_warm, args=(key, qname))
@@ -440,6 +448,8 @@ def main() -> None:
             th.start()
         for th in threads:
             th.join()
+        if warm_errors:
+            raise warm_errors[0]
         warmup_init["streaming_parallel_spawn"] = round(
             time.perf_counter() - t0, 4
         )
@@ -623,14 +633,25 @@ def main() -> None:
         else:
             if force and (seal_blocked or skew_blocked):
                 # ADVICE r10: FORCE bypassed a guard — record it INSIDE
-                # the artifact (plus the measured pinned ratio) so every
-                # later round that uses this file as its comparison
-                # baseline knows the link is poisoned and normalizes
-                # through forced_stamp_pinned_ratio.
+                # the artifact so every later round that uses this file
+                # as its comparison baseline knows. The skew multiplier
+                # forced_stamp_pinned_ratio is recorded ONLY when the
+                # SKEW guard was the one bypassed, and as the EFFECTIVE
+                # ratio (chained through any prior forced baseline):
+                # - a seal-only force on an honest box must NOT poison
+                #   later gauges (its honest ratio multiplied in would
+                #   under- or over-refuse later rounds), so it records
+                #   no multiplier;
+                # - two consecutive forced stamps must keep the chain
+                #   anchored at the last HONEST round, so the recorded
+                #   ratio already includes the prior link's multiplier.
                 full["forced_stamp"] = True
-                full["forced_stamp_pinned_ratio"] = full.get(
-                    "pinned_ratio_vs_prev"
-                )
+                if skew_blocked:
+                    full["forced_stamp_pinned_ratio"] = round(
+                        (full.get("pinned_ratio_vs_prev") or 1.0)
+                        * (full.get("ratio_prev_stamp_ratio") or 1.0),
+                        4,
+                    )
             with open(round_path, "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
     except OSError:

@@ -200,16 +200,16 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Mann–Whitney U (rank-sum) test, tie-exact integer core
 # ---------------------------------------------------------------------------
 
-# Dialect-shared text (Spark: DIV; DuckDB: //): samples are F-status vs
+# ONE dialect-shared text (no integral division anywhere, so the SAME
+# string runs verbatim on both engines): samples are F-status vs
 # O-status order totals per order priority; pooled tie-averaged ranks
 # ride the integer double-rank device (2·rank + ties − 1 = 2·avg rank),
-# so 2·R1 and hence 2·U1 = 2·R1 − n1(n1+1) are exact int64; the tie correction Σ(t³−t)
-# is exact; z is the single shared-text float tail (normal
-# approximation with tie-corrected variance, no continuity correction).
+# so 2·R1 and hence 2·U1 = 2·R1 − n1(n1+1) are exact int64; the tie
+# correction Σ(t³−t) is exact; z and Cliff's delta are the only float
+# tails (normal approximation with tie-corrected variance, no
+# continuity correction).
 
-
-def _mwu_sql(div: str) -> str:
-    return f"""
+_MWU_SQL = """
 WITH o AS (
   SELECT o_orderpriority AS grp,
          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s1,
@@ -260,7 +260,7 @@ FROM agg a JOIN ties ti ON a.grp = ti.grp
 """
 
 
-@register("mann_whitney_u", oracle=_mwu_sql("//"))
+@register("mann_whitney_u", oracle=_MWU_SQL)
 def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) test per order priority:
     does the order-value distribution of finished ('F') orders differ
@@ -283,7 +283,7 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     to n ≈ 2×10⁶ per group — past that, the DECIMAL(38,0) switch per
     spearman_rho_decimal)."""
     register_views(spark, sf_dir)
-    return spark.sql(_mwu_sql("DIV"))
+    return spark.sql(_MWU_SQL)
 
 
 # ---------------------------------------------------------------------------

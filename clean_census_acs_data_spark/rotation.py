@@ -65,11 +65,17 @@ def latest_rows(repo: str = _REPO) -> dict[str, dict]:
 # ------------------------------------------------------- entry -> files map
 
 
-def _module_dep_closure() -> dict[str, set[str]]:
-    """Loaded package module -> transitive set of package module NAMES
-    it imports, from an AST scan of each module's SOURCE (so deferred
-    function-local imports — common here to keep module import cheap —
-    count; a namespace scan misses them).
+_CLOSURE_CACHE: list[tuple[dict[str, set[str]], dict[str, str]]] = []
+
+
+def _module_dep_closure() -> tuple[dict[str, set[str]], dict[str, str]]:
+    """(module -> transitive set of package module NAMES it imports,
+    module -> source path), from an AST scan of each module's SOURCE
+    (so deferred function-local imports — common here to keep module
+    import cheap — count; a namespace scan misses them). Memoized for
+    the process lifetime (sources can't change under a running
+    process in a way that matters to the rotation; cleared by
+    clear_caches()).
 
     The registry module and the package root are dependency CYCLES, not
     implementations: queries.py imports every queries_round* for
@@ -81,6 +87,8 @@ def _module_dep_closure() -> dict[str, set[str]]:
     always-shared module."""
     import ast
 
+    if _CLOSURE_CACHE:
+        return _CLOSURE_CACHE[0]
     skip = {PKG, PKG + ".queries"}
     # fully static: walk the package DIRECTORY (sys.modules would miss
     # modules that are only ever deferred-imported inside functions)
@@ -106,14 +114,20 @@ def _module_dep_closure() -> dict[str, set[str]]:
             except (OSError, SyntaxError):
                 tree = None
             pkg_parts = name.split(".")
+            # relative imports resolve against the CONTAINING package:
+            # for a plain module that is pkg_parts minus the module
+            # segment, but an __init__ module IS its package — level 1
+            # resolves against itself, not its parent (review r11)
+            is_pkg = os.path.basename(path) == "__init__.py"
+            anchor = pkg_parts if is_pkg else pkg_parts[:-1]
             for node in ast.walk(tree) if tree else ():
                 if isinstance(node, ast.Import):
                     for a in node.names:
                         if a.name == PKG or a.name.startswith(PKG + "."):
                             deps.add(a.name)
                 elif isinstance(node, ast.ImportFrom):
-                    if node.level:  # relative: resolve against this module
-                        base = pkg_parts[: len(pkg_parts) - node.level]
+                    if node.level:  # relative: resolve against the package
+                        base = anchor[: len(anchor) - (node.level - 1)]
                         mod_str = ".".join(base + ([node.module] if node.module else []))
                     else:
                         mod_str = node.module or ""
@@ -139,6 +153,7 @@ def _module_dep_closure() -> dict[str, set[str]]:
             if not extra <= deps:
                 deps |= extra
                 changed = True
+    _CLOSURE_CACHE.append((closure, pkg_files))
     return closure, pkg_files
 
 
@@ -239,6 +254,7 @@ def changed_since(repo: str, commit: str) -> frozenset[str] | None:
 def clear_caches() -> None:
     _ROUND_COMMIT_CACHE.clear()
     _CHANGED_CACHE.clear()
+    _CLOSURE_CACHE.clear()
 
 
 # ------------------------------------------------------------ the ordering

@@ -378,18 +378,20 @@ def teardown_shared_memos() -> int:
     from pyspark.sql import DataFrame
 
     n = 0
+    bad: list[str] = []
     for memo, handles in _SHARED_MEMO_REGISTRY:
         for v in list(memo.values()):
             for df in handles(v):
                 # A handles fn that yields non-DataFrames is a
                 # registration bug, not a stopped session — surface it
                 # (ADVICE r10: the bare except turned teardown into a
-                # silent leak with an undercounted return value).
+                # silent leak with an undercounted return value). But
+                # surface it AFTER the sweep: aborting mid-iteration
+                # would leave every later memo holding cached blocks —
+                # the exact leak this hook exists to prevent.
                 if not isinstance(df, DataFrame):
-                    raise TypeError(
-                        "register_shared_memo handles fn yielded "
-                        f"{type(df).__name__}, expected DataFrame"
-                    )
+                    bad.append(type(df).__name__)
+                    continue
                 try:
                     # count only frames that actually HELD storage:
                     # localCheckpoint-backed memo values have no
@@ -405,6 +407,12 @@ def teardown_shared_memos() -> int:
                     # JVM handle) — nothing to free
                     pass
         memo.clear()
+    if bad:
+        raise TypeError(
+            "register_shared_memo handles fn yielded non-DataFrame "
+            f"value(s) {sorted(set(bad))}; every other memo was still "
+            "torn down — fix the registration"
+        )
     return n
 
 

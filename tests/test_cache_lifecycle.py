@@ -166,17 +166,21 @@ def test_teardown_surfaces_bad_handles_fn(spark):
     into a silent leak with an undercounted return value."""
     import pytest
 
-    memo = {"k": spark.range(1).cache()}
+    df = spark.range(1).cache()
+    memo = {"k": df}
     S.register_shared_memo(memo, handles=lambda v: ("not-a-dataframe",))
     try:
-        with pytest.raises(TypeError, match="handles fn yielded"):
+        with pytest.raises(TypeError, match="yielded non-DataFrame"):
             S.teardown_shared_memos()
+        # the error must not abort the sweep: the poisoned memo is still
+        # cleared so later memos got their teardown too (review r11)
+        assert not memo
     finally:
         # remove the poisoned registration so later tests' teardowns work
         S._SHARED_MEMO_REGISTRY[:] = [
             (m, h) for (m, h) in S._SHARED_MEMO_REGISTRY if m is not memo
         ]
-        memo["k"].unpersist()
+        df.unpersist()
 
 
 def test_knn_memo_teardown_frees_internal_cache(spark):

@@ -242,9 +242,11 @@ def test_rotation_fronts_changed_modules(monkeypatch):
     commit must front the window, ahead of unchanged entries."""
     from clean_census_acs_data_spark import rotation as rot
 
+    import pytest
+
     probe = "components_large_star"
     if probe not in QUERIES:
-        return
+        pytest.skip(f"{probe} left the registry — pick a new probe")
     probe_file = next(
         f
         for f in rot.entry_files(QUERIES)[probe]
