@@ -100,6 +100,14 @@ PINNED_SENTINELS = [
 # every future round's comparisons (VERDICT r9 'What's wrong #2').
 PINNED_SKEW_BOUND = 1.3
 
+# The SF at which round-keyed BENCH_FULL_r{N}.json artifacts are valid
+# as cross-round baselines; other scales write only the rolling file.
+CANONICAL_BENCH_SF = 0.1
+
+
+class _SkipRoundArtifact(Exception):
+    """Internal: non-canonical SF — skip the round-keyed write."""
+
 
 def pinned_ratio_vs_prev(
     prev_full: dict, timings: dict[str, float], secondary: dict[str, float]
@@ -573,6 +581,20 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
+        # Round-keyed artifacts exist to be cross-round baselines, and
+        # ratios only mean anything at the canonical bench scale — a
+        # smoke run at another SF (e.g. sf0.001 to validate the CLI)
+        # must never occupy a round slot: in r11 exactly that happened
+        # (inference stamped the smoke as BENCH_FULL_r11.json; the real
+        # sf0.1 run was then seal-blocked and its gauges read null).
+        if sf_val != CANONICAL_BENCH_SF:
+            print(
+                f"bench: sf={sf_val} is not the canonical round scale "
+                f"({CANONICAL_BENCH_SF}); skipping the round-keyed "
+                "artifact (rolling BENCH_FULL.json written).",
+                file=sys.stderr,
+            )
+            raise _SkipRoundArtifact
         # Explicit round wins (ADVICE r7: if the driver's BENCH_r{N}
         # artifact for the IN-PROGRESS round already exists when bench
         # runs, max+1 inference mislabels the full artifact as the NEXT
@@ -654,7 +676,7 @@ def main() -> None:
                     )
             with open(round_path, "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
-    except OSError:
+    except (OSError, _SkipRoundArtifact):
         pass
     # Penultimate line: compact-but-diffable (headline map + top-20
     # slowest secondary). May exceed the driver's tail window — that is
