@@ -325,3 +325,153 @@ def test_ks_statistic_brute_force(spark):
         less = sum(1 for x in s1 for y in s2 if x < y)
         assert mwu[g]["cliffs_delta_num"] == greater - less
         assert mwu[g]["cliffs_delta"] == (greater - less) / (n1 * n2)
+
+
+def test_pettitt_double_sum_identity(spark):
+    """The rank-formula U_t must equal the DEFINITION
+    U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j) computed by brute force —
+    the mid-rank identity the operator's comment proves, checked
+    numerically with ties included, plus the argmax selection."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    raw = (
+        load_table(spark, SF, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["cents"])
+        )
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        xs = [c for _, _, c in evs]
+        n = len(xs)
+        if n < 2:
+            continue
+        best = None
+        for t in range(1, n):
+            u_t = sum(
+                (xs[i] > xs[j]) - (xs[i] < xs[j])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            key = (abs(u_t), -t)  # max |U|, earliest t on ties
+            if best is None or key > best[0]:
+                best = (key, t, abs(u_t), evs[t - 1][0])
+        expect[u] = (n, best[2], best[1], best[3])
+    got = {
+        r["user_id"]: (
+            r["n_points"],
+            r["k_stat"],
+            r["change_after_t"],
+            r["change_after_us"],
+        )
+        for r in QUERIES["pettitt_change_point"](spark, SF).collect()
+        if r["n_points"] >= 2
+    }
+    assert got == expect and got
+
+
+def test_wilcoxon_and_mcnemar_brute_force(spark):
+    """Wilcoxon W⁺ recomputed from exact mid-ranks of |d| over the
+    first-vs-last pairs; McNemar cells recomputed from the raw flags."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    orders = (
+        load_table(spark, SF, "orders")
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    cust = {
+        r["c_custkey"]: (r["c_nationkey"], r["c_mktsegment"])
+        for r in load_table(spark, SF, "customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, SF, "nation").collect()
+    }
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"], r["cents"])
+        )
+    diffs: dict[str, list] = {}
+    for ck, os_ in by_cust.items():
+        if len(os_) < 2 or ck not in cust:
+            continue
+        os_.sort()
+        d = os_[-1][2] - os_[0][2]
+        if d != 0:
+            diffs.setdefault(nation[cust[ck][0]], []).append(d)
+    got = {
+        r["nation_name"]: r
+        for r in QUERIES["wilcoxon_signed_rank"](spark, SF).collect()
+    }
+    assert set(got) == set(diffs)
+    for nat, ds in diffs.items():
+        ads = sorted(abs(d) for d in ds)
+        # exact mid-rank of each |d| as a double-rank integer
+        first = {}
+        from collections import Counter
+
+        cnt = Counter(ads)
+        pos = {}
+        run = 1
+        for v in sorted(cnt):
+            pos[v] = run  # rank of first occurrence
+            run += cnt[v]
+        w_plus_dbl = sum(
+            2 * pos[abs(d)] + cnt[abs(d)] - 1 for d in ds if d > 0
+        )
+        assert got[nat]["n_pairs"] == len(ds)
+        assert got[nat]["w_plus_dbl"] == w_plus_dbl
+        assert got[nat]["tie_cubes"] == sum(t**3 - t for t in cnt.values())
+    # McNemar cells
+    cells: dict[str, list] = {}
+    for r in orders:
+        if r["o_custkey"] not in cust:
+            continue
+        seg = cust[r["o_custkey"]][1]
+        x = 1 if r["o_orderpriority"] in ("1-URGENT", "2-HIGH") else 0
+        y = 1 if r["o_orderstatus"] == "F" else 0
+        b_, c_, bp, bn = cells.get(seg, (0, 0, 0, 0))
+        cells[seg] = (
+            b_ + (x and not y),
+            c_ + ((not x) and y),
+            bp + (x and y),
+            bn + ((not x) and (not y)),
+        )
+    gm = {
+        r["segment"]: r
+        for r in QUERIES["mcnemar_paired_flags"](spark, SF).collect()
+    }
+    assert set(gm) == set(cells)
+    for seg, (b_, c_, bp, bn) in cells.items():
+        assert (gm[seg]["b"], gm[seg]["c"]) == (b_, c_)
+        assert (gm[seg]["both_pos"], gm[seg]["both_neg"]) == (bp, bn)
+        if b_ + c_ > 0:
+            assert gm[seg]["chi2_micro"] == (1_000_000 * (b_ - c_) ** 2) // (
+                b_ + c_
+            )
