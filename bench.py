@@ -426,6 +426,13 @@ def main() -> None:
         # the three. streaming_parallel_spawn is the WALL cost the
         # suite actually paid; the per-engine detail values OVERLAP
         # (each includes contention) and must not be summed.
+        # Cheaper pre-warm investigated (r11) and REJECTED: a minimal
+        # 1-state BATCH Python-DataSource read costs the same ~6.5 s
+        # cold (the spend is the pyspark.sql.worker create/plan/read
+        # daemon stack itself, not the streaming wrapper) and only
+        # PARTIALLY warms the streaming-DS path (replay still 4.5 s
+        # after it vs 2-3 s warm) — no cheaper warm exists downstream
+        # of Spark itself.
         import threading
 
         detail: dict[str, float] = {}
