@@ -475,3 +475,130 @@ def test_wilcoxon_and_mcnemar_brute_force(spark):
             assert gm[seg]["chi2_micro"] == (1_000_000 * (b_ - c_) ** 2) // (
                 b_ + c_
             )
+
+
+def test_logrank_exact_fraction_recompute(spark):
+    """Per-bucket O−E and hypergeometric variance recomputed with exact
+    integer arithmetic from the raw events (cohort = first event is a
+    click; KM's censoring point); totals and z pinned."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    STUDY_END_US = 1719792000000000  # 2024-07-01 00:00:00 UTC in µs
+    raw = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["us"], r["event_id"], r["event_type"])
+        )
+    rowsd: dict[int, list] = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        grp_a = 1 if evs[0][2] == "click" else 0
+        first_us = evs[0][0]
+        conv = min((us for us, _, t in evs if t == "purchase"), default=None)
+        event = 1 if conv is not None else 0
+        t_hours = ((conv if conv is not None else STUDY_END_US) - first_us) // 3_600_000_000
+        rowsd.setdefault(t_hours, []).append((grp_a, event))
+    buckets = sorted(rowsd)
+    # reverse cumulative at-risk per group
+    n_a = n_b = 0
+    risk = {}
+    for t in reversed(buckets):
+        n_a += sum(1 for g, _ in rowsd[t] if g == 1)
+        n_b += sum(1 for g, _ in rowsd[t] if g == 0)
+        risk[t] = (n_a, n_b)
+    expect = {}
+    oe_total = v_total = 0
+    for t in buckets:
+        d_a = sum(e for g, e in rowsd[t] if g == 1)
+        d_b = sum(e for g, e in rowsd[t] if g == 0)
+        if d_a + d_b == 0:
+            continue
+        na, nb = risk[t]
+        n = na + nb
+        d = d_a + d_b
+        oe_num = 1_000_000 * (d_a * n - d * na)
+        oe = oe_num // n if oe_num >= 0 else -((-oe_num) // n)
+        v = (1_000_000 * d * na * nb * (n - d)) // (n * n * (n - 1)) if n > 1 else 0
+        expect[t] = (d_a, d_b, na, nb, oe, v)
+        oe_total += oe
+        v_total += v
+    got = {
+        r["t_hours"]: r
+        for r in QUERIES["logrank_test"](spark, SF).collect()
+    }
+    assert set(got) == set(expect) and got
+    for t, (d_a, d_b, na, nb, oe, v) in expect.items():
+        r = got[t]
+        assert (r["d_a"], r["d_b"], r["n_a"], r["n_b"]) == (d_a, d_b, na, nb)
+        assert r["oe_micro"] == oe, (t, r["oe_micro"], oe)
+        assert r["v_micro"] == v
+        assert r["oe_total_micro"] == oe_total
+        assert r["v_total_micro"] == v_total
+        if v_total > 0:
+            assert r["z_score"] == oe_total / (v_total * 1e6) ** 0.5
+
+
+def test_cochran_armitage_exact_recompute(spark):
+    """T and Var(T) recomputed exactly from the per-dose tables; the
+    trend statistic must also be invariant to shifting all dose scores
+    by a constant (a textbook CA property — checked on the exact
+    numerators)."""
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.io import load_table
+
+    orders = (
+        load_table(spark, SF, "orders")
+        .select("o_custkey", "o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    seg = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in load_table(spark, SF, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .collect()
+    }
+    dose: dict[str, dict[int, list]] = {}
+    for r in orders:
+        if r["o_custkey"] not in seg:
+            continue
+        s = seg[r["o_custkey"]]
+        w = int(r["o_orderpriority"][0])
+        d = dose.setdefault(s, {}).setdefault(w, [0, 0])
+        d[0] += 1
+        d[1] += 1 if r["o_orderstatus"] == "F" else 0
+    got = {
+        r["segment"]: r
+        for r in QUERIES["cochran_armitage_trend"](spark, SF).collect()
+    }
+    assert set(got) == set(dose)
+    for s, table in dose.items():
+        n = sum(m for m, _ in table.values())
+        dd = sum(d for _, d in table.values())
+        swd = sum(w * d for w, (_, d) in table.items())
+        swm = sum(w * m for w, (m, _) in table.items())
+        sw2m = sum(w * w * m for w, (m, _) in table.items())
+        t_num = 1_000_000 * (n * swd - dd * swm)
+        t_micro = t_num // n if t_num >= 0 else -((-t_num) // n)
+        v_micro = (1_000_000 * dd * (n - dd) * (n * sw2m - swm * swm)) // (
+            n * n * n
+        )
+        r = got[s]
+        assert (r["n"], r["responders"]) == (n, dd)
+        assert r["t_micro"] == t_micro
+        assert r["v_micro"] == v_micro
+        # shift-invariance of the exact numerator: w -> w + 3 leaves
+        # n*swd' - dd*swm' unchanged (swd' = swd + 3dd, swm' = swm + 3n)
+        assert n * (swd + 3 * dd) - dd * (swm + 3 * n) == n * swd - dd * swm
