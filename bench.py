@@ -152,6 +152,46 @@ def refuse_round_artifact(
     return effective > PINNED_SKEW_BOUND
 
 
+def effective_pinned_gauge(stamp: dict) -> float | None:
+    """The stamp's box-skew gauge chained back to the last HONEST round.
+
+    For a FORCE-stamped artifact that is ``forced_stamp_pinned_ratio``
+    (recorded already-chained by the ADVICE r10 fix). For an honest
+    stamp it is ``pinned_ratio_vs_prev`` times the prior link's forced
+    multiplier (``ratio_prev_stamp_ratio``) when the comparison
+    baseline itself was forced. None when no gauge was recorded."""
+    if stamp.get("forced_stamp"):
+        return stamp.get("forced_stamp_pinned_ratio")
+    pinned = stamp.get("pinned_ratio_vs_prev")
+    if pinned is None:
+        return None
+    return pinned * (stamp.get("ratio_prev_stamp_ratio") or 1.0)
+
+
+def seal_supersede_ok(sealed: dict, new_effective_pinned: float | None) -> bool:
+    """VERDICT r11 #1: may a new stamp overwrite an EXISTING round-keyed
+    artifact without FORCE?
+
+    The r11 loophole: the seal guard only fired when the round number
+    came from the ENV, so the driver's post-close bench hit the
+    round-INFERENCE path and silently overwrote the sealed honest
+    27.49 s stamp (pinned gauge 1.043) with a 1.19×-hot 37.30 s one.
+    Rule now: an existing round-keyed artifact is overwritten unforced
+    ONLY when the new stamp's effective pinned gauge is known and no
+    further from 1.0 (log distance) than the sealed stamp's own — i.e.
+    keep whichever stamp has the better gauge, regardless of how the
+    round number was derived. Unknown gauges on either side refuse:
+    we cannot prove the new stamp is the better one."""
+    if not new_effective_pinned or new_effective_pinned <= 0.0:
+        return False
+    old = effective_pinned_gauge(sealed)
+    if not old or old <= 0.0:
+        return False
+    import math
+
+    return abs(math.log(new_effective_pinned)) <= abs(math.log(old)) + 1e-9
+
+
 HEADLINE = [
     # relational core
     "q1_pricing_summary",
@@ -617,28 +657,46 @@ def main() -> None:
             ]
             cur = (max(rounds) + 1) if rounds else 1
         round_path = os.path.join(here, f"BENCH_FULL_r{cur:02d}.json")
-        # A STALE env override (exported in a long-lived shell from a
-        # previous round) must not clobber a sealed round artifact
-        # (ADVICE r8): refuse the round-keyed write when the env-
-        # selected round's file already exists, unless forced. The
-        # inferred path only targets existing files when the driver's
-        # BENCH_r{N} for the in-progress round landed first — same
-        # round, same box, overwrite is the intended refresh there.
+        # An existing round-keyed artifact is a SEAL no matter how the
+        # round number was derived (VERDICT r11 #1: the old env-only
+        # guard let the round-INFERENCE path overwrite the honest r11
+        # stamp with a 1.19×-hot one). Unforced overwrite is allowed
+        # only when the new stamp's gauge is demonstrably no worse —
+        # keep whichever stamp has the better pinned gauge.
         force = os.environ.get("SPARK_GRAFT_ROUND_FORCE", "") == "1"
         # Guard order matters: the SEAL guard wins so its message is
-        # never shadowed by the skew one — otherwise a stale
-        # SPARK_GRAFT_ROUND on a hot box would print only the skew hint,
-        # whose FORCE suggestion bypasses BOTH guards at once and
-        # clobbers a sealed prior-round artifact with skewed timings.
-        seal_blocked = env_round.isdigit() and os.path.exists(round_path)
+        # never shadowed by the skew one — otherwise a hot box would
+        # print only the skew hint, whose FORCE suggestion bypasses
+        # BOTH guards at once and clobbers a sealed prior-round
+        # artifact with skewed timings.
+        seal_blocked = False
+        if os.path.exists(round_path):
+            try:
+                with open(round_path) as f:
+                    sealed_prev = json.load(f)
+            except (OSError, ValueError):
+                sealed_prev = {}
+            seal_blocked = not seal_supersede_ok(
+                sealed_prev, effective_pinned_gauge(full)
+            )
+            if not seal_blocked:
+                print(
+                    f"bench: superseding {os.path.basename(round_path)} — "
+                    f"new pinned gauge {effective_pinned_gauge(full)} is no "
+                    f"worse than the sealed stamp's "
+                    f"{effective_pinned_gauge(sealed_prev)}",
+                    file=sys.stderr,
+                )
         skew_blocked = refuse_round_artifact(
             full.get("pinned_ratio_vs_prev"), full.get("ratio_prev_stamp_ratio")
         )
         if seal_blocked and not force:
             print(
-                f"bench: refusing to overwrite sealed {round_path} "
-                "(stale SPARK_GRAFT_ROUND? set SPARK_GRAFT_ROUND_FORCE=1 "
-                "to override)",
+                f"bench: refusing to overwrite sealed {round_path} — "
+                f"new pinned gauge {effective_pinned_gauge(full)} is not "
+                "better than the sealed stamp's "
+                f"{effective_pinned_gauge(sealed_prev)} (set "
+                "SPARK_GRAFT_ROUND_FORCE=1 to override)",
                 file=sys.stderr,
             )
         elif skew_blocked and not force:

@@ -137,6 +137,56 @@ def test_pinned_ratio_gauge_and_skew_refusal():
     assert all(k in QUERIES for k in pins)
 
 
+def test_seal_guard_covers_inferred_round_path():
+    """VERDICT r11 #1: the seal guard must protect an EXISTING
+    round-keyed artifact regardless of whether the round number came
+    from SPARK_GRAFT_ROUND or from inference — the r11 driver bench hit
+    the inference path and overwrote the sealed honest 27.49 s stamp
+    (pinned 1.043) with a 1.19×-hot 37.30 s one. Unforced overwrite is
+    allowed only when the new stamp's effective pinned gauge is no
+    worse (log distance from 1.0) than the sealed stamp's."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod3", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    honest = {"pinned_ratio_vs_prev": 1.043}
+    hot = {"pinned_ratio_vs_prev": 1.1885}
+    # the exact r11 incident: hot run against the sealed honest stamp
+    assert not bench.seal_supersede_ok(honest, bench.effective_pinned_gauge(hot))
+    # the recovery direction: honest rerun supersedes a hot stamp
+    assert bench.seal_supersede_ok(hot, bench.effective_pinned_gauge(honest))
+    # equal gauges: same-round refresh allowed (exact tie)
+    assert bench.seal_supersede_ok(honest, 1.043)
+    # unknown gauges on either side refuse — can't prove better
+    assert not bench.seal_supersede_ok(honest, None)
+    assert not bench.seal_supersede_ok({}, 1.0)
+    assert not bench.seal_supersede_ok({"pinned_ratio_vs_prev": None}, 1.0)
+    # a FORCE-stamped seal compares through its recorded effective gauge
+    forced = {"forced_stamp": True, "forced_stamp_pinned_ratio": 1.6}
+    assert bench.seal_supersede_ok(forced, 1.2)
+    assert not bench.seal_supersede_ok(forced, 1.7)
+    # an honest stamp measured against a forced baseline chains too:
+    # 0.9 × 1.6 = 1.44 effective
+    chained = {"pinned_ratio_vs_prev": 0.9, "ratio_prev_stamp_ratio": 1.6}
+    assert bench.effective_pinned_gauge(chained) == 0.9 * 1.6
+    assert bench.seal_supersede_ok(chained, 1.2)
+    assert not bench.seal_supersede_ok(chained, 1.5)
+    # sub-1.0 gauges are skew too: |log| distance, not raw magnitude
+    fast_box = {"pinned_ratio_vs_prev": 0.85}
+    assert bench.seal_supersede_ok(fast_box, 1.1)  # 1.1 closer to 1.0
+    assert not bench.seal_supersede_ok(fast_box, 1.25)
+    # the decision site no longer keys on how the round was derived
+    with open(os.path.join(os.path.dirname(__file__), "..", "bench.py")) as f:
+        src = f.read()
+    assert "env_round.isdigit() and os.path.exists(round_path)" not in src
+    assert "seal_supersede_ok(" in src
+
+
 def test_teardown_shared_memos_unpersists_and_clears(spark):
     """ADVICE r9: reap-exempt memos need an explicit end-of-session /
     pre-clearCache teardown path. teardown_shared_memos() unpersists
