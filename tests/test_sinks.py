@@ -429,3 +429,48 @@ def test_census_write_readback_layout(spark):
         rows = spark.read.parquet(files[0]).select("COUNTY", "TRACT").collect()
         keys = [(r["COUNTY"], r["TRACT"]) for r in rows]
         assert keys == sorted(keys), f"unsorted rows in {files[0]}"
+
+
+def test_keyed_layout_multi_file_per_key(spark, tmp_path):
+    """The 100-TB regime of the DISTKEY-analog writer (VERDICT r11 ask
+    #7): one-file-per-key inverts into the giant-file problem at scale,
+    so write_keyed_layout(target_rows_per_file=t) must split a large
+    key into ~ceil(n/t) target-sized files via the (key, bin) shuffle —
+    parallel write WITHIN a key — while keeping every file internally
+    sorted and the round trip lossless."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from clean_census_acs_data_spark.plans.census_pipeline import write_keyed_layout
+
+    # skewed keys: A is 40x B — exactly the shape that makes
+    # one-file-per-key wrong at scale
+    df = spark.range(4100).select(
+        F.when(F.col("id") < 4000, F.lit("A")).otherwise(F.lit("B")).alias("STATE_FIPS"),
+        (F.col("id") % 97).cast("string").alias("COUNTY"),
+        F.col("id").cast("string").alias("TRACT"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "keyed")
+    write_keyed_layout(df, out, target_rows_per_file=1000)
+    a_files = glob.glob(os.path.join(out, "STATE_FIPS=A", "*.parquet"))
+    b_files = glob.glob(os.path.join(out, "STATE_FIPS=B", "*.parquet"))
+    # key A (4000 rows, target 1000): ceil = 4 bins; hash-binning may
+    # collide bins into a task but must split the key at least in two
+    assert 2 <= len(a_files) <= 4, a_files
+    assert 1 <= len(b_files) <= 1, b_files  # 100 rows: ceil = 1 bin
+    # every file sorted by the sort key — page pruning holds per file
+    for f in a_files + b_files:
+        rows = spark.read.parquet(f).select("COUNTY", "TRACT").collect()
+        ks = [(r["COUNTY"], r["TRACT"]) for r in rows]
+        assert ks == sorted(ks), f"unsorted rows in {f}"
+    # lossless round trip, no row lost or duplicated by the bin join
+    back = spark.read.parquet(out)
+    assert back.count() == 4100
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(range(4100))
+    # one-file-per-key regime still intact through the same helper
+    out2 = str(tmp_path / "keyed_single")
+    write_keyed_layout(df, out2)
+    assert len(glob.glob(os.path.join(out2, "STATE_FIPS=A", "*.parquet"))) == 1
