@@ -305,7 +305,14 @@ def rotation_order(
 
     changed = [n for n in seen if _is_changed(n)]
     unchanged = [n for n in seen if n not in set(changed)]
-    # oldest attestation first within both attested tiers
-    changed.sort(key=lambda n: (latest[n].get("round", 0), idx[n]))
-    unchanged.sort(key=lambda n: (latest[n].get("round", 0), idx[n]))
+    # Within both attested tiers: oracle-backed entries first (VERDICT
+    # r11 #3 — a rows-only re-sample can only ever return no_oracle, so
+    # spending a 50-entry driver-window slot on one buys nothing), then
+    # oldest attestation first.
+    changed.sort(
+        key=lambda n: (n not in oracles, latest[n].get("round", 0), idx[n])
+    )
+    unchanged.sort(
+        key=lambda n: (n not in oracles, latest[n].get("round", 0), idx[n])
+    )
     return reattest + fresh_oracle + fresh_rows + changed + unchanged

@@ -269,8 +269,11 @@ def test_rotation_fronts_changed_modules(monkeypatch):
 
 
 def test_rotation_oldest_attested_first_when_nothing_changed(monkeypatch):
-    """With no file changes, attested entries order oldest-round-first
-    (registry order within a round)."""
+    """With no file changes, attested ORACLE-BACKED entries order
+    oldest-round-first (registry order within a round); rows-only
+    entries sort after every oracle-backed one regardless of age
+    (VERDICT r11 #3 — re-sampling one can only return no_oracle, so it
+    must never occupy a hash-checkable window slot)."""
     from clean_census_acs_data_spark import rotation as rot
 
     monkeypatch.setattr(rot, "round_commit", lambda repo, rnd: "deadbeef")
@@ -281,11 +284,50 @@ def test_rotation_oldest_attested_first_when_nothing_changed(monkeypatch):
     for i, n in enumerate(names):
         latest[n]["round"] = 5 if i % 2 == 0 else 9
     order = rot.rotation_order(names, ORACLES, QUERIES, latest=latest)
-    rounds = [latest[n]["round"] for n in order]
+    oracle_part = [n for n in order if n in ORACLES]
+    rows_only_part = [n for n in order if n not in ORACLES]
+    assert order == oracle_part + rows_only_part, (
+        "rows-only entries must sort after every oracle-backed one"
+    )
+    rounds = [latest[n]["round"] for n in oracle_part]
     assert rounds == sorted(rounds), "oldest attestation must come first"
     # registry order preserved within each round tier
-    r5 = [n for n in order if latest[n]["round"] == 5]
-    assert r5 == [n for n in names if latest[n]["round"] == 5]
+    r5 = [n for n in oracle_part if latest[n]["round"] == 5]
+    assert r5 == [n for n in names if latest[n]["round"] == 5 and n in ORACLES]
+    # the registry really has rows-only entries for this to bite
+    assert rows_only_part, "registry should carry rows-only entries"
+
+
+def test_rotation_rows_only_never_beats_oracle_in_changed_tier(monkeypatch):
+    """The exact r11 incident (VERDICT r11 #3): streaming_dedup_watermark
+    (rows-only) was the OLDEST-attested entry in the changed tier and
+    got fronted into the 50-entry driver window, wasting a
+    hash-attestation slot on a guaranteed no_oracle. Age must not beat
+    oracle-backedness within a tier."""
+    import pytest
+
+    from clean_census_acs_data_spark import rotation as rot
+
+    rows_only = [n for n in QUERIES if n not in ORACLES]
+    if not rows_only:
+        pytest.skip("registry has no rows-only entries")
+    probe = rows_only[0]
+    # every implementing file changed -> everything lands in the changed
+    # tier; the rows-only probe is attested far earlier than the rest
+    monkeypatch.setattr(rot, "round_commit", lambda repo, rnd: "deadbeef")
+    monkeypatch.setattr(
+        rot,
+        "changed_since",
+        lambda repo, c: frozenset().union(*rot.entry_files(QUERIES).values()),
+    )
+    latest = _all_green(9)
+    latest[probe]["round"] = 1  # oldest by far
+    order = rot.rotation_order(list(QUERIES), ORACLES, QUERIES, latest=latest)
+    assert sorted(order) == sorted(QUERIES)
+    assert order.index(probe) >= len(ORACLES), (
+        "a rows-only entry must sort after every oracle-backed entry "
+        "no matter how stale its attestation is"
+    )
 
 
 def test_rotation_survives_git_unavailable(monkeypatch):
@@ -301,7 +343,12 @@ def test_rotation_survives_git_unavailable(monkeypatch):
         latest = _all_green(7)
         order = rot.rotation_order(names, ORACLES, QUERIES, latest=latest)
         assert sorted(order) == sorted(QUERIES)
-        assert order == names  # same round everywhere -> registry order
+        # same round everywhere -> registry order, oracle-backed first
+        # (rows-only window slots can only return no_oracle; VERDICT r11 #3)
+        expect = [n for n in names if n in ORACLES] + [
+            n for n in names if n not in ORACLES
+        ]
+        assert order == expect
     finally:
         rot.clear_caches()
 
