@@ -1,0 +1,438 @@
+"""Round-20 tier (driver round 12): the carried VERDICT r11 ask-#6
+candidates — the two-phase exact distinct at the SLIDING frame, the
+Passing–Bablok robust method-comparison regression, and the fourth
+UDTF shape (output schema derived from the TABLE argument itself).
+
+- ``windowed_distinct_sliding`` — exact COUNT(DISTINCT) over ROWS
+  BETWEEN 9 PRECEDING AND CURRENT ROW with O(1) per-row state: each
+  occurrence contributes +1 to exactly the contiguous position
+  interval [max(pos, prev+k+1), pos+k] of window ends where it is the
+  FIRST in-window occurrence of its key; interval endpoints become ±1
+  delta events and one running sum reads the answer off. The sibling
+  of windowed_distinct_suffix (last-occurrence flag) at the frame
+  shape engines reject outright; window_distinct_rolling's
+  frame-local array_distinct is the memory-∝-frame baseline this
+  replaces with integer deltas.
+- ``passing_bablok_regression`` — the robust method-comparison
+  sibling of theil_sen_slope_user (VERDICT r11 ask #6's named
+  candidate): slope = the K-shifted median of pairwise slopes
+  (excluding S = −1; K = #{S < −1} restores scale-swap symmetry),
+  intercept = lower median of y − b·x. Every predicate and rank is
+  exact integer arithmetic (S < −1 ⟺ dy + dx < 0 when dx > 0); the
+  only floats are the slope divisions (single IEEE ops on int64
+  deltas, bit-identical across engines) and the final b/a values.
+- ``quantile_regression_origin`` — exact τ-quantile regression
+  through the origin by the selection device (the ask's OTHER named
+  candidate): b_τ is the weighted τ-quantile of per-item slopes with
+  |x| weights (the check loss is piecewise linear in b), found by the
+  exact integer threshold 4·cumw ≥ τ4·W — no IRLS, no iteration.
+- ``udtf_analyze_table_unpivot`` — Spark 4 UDTF whose ``analyze()``
+  reads the TABLE argument's StructType and derives the OUTPUT schema
+  from it (key field name/type copied from the input's first column):
+  the fourth UDTF shape after static-returnType (udtf_tokenize),
+  literal-polymorphic (udtf_ngrams_polymorphic), and table-arg
+  PARTITION BY/ORDER BY (udtf_table_arg_sessionize).
+
+Determinism discipline per the package standard. Reference tie: none
+(SURVEY.md §2D engine-extension tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clean_census_acs_data_spark.io import load_table, register_views
+from clean_census_acs_data_spark.queries import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# sliding-frame exact distinct count (two-phase: interval deltas + running sum)
+# ---------------------------------------------------------------------------
+
+_SLIDE_K = 9  # ROWS BETWEEN 9 PRECEDING AND CURRENT ROW — a 10-row frame
+
+# The oracle is the brute-force DEFINITION: DuckDB supports
+# COUNT(DISTINCT) OVER a ROWS frame natively (Spark does not), so the
+# two engines run genuinely independent algorithms for one definition —
+# the strongest oracle form (cf. udtf_table_arg_sessionize).
+_SLIDE_DISTINCT_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+)
+SELECT event_id, user_id,
+       CAST(COUNT(DISTINCT event_type) OVER (
+              PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN {_SLIDE_K} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_distinct_window
+FROM e
+"""
+
+
+@register("windowed_distinct_sliding", oracle=_SLIDE_DISTINCT_ORACLE)
+def windowed_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT event_type) over the SLIDING frame (ROWS
+    BETWEEN 9 PRECEDING AND CURRENT ROW) — "distinct event types in
+    the user's last 10 actions", the short-horizon behavioural-
+    diversity feature. Engines reject COUNT(DISTINCT) OVER any frame;
+    the two-phase rewrite here needs O(1) state per row (unlike
+    window_distinct_rolling's frame-local array_distinct, whose
+    per-row set is ∝ frame length):
+
+    (1) position each row (row_number per user) and find the previous
+        occurrence position p of the same (user, type) (lag over the
+        per-type ordering);
+    (2) the row is the first IN-WINDOW occurrence of its type for
+        exactly the window ends i ∈ [max(pos, p+k+1), pos+k] — a
+        CONTIGUOUS interval (it enters once its predecessor has left,
+        and leaves when it does), so distinct(i) = Σ rows whose
+        interval covers i;
+    (3) emit +1/−1 delta events at the interval endpoints, aggregate
+        deltas per position, and one running sum over positions reads
+        off the count — classic interval stabbing by prefix sum,
+        every value an exact integer.
+
+    100-TB shape: all four exchanges hash on user_id (±type); per-row
+    state is two ints (position, previous position) and the delta
+    table is exactly 2 rows per event pre-aggregation. Skew = the
+    heaviest user's history, same bound as any per-user window. Scale
+    bound: positions and deltas are bounded by per-user event counts —
+    no products, no overflow surface."""
+    k = _SLIDE_K
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pos = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.row_number().over(w_user) - 1).alias("pos"),
+    )
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("pos")
+    marked = pos.select(
+        "user_id",
+        "event_id",
+        "pos",
+        F.lag("pos").over(w_type).alias("prev"),
+    )
+    # interval of window-end positions where this occurrence is counted
+    start = F.when(
+        F.col("prev").isNull(), F.col("pos")
+    ).otherwise(F.greatest(F.col("pos"), F.col("prev") + k + 1))
+    deltas = (
+        marked.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    F.struct(start.alias("p"), F.lit(1).alias("d")),
+                    F.struct((F.col("pos") + k + 1).alias("p"), F.lit(-1).alias("d")),
+                )
+            ).alias("ev"),
+        )
+        .select(
+            F.col("user_id").alias("uid"),
+            F.col("ev.p").alias("p"),
+            F.col("ev.d").alias("d"),
+        )
+        .groupBy("uid", "p")
+        .agg(F.sum("d").alias("delta"))
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.join(
+            deltas,
+            (F.col("user_id") == F.col("uid")) & (F.col("pos") == F.col("p")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "pos",
+            F.coalesce("delta", F.lit(0)).alias("delta"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("delta").over(run).cast("long").alias("n_distinct_window"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Passing–Bablok method-comparison regression (K-shifted slope median)
+# ---------------------------------------------------------------------------
+
+
+def _pb_sql(div: str) -> str:
+    """ONE shared text, dialect-parameterized only on integer division
+    (DuckDB ``//`` vs Spark ``DIV``) — the mcnemar device."""
+    return f"""
+WITH cust AS (
+  SELECT c.c_custkey AS ck, c.c_nationkey AS nk,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
+),
+pairs AS (
+  SELECT a.nk, a.ck AS ia, b.ck AS ib,
+         b.y - a.y AS dy, b.x - a.x AS dx
+  FROM cust a JOIN cust b ON a.nk = b.nk AND a.x < b.x
+),
+sl AS (
+  SELECT nk, ia, ib,
+         CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS s,
+         CASE WHEN dy + dx < 0 THEN 1 ELSE 0 END AS is_neg
+  FROM pairs WHERE dy + dx <> 0
+),
+r AS (
+  SELECT nk, s,
+         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY s, ia, ib) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY nk) AS BIGINT) AS n,
+         CAST(SUM(is_neg) OVER (PARTITION BY nk) AS BIGINT) AS kneg
+  FROM sl
+),
+bsel AS (
+  SELECT nk, n, kneg, AVG(s) AS b, CAST(COUNT(*) AS BIGINT) AS n_sel
+  FROM r
+  WHERE (n % 2 = 1 AND rn = (n + 1) {div} 2 + kneg)
+     OR (n % 2 = 0 AND rn IN (n {div} 2 + kneg, n {div} 2 + 1 + kneg))
+  GROUP BY nk, n, kneg
+  HAVING CAST(COUNT(*) AS BIGINT) = CASE WHEN n % 2 = 1 THEN 1 ELSE 2 END
+),
+resid AS (
+  SELECT c.nk, c.ck,
+         CAST(c.y AS DOUBLE) - bs.b * CAST(c.x AS DOUBLE) AS e,
+         bs.n, bs.kneg, bs.b
+  FROM cust c JOIN bsel bs ON c.nk = bs.nk
+),
+rr AS (
+  SELECT nk, n, kneg, b, e,
+         ROW_NUMBER() OVER (PARTITION BY nk ORDER BY e, ck) AS rn_e,
+         CAST(COUNT(*) OVER (PARTITION BY nk) AS BIGINT) AS n_items
+  FROM resid
+)
+SELECT nk AS nation_key, n_items, n AS n_pairs, kneg AS k_neg,
+       b AS pb_slope, e AS pb_intercept
+FROM rr WHERE rn_e = (n_items + 1) {div} 2
+"""
+
+
+@register("passing_bablok_regression", oracle=_pb_sql("//"))
+def passing_bablok_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passing–Bablok (1983) robust method-comparison regression per
+    nation: method X = account balance, method Y = lifetime order
+    spend, items = customers with ≥1 order (both in exact cents). The
+    grouped robust-regression sibling of theil_sen_slope_user (VERDICT
+    r11 ask #6's named candidate): where Theil–Sen takes the plain
+    median of pairwise slopes, PB discards S = −1, counts K = #{S <
+    −1}, and takes the K-SHIFTED median — making the estimate
+    invariant under swapping X and Y (the property that matters when
+    neither variable is "the" regressor), with the same 29% breakdown.
+
+    Exactness: pairs are x-ordered so dx > 0, making S < −1 ⟺
+    dy + dx < 0 and S = −1 ⟺ dy + dx = 0 — integer predicates, no
+    float compare; slopes are single IEEE divisions of int64 deltas
+    (bit-identical across engines, the theil_sen device); the shifted
+    median is ROW_NUMBER selection with total (s, ia, ib) tiebreak,
+    averaging two slopes in the even case (one add of two doubles —
+    commutative, order-free); a HAVING guard drops a group if the K
+    shift pushes the selection out of range rather than silently
+    mis-selecting. Intercept = LOWER median of y − b·x by the same
+    selection device (each residual is one multiply+subtract of
+    bit-identical operands). x ties are excluded from the pair set
+    (the reference procedure's dx = 0 slopes need the ±∞ ordinal
+    machinery; the exclusion is documented and symmetrical). ONE
+    dialect-shared SQL text runs on both engines (// vs DIV).
+
+    100-TB shape: the pair join is keyed on the 25-value nation key —
+    the per-entity-bounded self-join discipline of theil_sen — and
+    everything downstream is windows over the same key; one shuffle
+    profile. Group sizes of millions need per-group pair sampling
+    first (the documented Theil–Sen switch point). Scale bound: y
+    sums cents per customer (int64 to ~9×10¹⁶ cents); dy + dx is a
+    sum of two int64 cent deltas — no products anywhere."""
+    register_views(spark, sf_dir)
+    return spark.sql(_pb_sql("DIV"))
+
+
+# ---------------------------------------------------------------------------
+# quantile regression through the origin (exact weighted-quantile selection)
+# ---------------------------------------------------------------------------
+
+
+def _qr_sql() -> str:
+    """ONE shared text, no dialect parameters — every threshold compare
+    is multiplicative (integer quarters), so nothing needs // vs DIV."""
+    return """
+WITH cust AS (
+  SELECT c.c_custkey AS ck, c.c_nationkey AS nk,
+         CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
+),
+sl AS (
+  SELECT nk, ck,
+         CAST(y AS DOUBLE) / CAST(x AS DOUBLE) AS s,
+         CAST(ABS(x) AS BIGINT) AS w,
+         CASE WHEN x > 0 THEN 1 ELSE -1 END AS sgn
+  FROM cust WHERE x <> 0
+),
+r AS (
+  SELECT nk, ck, s, w, sgn,
+         CAST(SUM(w) OVER (PARTITION BY nk ORDER BY s, ck
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cw,
+         CAST(SUM(CASE WHEN sgn > 0 THEN w ELSE 0 END)
+              OVER (PARTITION BY nk) AS BIGINT) AS pw,
+         CAST(SUM(CASE WHEN sgn < 0 THEN w ELSE 0 END)
+              OVER (PARTITION BY nk) AS BIGINT) AS nw,
+         CAST(COUNT(*) OVER (PARTITION BY nk) AS BIGINT) AS n_items
+  FROM sl
+),
+taus AS (
+  SELECT CAST(1 AS BIGINT) AS tau4 UNION ALL
+  SELECT CAST(2 AS BIGINT) UNION ALL SELECT CAST(3 AS BIGINT)
+),
+hit AS (
+  SELECT r.nk, t.tau4, r.s, r.n_items, r.pw + r.nw AS tw
+  FROM r JOIN taus t
+    ON 4 * r.cw >= t.tau4 * r.pw + (4 - t.tau4) * r.nw
+   AND 4 * (r.cw - r.w) < t.tau4 * r.pw + (4 - t.tau4) * r.nw
+)
+SELECT nk AS nation_key, tau4 AS tau_quarters, n_items,
+       tw AS weight_total, s AS b_tau
+FROM hit
+"""
+
+
+@register("quantile_regression_origin", oracle=_qr_sql())
+def quantile_regression_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile regression through the origin, exact by SELECTION (the
+    second of VERDICT r11 ask #6's named candidates): for the model
+    y = b·x, the check loss L(b) = Σ ρ_τ(y_i − b·x_i) is piecewise
+    linear in b with breakpoints at the slopes s_i = y_i/x_i, and
+    crossing ANY breakpoint ascending raises dL/db by exactly |x_i|
+    (for x_i > 0 the residual turns negative; for x_i < 0 it turns
+    POSITIVE — both add |x_i|). Starting from dL/db(−∞) =
+    −τ·P − (1−τ)·N with P = Σ_{x>0} x and N = Σ_{x<0} |x|, the argmin
+    is the first slope (in (s, ck) total order) whose cumulative
+    |x|-weight reaches τ·P + (1−τ)·N — the plain weighted τ-quantile
+    τ·W only when no negative x exist (the property test's argmin
+    check caught exactly this: the naive τ·W threshold mis-selects at
+    τ = ¾ in nations with negative balances). No iteration, no IRLS,
+    no float accumulation: the threshold is the exact integer compare
+    4·cumw ≥ τ4·P + (4−τ4)·N (τ ∈ {¼, ½, ¾} as integer quarters),
+    each slope one IEEE division of int64 cents. Emitted per nation
+    at all three quartiles — the b_¼/b_¾ spread is a robust
+    heteroscedasticity ("spend per unit balance widens with
+    balance?") audit, the grouped regression complement of
+    weighted_quantiles_exact's plain quantiles.
+
+    100-TB shape: ONE shuffle on the group key — the running
+    cumulative-weight window and the total ride the same partition;
+    the 3-row τ spine is a broadcast non-equi join whose BOTH-SIDED
+    threshold predicate (4·(cumw−w) < τ4·W ≤ 4·cumw) admits exactly
+    the first-hit row, so the join output is exactly 3 rows per group
+    with no ranking window after it. Skew = the heaviest group, same
+    bound as any per-group window. Scale bound:
+    4·cumw ≤ 4·Σ|x| cents (int64 to ~2×10¹⁶ cents per group);
+    τ4·W ≤ 3·W — no products of data-sized terms."""
+    register_views(spark, sf_dir)
+    return spark.sql(_qr_sql())
+
+
+# ---------------------------------------------------------------------------
+# UDTF shape 4: analyze-time output schema derived from the TABLE argument
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH v AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS size_units,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS retail_cents
+  FROM part
+)
+SELECT p_partkey, 'size_units' AS metric, size_units AS value FROM v
+UNION ALL
+SELECT p_partkey, 'retail_cents' AS metric, retail_cents AS value FROM v
+"""
+
+
+@register("udtf_analyze_table_unpivot", oracle=_UNPIVOT_ORACLE)
+def udtf_analyze_table_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT through a Spark 4 Python UDTF whose ``analyze()``
+    derives the output schema FROM THE TABLE ARGUMENT'S StructType —
+    the key column keeps the input's first field name AND type, and
+    every other BIGINT column melts into (metric, value) rows. This is
+    the fourth UDTF shape in the registry (VERDICT r11 ask #6's named
+    candidate): static returnType (udtf_tokenize) < literal-driven
+    polymorphic analyze (udtf_ngrams_polymorphic) < TABLE argument
+    with PARTITION BY/ORDER BY (udtf_table_arg_sessionize) < THIS —
+    schema a function of the input RELATION's shape, the contract a
+    reusable melt/normalize operator needs (point it at any keyed
+    table of metrics without redeclaring output columns).
+
+    The oracle is the plain UNION ALL expansion — independent
+    algorithms for one definition. Built-in stack()/UNPIVOT is the
+    JVM hot-path twin; this entry exists to cover the API shape.
+
+    100-TB shape: row-local generation, no shuffle induced by the
+    UDTF itself (no PARTITION BY — the planner keeps the scan's
+    partitioning); like every row-at-a-time Python UDTF it is the
+    declared slow path. Scale bound: none — values pass through."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class UnpivotLongs:
+        @staticmethod
+        def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            fields = list(t.dataType.fields)
+            key = fields[0]
+            melted = [
+                f.name for f in fields[1:] if isinstance(f.dataType, LongType)
+            ]
+            if not melted:
+                raise ValueError("table argument has no BIGINT metric columns")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(key.name, key.dataType),
+                        StructField("metric", StringType()),
+                        StructField("value", LongType()),
+                    ]
+                )
+            )
+
+        def eval(self, row):
+            fields = row.__fields__
+            key = row[fields[0]]
+            for name in fields[1:]:
+                v = row[name]
+                if isinstance(v, int) and not isinstance(v, bool):
+                    yield (key, name, v)
+
+    spark.udtf.register("unpivot_longs_fn", UnpivotLongs)
+    from clean_census_acs_data_spark.io import spread
+
+    spread(
+        _t(spark, sf_dir, "part").select(
+            "p_partkey",
+            F.col("p_size").cast("long").alias("size_units"),
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("retail_cents"),
+        )
+    ).createOrReplaceTempView("__unpivot_parts")
+    return spark.sql("SELECT * FROM unpivot_longs_fn(TABLE(__unpivot_parts))")
