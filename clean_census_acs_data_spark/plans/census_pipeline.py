@@ -153,7 +153,7 @@ def write_keyed_layout(
             F.ceil(F.count(F.lit(1)) / target_rows_per_file)
             .cast("int")
             .alias("__bins")
-        )
+        ).withColumnRenamed(key, "__key")
         # Manifest-grained scalar (one row per distinct key, summed):
         # the explicit shuffle width keeps AQE from coalescing the
         # (key, bin) split back into few tasks — exactly the per-key
@@ -162,7 +162,12 @@ def write_keyed_layout(
             per_key.agg(F.sum("__bins")).collect()[0][0] or 1, 1
         )
         out = (
-            df.join(F.broadcast(per_key), key)
+            # null-safe: a writer must not DROP null-keyed rows — plain
+            # equality would lose every NULL key through the bin join
+            df.join(
+                F.broadcast(per_key), F.col(key).eqNullSafe(F.col("__key"))
+            )
+            .drop("__key")
             .withColumn(
                 "__bin",
                 F.pmod(

@@ -32,6 +32,18 @@ UDTF shape (output schema derived from the TABLE argument itself).
   the fourth UDTF shape after static-returnType (udtf_tokenize),
   literal-polymorphic (udtf_ngrams_polymorphic), and table-arg
   PARTITION BY/ORDER BY (udtf_table_arg_sessionize).
+- ``isotonic_regression_pava`` — monotone least-squares calibration
+  fit via PAVA's exact closed form ŷ_i = max_{j≤i} min_{k≥i}
+  avg(y_j..y_k): prefix sums + a per-user-bounded pair join + suffix
+  MIN + MAX — no sequential loop, ONE shared SQL text.
+- ``acf_hourly_lag_profile`` — exact lag-1/lag-24 autocorrelation of
+  the dense hourly count series per event type (the daily-seasonality
+  / structural-change audit); the rational mean is cleared by the n²
+  identity so every term is an exact int64 product.
+- ``keyed_layout_binned_readback`` — the multi-file-per-key writer
+  regime oracle-checked end-to-end: lineitem through
+  write_keyed_layout(target_rows_per_file=8000), read back, per-key
+  aggregate vs the raw table (census_write_readback's scale inverse).
 
 Determinism discipline per the package standard. Reference tie: none
 (SURVEY.md §2D engine-extension tier).
@@ -353,6 +365,222 @@ def quantile_regression_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# binned keyed-layout write → readback (the 100-TB multi-file-per-key regime)
+# ---------------------------------------------------------------------------
+
+_BINNED_ORACLE = """
+SELECT l_returnflag AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("keyed_layout_binned_readback", oracle=_BINNED_ORACLE)
+def keyed_layout_binned_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-file-per-key writer regime, oracle-checked end-to-end
+    (VERDICT r11 ask #7's scale half — census_write_readback certifies
+    the one-file-per-key regime; this certifies the inverse). lineitem
+    is written through write_keyed_layout with a row target, so each
+    l_returnflag directory splits into ~ceil(n/target) hash-binned
+    files written in PARALLEL by the (key, bin) shuffle; the frame is
+    then READ BACK and aggregated per key. Hash-green against the
+    aggregate of the RAW table certifies that binning lost, duplicated,
+    and mutated nothing — the invariant a DISTKEY-analog loader must
+    hold when a single key is terabytes wide. The layout itself
+    (file counts, per-file sort) is pinned by
+    tests/test_sinks.py::test_keyed_layout_multi_file_per_key.
+
+    100-TB shape: one count aggregate (manifest-grained, broadcast
+    back), one (key, bin) shuffle of explicit width, one partitioned
+    write — write parallelism WITHIN a key = its bin count. Scale
+    bound: cents sums per flag — int64 to ~9×10¹⁶ cents."""
+    import os
+
+    from clean_census_acs_data_spark.functions import cents
+    from clean_census_acs_data_spark.plans.census_pipeline import write_keyed_layout
+
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        cents("l_extendedprice").alias("price_cents_row"),
+    )
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        "keyed_layout_binned.parquet",
+    )
+    write_keyed_layout(
+        df,
+        path,
+        key="l_returnflag",
+        sort_cols=("l_orderkey",),
+        target_rows_per_file=8000,
+    )
+    back = spark.read.schema(df.schema).parquet(path)
+    return back.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.sum("price_cents_row").cast("long").alias("price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# isotonic regression via the exact min-max formula (PAVA's closed form)
+# ---------------------------------------------------------------------------
+
+_ISO_SQL = """
+WITH p AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS y,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events WHERE event_type = 'purchase'
+),
+ps AS (
+  SELECT user_id, i, y,
+         CAST(SUM(y) OVER (PARTITION BY user_id ORDER BY i) AS BIGINT) AS s
+  FROM p
+),
+pairs AS (
+  SELECT a.user_id, a.i AS j, b.i AS k,
+         CAST(b.s - a.s + a.y AS DOUBLE) / CAST(b.i - a.i + 1 AS DOUBLE)
+           AS avgjk
+  FROM ps a JOIN ps b ON a.user_id = b.user_id AND a.i <= b.i
+),
+sm AS (
+  SELECT user_id, j, k,
+         MIN(avgjk) OVER (PARTITION BY user_id, j ORDER BY k
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS suffmin
+  FROM pairs
+),
+fit AS (
+  SELECT user_id, k AS i, MAX(suffmin) AS yhat
+  FROM sm GROUP BY user_id, k
+)
+SELECT f.user_id, CAST(f.i AS BIGINT) AS pos, p2.y AS y_cents, f.yhat
+FROM fit f JOIN ps p2 ON p2.user_id = f.user_id AND p2.i = f.i
+"""
+
+
+@register("isotonic_regression_pava", oracle=_ISO_SQL)
+def isotonic_regression_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing least-squares) regression of
+    each user's purchase values over time — the calibration primitive
+    behind monotone probability calibration and score-to-rate mapping
+    in ranking pipelines (calibration_bins_audit is the binned
+    sibling; this is the exact fit). Instead of the sequential
+    pool-adjacent-violators loop, the engine computes PAVA's CLOSED
+    FORM: ŷ_i = max_{j≤i} min_{k≥i} avg(y_j..y_k) — one per-user
+    prefix-sum window, one per-user pair self-join, a suffix-MIN
+    window per (user, j), and a MAX group-by. Every candidate average
+    is a single IEEE division of int64 prefix-sum differences
+    (bit-identical across engines); MIN/MAX never accumulate floats.
+    ONE shared SQL text runs verbatim on both engines.
+
+    100-TB shape: the O(n²) pair table is per-user bounded (the Walsh
+    pairs / theil_sen discipline — ≤ 26 purchases/user here means
+    ≤ 351 pairs/user); every exchange hashes on user_id. Groups of
+    millions need the sequential-PAVA-in-applyInPandas switch (O(n)
+    per group) — same answer, different physical strategy; the
+    min-max form is the one with an engine-shared exact text. Scale
+    bound: prefix sums of cents per user — int64 to ~9×10¹⁶ cents."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ISO_SQL)
+
+
+# ---------------------------------------------------------------------------
+# exact hourly autocorrelation profile (lag 1 vs lag 24 — seasonality audit)
+# ---------------------------------------------------------------------------
+
+
+def _acf_sql(series_fn: str) -> str:
+    """Shared text; only the dense-hour-spine generator is dialect-
+    specific (Spark explode(sequence(...)) vs DuckDB
+    unnest(generate_series(...)))."""
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx
+  FROM events
+),
+spine AS (SELECT {series_fn} AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+series AS (
+  SELECT t.event_type, s.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+  FROM types t CROSS JOIN spine s
+  LEFT JOIN cnt c ON c.event_type = t.event_type AND c.h = s.h
+),
+w AS (
+  SELECT event_type, h, x,
+         LEAD(x, 1)  OVER (PARTITION BY event_type ORDER BY h) AS x1,
+         LEAD(x, 24) OVER (PARTITION BY event_type ORDER BY h) AS x24,
+         CAST(SUM(x)    OVER (PARTITION BY event_type) AS BIGINT) AS sx,
+         CAST(COUNT(*)  OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM series
+),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n_hours,
+         CAST(MAX(sx) AS BIGINT) AS sum_x,
+         CAST(SUM((n * x - sx) * (n * x - sx)) AS BIGINT) AS acf_den,
+         CAST(SUM(CASE WHEN x1 IS NOT NULL
+                       THEN (n * x - sx) * (n * x1 - sx) ELSE 0 END)
+              AS BIGINT) AS acf1_num,
+         CAST(SUM(CASE WHEN x24 IS NOT NULL
+                       THEN (n * x - sx) * (n * x24 - sx) ELSE 0 END)
+              AS BIGINT) AS acf24_num
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_hours, sum_x, acf1_num, acf24_num, acf_den,
+       CASE WHEN acf_den > 0
+            THEN CAST(acf1_num AS DOUBLE) / CAST(acf_den AS DOUBLE)
+            ELSE NULL END AS r_lag1,
+       CASE WHEN acf_den > 0
+            THEN CAST(acf24_num AS DOUBLE) / CAST(acf_den AS DOUBLE)
+            ELSE NULL END AS r_lag24
+FROM agg
+"""
+
+
+@register(
+    "acf_hourly_lag_profile",
+    oracle=_acf_sql("unnest(generate_series(mn, mx, INTERVAL 1 hour))"),
+)
+def acf_hourly_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample autocorrelation of each event type's hourly count
+    series at lag 1 vs lag 24 — the seasonality/monitoring audit
+    (r_24 ≫ r_1 ⟹ daily cycle dominates; a drop in r_24 is the
+    earliest structural-change alarm for an ingestion pipeline). The
+    series is made DENSE first (hour spine × type, missing hours
+    count 0 — silently skipping empty hours would corrupt every lag),
+    then r_L = Σ(x_t−x̄)(x_{t+L}−x̄)/Σ(x_t−x̄)², cleared of the
+    rational mean by multiplying through by n²: every numerator and
+    denominator term is the exact integer (n·x_t − S)(n·x_{t+L} − S),
+    summed order-free; the two r values are single final divisions.
+    Shared SQL text; only the spine generator is dialect-specific.
+
+    100-TB shape: the spine cross is |types| × |hours| (a broadcast
+    of the tiny side); counts partial-aggregate map-side before the
+    one shuffle on (type, hour); the lag windows ride one exchange on
+    event_type. Scale bound at sealed scales: n = 720 hours, x ≤ a
+    few hundred/hour ⇒ |n·x − S| ≤ ~10⁵·7×10² and term sums ≤ ~10¹³
+    (inside int64 AND 2^53 for the float tail). Hour counts of ~10⁹
+    (true 100-TB firehose) overflow the int64 products — that regime
+    switches these sums to DECIMAL(38,0)/HUGEINT, the
+    spearman_rho_decimal device, same text shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(_acf_sql("explode(sequence(mn, mx, interval 1 hour))"))
+
+
+# ---------------------------------------------------------------------------
 # UDTF shape 4: analyze-time output schema derived from the TABLE argument
 # ---------------------------------------------------------------------------
 
@@ -385,6 +613,10 @@ def udtf_analyze_table_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the plain UNION ALL expansion — independent
     algorithms for one definition. Built-in stack()/UNPIVOT is the
     JVM hot-path twin; this entry exists to cover the API shape.
+    Contract note: NULL metric cells are dropped (eval dispatches on
+    the VALUE's runtime type — the UDTF API gives eval() no schema
+    handle, so a null long is indistinguishable from a null string);
+    the melted tables here are null-free by construction.
 
     100-TB shape: row-local generation, no shuffle induced by the
     UDTF itself (no PARTITION BY — the planner keeps the scan's

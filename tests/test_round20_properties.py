@@ -201,6 +201,142 @@ def test_quantile_regression_origin_minimizes_check_loss(spark):
     )
 
 
+def test_keyed_layout_binned_entry_splits_at_sf001(spark):
+    """The binned-readback entry must actually exercise the multi-file
+    regime at driver scale: at sf0.01 each l_returnflag holds ~20k rows
+    against the 8k target, so every key directory must contain between
+    2 and ceil(n_key/8000) parquet files, each internally sorted by
+    l_orderkey."""
+    import glob
+    import os
+
+    out = QUERIES["keyed_layout_binned_readback"](spark, "/root/testdata/sf0.01")
+    per_key = {r["k"]: r["n_rows"] for r in out.collect()}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo, "spark-warehouse", "keyed_layout_binned.parquet")
+    for k, n in per_key.items():
+        files = glob.glob(os.path.join(base, f"l_returnflag={k}", "*.parquet"))
+        bins = -(-n // 8000)
+        assert 2 <= len(files) <= bins, (k, n, files)
+        rows = spark.read.parquet(files[0]).select("l_orderkey").collect()
+        keys = [r["l_orderkey"] for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_isotonic_pava_matches_minmax_and_true_pava(spark):
+    """Three pins: (1) the emitted fit equals a bit-identical Python
+    recompute of the min-max closed form (same IEEE divisions, same
+    MIN/MAX); (2) it equals the TRUE sequential PAVA (exact Fractions)
+    to float precision — the closed form and the algorithm are the
+    same estimator; (3) every user's fit is monotone non-decreasing
+    and pools preserve block means."""
+    from fractions import Fraction
+
+    raw = (
+        load_table(spark, SF, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"], r["y"]))
+    got: dict[tuple, tuple] = {}
+    for r in QUERIES["isotonic_regression_pava"](spark, SF).collect():
+        got[(r["user_id"], r["pos"])] = (r["y_cents"], r["yhat"])
+    n_checked = 0
+    for u, evs in by_user.items():
+        evs.sort()
+        ys = [y for _, _, y in evs]
+        n = len(ys)
+        # (1) bit-identical min-max recompute
+        pre = [0]
+        for y in ys:
+            pre.append(pre[-1] + y)
+
+        def avg(j, k, _pre=pre):  # 1-based inclusive
+            return (_pre[k] - _pre[j - 1]) / (k - j + 1)
+
+        fit = []
+        for i in range(1, n + 1):
+            fit.append(
+                max(min(avg(j, k) for k in range(i, n + 1)) for j in range(1, i + 1))
+            )
+        for i in range(1, n + 1):
+            assert got[(u, i)] == (ys[i - 1], fit[i - 1])
+            n_checked += 1
+        # (2) true sequential PAVA with exact rationals
+        blocks = []  # (sum, count)
+        for y in ys:
+            blocks.append((Fraction(y), 1))
+            while len(blocks) > 1 and (
+                blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+            ):
+                s2, c2 = blocks.pop()
+                s1, c1 = blocks.pop()
+                blocks.append((s1 + s2, c1 + c2))
+        pava = []
+        for s, c in blocks:
+            pava.extend([s / c] * c)
+        for a, b in zip(fit, pava):
+            assert abs(a - float(b)) <= 1e-9 * max(1.0, abs(float(b)))
+        # (3) monotone
+        assert all(a <= b for a, b in zip(fit, fit[1:]))
+    assert n_checked > 100
+
+
+def test_acf_hourly_bruteforce(spark):
+    """Independent recompute of the lag-1/lag-24 autocorrelation from
+    the raw events: dense hour spine (missing hours = 0), exact
+    integer numerators/denominator via the n²-cleared mean identity."""
+    import datetime
+
+    raw = load_table(spark, SF, "events").select("event_type", "ts").collect()
+    mn = min(r["ts"] for r in raw).replace(minute=0, second=0, microsecond=0)
+    mx = max(r["ts"] for r in raw).replace(minute=0, second=0, microsecond=0)
+    hours = []
+    h = mn
+    while h <= mx:
+        hours.append(h)
+        h += datetime.timedelta(hours=1)
+    counts: dict[str, dict] = {}
+    for r in raw:
+        t = r["ts"].replace(minute=0, second=0, microsecond=0)
+        counts.setdefault(r["event_type"], {}).setdefault(t, 0)
+        counts[r["event_type"]][t] += 1
+    expect = {}
+    for et, byh in counts.items():
+        xs = [byh.get(h, 0) for h in hours]
+        n, s = len(xs), sum(xs)
+        den = sum((n * x - s) ** 2 for x in xs)
+        num1 = sum((n * xs[t] - s) * (n * xs[t + 1] - s) for t in range(n - 1))
+        num24 = sum((n * xs[t] - s) * (n * xs[t + 24] - s) for t in range(n - 24))
+        expect[et] = (n, s, num1, num24, den, num1 / den, num24 / den)
+    got = {
+        r["event_type"]: (
+            r["n_hours"],
+            r["sum_x"],
+            r["acf1_num"],
+            r["acf24_num"],
+            r["acf_den"],
+            r["r_lag1"],
+            r["r_lag24"],
+        )
+        for r in QUERIES["acf_hourly_lag_profile"](spark, SF).collect()
+    }
+    assert got == expect and len(got) == 5
+    # the dense spine must matter at this scale: some hour is empty for
+    # some type (sf0.001 averages ~0.28 events/type/hour)
+    assert any(
+        any(byh.get(h, 0) == 0 for h in hours) for byh in counts.values()
+    )
+
+
 def test_udtf_unpivot_schema_derived_from_table_argument(spark):
     """The fourth UDTF shape's contract: analyze() must copy the key
     field's NAME and TYPE from the table argument and melt exactly the

@@ -470,6 +470,17 @@ def test_keyed_layout_multi_file_per_key(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4100
     assert back.agg(F.sum("v")).collect()[0][0] == sum(range(4100))
+    # null keys must survive the bin join (eqNullSafe — a plain equality
+    # join silently drops every null-keyed row)
+    withnull = df.withColumn(
+        "STATE_FIPS",
+        F.when(F.col("v") % 5 == 0, F.lit(None)).otherwise(F.col("STATE_FIPS")),
+    )
+    out3 = str(tmp_path / "keyed_null")
+    write_keyed_layout(withnull, out3, target_rows_per_file=1000)
+    back3 = spark.read.parquet(out3)
+    assert back3.count() == 4100
+    assert back3.where(F.col("STATE_FIPS").isNull()).count() == 820
     # one-file-per-key regime still intact through the same helper
     out2 = str(tmp_path / "keyed_single")
     write_keyed_layout(df, out2)
