@@ -1,7 +1,9 @@
-"""Round-20 tier (driver round 12): the carried VERDICT r11 ask-#6
-candidates — the two-phase exact distinct at the SLIDING frame, the
-Passing–Bablok robust method-comparison regression, and the fourth
-UDTF shape (output schema derived from the TABLE argument itself).
+"""Round-20 tier (driver round 12): the VERDICT r11 ask-#6 named
+candidates (sliding-frame two-phase distinct, Passing–Bablok, quantile
+regression by selection, the table-schema UDTF) plus the regression /
+eval / writer completions that grew out of them — nine oracle-backed
+entries, each pinned by a brute-force property test and sealed
+bit-exact at sf0.001/0.01/0.1.
 
 - ``windowed_distinct_sliding`` — exact COUNT(DISTINCT) over ROWS
   BETWEEN 9 PRECEDING AND CURRENT ROW with O(1) per-row state: each
@@ -44,6 +46,13 @@ UDTF shape (output schema derived from the TABLE argument itself).
   regime oracle-checked end-to-end: lineitem through
   write_keyed_layout(target_rows_per_file=8000), read back, per-key
   aggregate vs the raw table (census_write_readback's scale inverse).
+- ``langid_eval_prf`` — per-class precision/recall/F1 over the
+  language-ID confusion matrix as exact truncating integer ratios
+  (F1 = 2·10⁶·tp DIV (predicted + support) — no float anywhere).
+- ``mrr_eval_retrieval`` — mean reciprocal rank of the live lexical
+  leg (10 probe queries, same-source relevance), RR = 10⁶ DIV rank;
+  completes the retrieval-eval triad with ndcg (prefix quality) and
+  rbo (ranking agreement).
 
 Determinism discipline per the package standard. Reference tie: none
 (SURVEY.md §2D engine-extension tier).
@@ -214,7 +223,7 @@ r AS (
   FROM sl
 ),
 bsel AS (
-  SELECT nk, n, kneg, AVG(s) AS b, CAST(COUNT(*) AS BIGINT) AS n_sel
+  SELECT nk, n, kneg, AVG(s) AS b
   FROM r
   WHERE (n % 2 = 1 AND rn = (n + 1) {div} 2 + kneg)
      OR (n % 2 = 0 AND rn IN (n {div} 2 + kneg, n {div} 2 + 1 + kneg))
@@ -362,6 +371,227 @@ def quantile_regression_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
     τ4·W ≤ 3·W — no products of data-sized terms."""
     register_views(spark, sf_dir)
     return spark.sql(_qr_sql())
+
+
+# ---------------------------------------------------------------------------
+# per-class precision / recall / F1 over the language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _prf_oracle() -> str:
+    from clean_census_acs_data_spark.queries_round7c import _LANG_CONFUSION_ORACLE
+
+    return f"""
+WITH cm AS ({_LANG_CONFUSION_ORACLE.strip()}),
+tp AS (
+  SELECT labeled_lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS tp
+  FROM cm WHERE labeled_lang = pred_lang GROUP BY labeled_lang
+),
+rowsum AS (
+  SELECT labeled_lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS support
+  FROM cm GROUP BY labeled_lang
+),
+colsum AS (
+  SELECT pred_lang AS cls, CAST(SUM(n_docs) AS BIGINT) AS predicted
+  FROM cm GROUP BY pred_lang
+)
+SELECT r.cls AS lang,
+       COALESCE(t.tp, 0) AS tp,
+       COALESCE(c.predicted, 0) - COALESCE(t.tp, 0) AS fp,
+       r.support - COALESCE(t.tp, 0) AS fn,
+       r.support,
+       CASE WHEN COALESCE(c.predicted, 0) > 0
+            THEN 1000000 * COALESCE(t.tp, 0) // COALESCE(c.predicted, 0)
+            ELSE CAST(0 AS BIGINT) END AS precision_ppm,
+       CASE WHEN r.support > 0
+            THEN 1000000 * COALESCE(t.tp, 0) // r.support
+            ELSE CAST(0 AS BIGINT) END AS recall_ppm,
+       CASE WHEN COALESCE(c.predicted, 0) + r.support > 0
+            THEN 2000000 * COALESCE(t.tp, 0)
+                 // (COALESCE(c.predicted, 0) + r.support)
+            ELSE CAST(0 AS BIGINT) END AS f1_ppm
+FROM rowsum r
+LEFT JOIN tp t ON t.cls = r.cls
+LEFT JOIN colsum c ON c.cls = r.cls
+"""
+
+
+@register("langid_eval_prf", oracle=_prf_oracle())
+def langid_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the language-ID heuristic
+    against the labeled lang column — the eval-table completion of
+    lang_id_confusion (the matrix names WHICH pairs confuse; this
+    scores each class for the ship/no-ship decision). From the
+    confusion matrix: tp = diagonal, fp = column sum − tp, fn = row
+    sum − tp; precision/recall/F1 are micro-quantized EXACT truncating
+    integer divisions (P = 10⁶·tp DIV predicted, R = 10⁶·tp DIV
+    support, F1 = 2·10⁶·tp DIV (predicted + support) — the harmonic
+    mean 2PR/(P+R) simplifies to one integer ratio, no float
+    anywhere). Classes are the LABELED languages (rows); a class never
+    predicted gets precision 0 by convention.
+
+    100-TB shape: rides lang_id_confusion's plan — one row-local
+    scoring pass, a ≤|langs|²-cell aggregate, then |langs|-row joins;
+    eval cost is a sketch regardless of corpus size. Scale bound:
+    10⁶·tp ≤ 10⁶·|docs| — int64 to ~9×10¹² docs."""
+    from clean_census_acs_data_spark.queries_round7c import lang_id_confusion
+
+    cm = lang_id_confusion(spark, sf_dir)
+    tp = (
+        cm.where(F.col("labeled_lang") == F.col("pred_lang"))
+        .groupBy(F.col("labeled_lang").alias("cls"))
+        .agg(F.sum("n_docs").cast("long").alias("tp"))
+    )
+    rowsum = cm.groupBy(F.col("labeled_lang").alias("cls")).agg(
+        F.sum("n_docs").cast("long").alias("support")
+    )
+    colsum = cm.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n_docs").cast("long").alias("predicted")
+    )
+    j = (
+        rowsum.join(tp, "cls", "left")
+        .join(colsum, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("predicted", F.lit(0)).cast("long").alias("pred_n"),
+            "support",
+        )
+    )
+    return j.select(
+        F.col("cls").alias("lang"),
+        "tp",
+        (F.col("pred_n") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("long").alias("fn"),
+        "support",
+        F.when(F.col("pred_n") > 0, F.expr("1000000 * tp DIV pred_n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("support") > 0, F.expr("1000000 * tp DIV support"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(
+            (F.col("pred_n") + F.col("support")) > 0,
+            F.expr("2000000 * tp DIV (pred_n + support)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("f1_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mean reciprocal rank of the live lexical retrieval leg
+# ---------------------------------------------------------------------------
+
+_MRR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS t
+  FROM documents
+),
+q AS (SELECT doc_id AS qid, source AS qsrc, t AS tq FROM tok WHERE doc_id < 10),
+c AS (SELECT doc_id AS cid, source AS csrc, t FROM tok WHERE doc_id >= 10),
+ranked AS (
+  SELECT q.qid, q.qsrc, c.cid, c.csrc,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+                            ORDER BY len(list_intersect(c.t, q.tq)) DESC,
+                                     c.cid) AS rnk
+  FROM q CROSS JOIN c
+),
+firstrel AS (
+  SELECT qid,
+         CAST(MIN(CASE WHEN csrc = qsrc THEN rnk END) AS BIGINT)
+           AS first_rel_rank,
+         CAST(SUM(CASE WHEN csrc = qsrc THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_relevant
+  FROM ranked GROUP BY qid
+)
+SELECT qid AS query_doc, first_rel_rank, n_relevant,
+       CAST(COALESCE(1000000 // first_rel_rank, 0) AS BIGINT) AS rr_ppm,
+       CAST(SUM(CAST(COALESCE(1000000 // first_rel_rank, 0) AS BIGINT))
+            OVER () AS BIGINT) AS mrr_ppm_sum,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_queries
+FROM firstrel
+"""
+
+
+@register("mrr_eval_retrieval", oracle=_MRR_ORACLE)
+def mrr_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the live token-overlap lexical leg (the
+    same ranking rrf_hybrid_dense_lexical fuses and rbo_rank_overlap
+    audits): 10 query documents (doc_id < 10), candidates = the rest,
+    relevance = same ``source`` as the query doc. RR = 1/rank of the
+    first relevant hit, micro-quantized by EXACT truncating integer
+    division (10⁶ DIV rank — identical in both engines; 0 when no
+    relevant doc ranks at all); MRR rides along as the order-free
+    integer sum + query count, one final float division away. The
+    third leg of the retrieval-eval triad: ndcg_eval_prefix_retrieval
+    grades the whole prefix, rbo compares two rankings, MRR grades the
+    first-hit latency — the metric that matters when one good document
+    is enough (RAG, fact lookup).
+
+    100-TB shape: the query side is a tiny broadcast (panel of probe
+    queries); ranking is one window per query partition over the
+    candidate score table (inverted postings are the registered scale
+    path for the overlap scores); the eval output is |queries| rows.
+    Scale bound: rr_ppm ≤ 10⁶, sums ≤ 10⁶·|queries|."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("t")
+    )
+    q = tok.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"),
+        F.col("source").alias("qsrc"),
+        F.col("t").alias("tq"),
+    )
+    c = tok.where(F.col("doc_id") >= 10).select(
+        F.col("doc_id").alias("cid"),
+        F.col("source").alias("csrc"),
+        "t",
+    )
+    ranked = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "qsrc",
+            "cid",
+            "csrc",
+            F.size(F.array_intersect("t", "tq")).alias("overlap"),
+        )
+        .select(
+            "qid",
+            "qsrc",
+            "csrc",
+            F.row_number()
+            .over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("overlap"), F.asc("cid")
+                )
+            )
+            .alias("rnk"),
+        )
+    )
+    firstrel = ranked.groupBy("qid").agg(
+        F.min(F.when(F.col("csrc") == F.col("qsrc"), F.col("rnk")))
+        .cast("long")
+        .alias("first_rel_rank"),
+        F.sum(F.when(F.col("csrc") == F.col("qsrc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_relevant"),
+    )
+    w = Window.partitionBy()
+    rr = F.coalesce(
+        F.expr("1000000 DIV first_rel_rank"), F.lit(0)
+    ).cast("long")
+    return firstrel.select(
+        F.col("qid").alias("query_doc"),
+        "first_rel_rank",
+        "n_relevant",
+        rr.alias("rr_ppm"),
+        F.sum(rr).over(w).cast("long").alias("mrr_ppm_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_queries"),
+    )
 
 
 # ---------------------------------------------------------------------------

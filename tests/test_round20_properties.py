@@ -337,6 +337,77 @@ def test_acf_hourly_bruteforce(spark):
     )
 
 
+def test_langid_prf_recompute_from_confusion(spark):
+    """P/R/F1 must equal exact truncating-integer recomputes from the
+    confusion matrix, and the count identities must hold (tp + fn =
+    support; Σ(tp + fp) = Σ support = total docs)."""
+    from clean_census_acs_data_spark.queries_round7c import lang_id_confusion
+
+    cm = {
+        (r["labeled_lang"], r["pred_lang"]): r["n_docs"]
+        for r in lang_id_confusion(spark, SF).collect()
+    }
+    labels = {a for a, _ in cm}
+    preds = {b for _, b in cm}
+    got = {r["lang"]: r for r in QUERIES["langid_eval_prf"](spark, SF).collect()}
+    assert set(got) == labels
+    total = sum(cm.values())
+    for cls in labels:
+        tp = cm.get((cls, cls), 0)
+        support = sum(v for (a, _), v in cm.items() if a == cls)
+        predicted = sum(v for (_, b), v in cm.items() if b == cls)
+        r = got[cls]
+        assert (r["tp"], r["fp"], r["fn"], r["support"]) == (
+            tp,
+            predicted - tp,
+            support - tp,
+            support,
+        )
+        assert r["precision_ppm"] == (10**6 * tp // predicted if predicted else 0)
+        assert r["recall_ppm"] == (10**6 * tp // support if support else 0)
+        assert r["f1_ppm"] == (
+            2 * 10**6 * tp // (predicted + support) if predicted + support else 0
+        )
+    assert sum(r["support"] for r in got.values()) == total
+    # a predicted-only class ('und' or a confused lang) may exist in
+    # preds but not labels — the entry keys on LABELED classes
+    assert preds  # non-degenerate matrix
+
+
+def test_mrr_bruteforce(spark):
+    """Independent Python recompute: token-set overlap ranking with the
+    (overlap DESC, cid ASC) tiebreak, relevance = same source, RR as
+    the exact truncating 10⁶ DIV rank."""
+    docs = (
+        load_table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    )
+    toks = {r["doc_id"]: set((r["text"] or "").split(" ")) for r in docs}
+    src = {r["doc_id"]: r["source"] for r in docs}
+    qids = sorted(d for d in toks if d < 10)
+    cids = sorted(d for d in toks if d >= 10)
+    expect = {}
+    rrs = []
+    for q in qids:
+        order = sorted(cids, key=lambda c: (-len(toks[c] & toks[q]), c))
+        first = None
+        nrel = 0
+        for rank, c in enumerate(order, 1):
+            if src[c] == src[q]:
+                nrel += 1
+                if first is None:
+                    first = rank
+        rr = 10**6 // first if first else 0
+        rrs.append(rr)
+        expect[q] = (first, nrel, rr)
+    got = {
+        r["query_doc"]: (r["first_rel_rank"], r["n_relevant"], r["rr_ppm"])
+        for r in QUERIES["mrr_eval_retrieval"](spark, SF).collect()
+    }
+    assert got == expect and len(got) == 10
+    srow = QUERIES["mrr_eval_retrieval"](spark, SF).collect()[0]
+    assert srow["mrr_ppm_sum"] == sum(rrs) and srow["n_queries"] == 10
+
+
 def test_udtf_unpivot_schema_derived_from_table_argument(spark):
     """The fourth UDTF shape's contract: analyze() must copy the key
     field's NAME and TYPE from the table argument and melt exactly the
