@@ -166,6 +166,9 @@ def test_no_degenerate_joins_anywhere(plans):
         "kcenter_coreset_select",  # broadcast 1-row center per greedy round
     "rrf_hybrid_dense_lexical",  # broadcast 1-row query vector + 1-row query token set
     "rbo_rank_overlap",  # same two legs as rrf_hybrid: 1-row query vector/token crosses
+        "quantile_regression_origin",  # broadcast 3-row τ-quarter spine (both-sided threshold non-equi)
+        "mrr_eval_retrieval",  # broadcast 10-row query panel (the rrf/ndcg/rbo device)
+        "acf_hourly_lag_profile",  # broadcast hour-spine × |types| dense-series cross
     }
     for name, p in plans.items():
         base = name.split("/")[0]
