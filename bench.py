@@ -156,11 +156,16 @@ def effective_pinned_gauge(stamp: dict) -> float | None:
     """The stamp's box-skew gauge chained back to the last HONEST round.
 
     For a FORCE-stamped artifact that is ``forced_stamp_pinned_ratio``
-    (recorded already-chained by the ADVICE r10 fix). For an honest
-    stamp it is ``pinned_ratio_vs_prev`` times the prior link's forced
-    multiplier (``ratio_prev_stamp_ratio``) when the comparison
-    baseline itself was forced. None when no gauge was recorded."""
-    if stamp.get("forced_stamp"):
+    (recorded already-chained by the ADVICE r10 fix). A seal-only
+    force on an honest box records NO multiplier by that rule, so when
+    the key is absent we fall through to the honest chain below —
+    otherwise such a stamp would gauge as None and refuse every future
+    unforced supersede, including a strictly better honest rerun
+    (r12 review finding). For an honest stamp it is
+    ``pinned_ratio_vs_prev`` times the prior link's forced multiplier
+    (``ratio_prev_stamp_ratio``) when the comparison baseline itself
+    was forced. None when no gauge was recorded."""
+    if stamp.get("forced_stamp") and stamp.get("forced_stamp_pinned_ratio"):
         return stamp.get("forced_stamp_pinned_ratio")
     pinned = stamp.get("pinned_ratio_vs_prev")
     if pinned is None:
@@ -670,33 +675,45 @@ def main() -> None:
         # BOTH guards at once and clobbers a sealed prior-round
         # artifact with skewed timings.
         seal_blocked = False
+        round_closed = False
         if os.path.exists(round_path):
             try:
                 with open(round_path) as f:
                     sealed_prev = json.load(f)
             except (OSError, ValueError):
                 sealed_prev = {}
-            seal_blocked = not seal_supersede_ok(
+            # Round/code identity first (r12 review finding: the
+            # gauge-only rule regressed the ADVICE r8 stale-env
+            # protection): once the driver has recorded BENCH_r{cur}
+            # the round is CLOSED — the code tree has moved on, so a
+            # better gauge proves nothing about comparability. A stale
+            # SPARK_GRAFT_ROUND=11 in round 12 on a quiet box would
+            # otherwise relabel round-12-code timings as round 11.
+            # The gauge contest is for same-round re-stamps only
+            # (driver's post-close bench runs BEFORE BENCH_r{N} lands).
+            round_closed = os.path.exists(
+                os.path.join(here, f"BENCH_r{cur:02d}.json")
+            ) or os.path.exists(os.path.join(here, f"BENCH_r{cur}.json"))
+            seal_blocked = round_closed or not seal_supersede_ok(
                 sealed_prev, effective_pinned_gauge(full)
             )
-            if not seal_blocked:
-                print(
-                    f"bench: superseding {os.path.basename(round_path)} — "
-                    f"new pinned gauge {effective_pinned_gauge(full)} is no "
-                    f"worse than the sealed stamp's "
-                    f"{effective_pinned_gauge(sealed_prev)}",
-                    file=sys.stderr,
-                )
         skew_blocked = refuse_round_artifact(
             full.get("pinned_ratio_vs_prev"), full.get("ratio_prev_stamp_ratio")
         )
         if seal_blocked and not force:
+            reason = (
+                f"round {cur} is CLOSED (driver BENCH_r{cur:02d}.json "
+                "exists; the current code tree is a later round)"
+                if round_closed
+                else (
+                    f"new pinned gauge {effective_pinned_gauge(full)} is "
+                    "not better than the sealed stamp's "
+                    f"{effective_pinned_gauge(sealed_prev)}"
+                )
+            )
             print(
                 f"bench: refusing to overwrite sealed {round_path} — "
-                f"new pinned gauge {effective_pinned_gauge(full)} is not "
-                "better than the sealed stamp's "
-                f"{effective_pinned_gauge(sealed_prev)} (set "
-                "SPARK_GRAFT_ROUND_FORCE=1 to override)",
+                f"{reason} (set SPARK_GRAFT_ROUND_FORCE=1 to override)",
                 file=sys.stderr,
             )
         elif skew_blocked and not force:
@@ -718,6 +735,17 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
+            # Announce a supersede only HERE, after BOTH guards passed
+            # (r12 review finding: printing it before the skew guard
+            # claimed an overwrite the guard then refused).
+            if os.path.exists(round_path) and not force:
+                print(
+                    f"bench: superseding {os.path.basename(round_path)} — "
+                    f"new pinned gauge {effective_pinned_gauge(full)} is no "
+                    f"worse than the sealed stamp's "
+                    f"{effective_pinned_gauge(sealed_prev)}",
+                    file=sys.stderr,
+                )
             if force and (seal_blocked or skew_blocked):
                 # ADVICE r10: FORCE bypassed a guard — record it INSIDE
                 # the artifact so every later round that uses this file

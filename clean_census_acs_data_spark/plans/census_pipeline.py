@@ -149,17 +149,38 @@ def write_keyed_layout(
     if target_rows_per_file is None:
         out = df.repartition(key)
     else:
-        per_key = df.groupBy(key).agg(
-            F.ceil(F.count(F.lit(1)) / target_rows_per_file)
-            .cast("int")
-            .alias("__bins")
-        ).withColumnRenamed(key, "__key")
+        if not present:
+            # the bin hash needs within-key-varying inputs; silently
+            # falling back would put a giant key in one bin (and
+            # F.hash() with zero args is an AnalysisException anyway)
+            raise ValueError(
+                f"write_keyed_layout: none of sort_cols {sort_cols!r} "
+                f"exist in the frame (columns: {df.columns}); the "
+                "binned regime needs at least one present sort column "
+                "to split a key's rows across files"
+            )
+        # One pass over the input for the per-key counts: collect the
+        # manifest-grained rows (one per distinct key) and rebuild the
+        # broadcast side from them, instead of re-running the full
+        # upstream aggregate inside the join (r12 review finding — on
+        # an expensive upstream frame the whole plan executed twice).
+        key_rows = (
+            df.groupBy(key)
+            .agg(
+                F.ceil(F.count(F.lit(1)) / target_rows_per_file)
+                .cast("int")
+                .alias("__bins")
+            )
+            .withColumnRenamed(key, "__key")
+            .collect()
+        )
         # Manifest-grained scalar (one row per distinct key, summed):
         # the explicit shuffle width keeps AQE from coalescing the
         # (key, bin) split back into few tasks — exactly the per-key
         # write parallelism the binning exists to buy.
-        n_shuffle = max(
-            per_key.agg(F.sum("__bins")).collect()[0][0] or 1, 1
+        n_shuffle = max(sum(r["__bins"] or 0 for r in key_rows), 1)
+        per_key = df.sparkSession.createDataFrame(
+            key_rows, schema=f"__key {df.schema[key].dataType.simpleString()}, __bins int"
         )
         out = (
             # null-safe: a writer must not DROP null-keyed rows — plain

@@ -235,13 +235,12 @@ def census_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark-warehouse",
         "census_write_readback.parquet",
     )
-    (
-        clean.repartition("STATE_FIPS")
-        .sortWithinPartitions("STATE_FIPS", "COUNTY", "TRACT")
-        .write.mode("overwrite")
-        .partitionBy("STATE_FIPS")
-        .parquet(path)
-    )
+    # ONE copy of the write discipline: the helper's defaults ARE this
+    # entry's layout (key=STATE_FIPS, sort=(COUNTY, TRACT)); inlining it
+    # here had already begun to drift (r12 review finding).
+    from clean_census_acs_data_spark.plans.census_pipeline import write_keyed_layout
+
+    write_keyed_layout(clean, path)
     return spark.read.schema(clean.schema).parquet(path).select(*clean.columns)
 
 

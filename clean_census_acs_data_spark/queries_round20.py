@@ -846,7 +846,11 @@ def udtf_analyze_table_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contract note: NULL metric cells are dropped (eval dispatches on
     the VALUE's runtime type — the UDTF API gives eval() no schema
     handle, so a null long is indistinguishable from a null string);
-    the melted tables here are null-free by construction.
+    the melted tables here are null-free by construction. For the same
+    reason analyze() REJECTS tables with INT/SMALLINT/TINYINT metric
+    columns (cast to BIGINT first): eval's runtime-int dispatch cannot
+    tell them from BIGINT, so accepting them would melt columns the
+    declared contract excludes.
 
     100-TB shape: row-local generation, no shuffle induced by the
     UDTF itself (no PARTITION BY — the planner keeps the scan's
@@ -860,11 +864,29 @@ def udtf_analyze_table_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     class UnpivotLongs:
         @staticmethod
         def analyze(t: AnalyzeArgument) -> AnalyzeResult:
+            from pyspark.sql.types import ByteType, IntegerType, ShortType
+
             fields = list(t.dataType.fields)
             key = fields[0]
             melted = [
                 f.name for f in fields[1:] if isinstance(f.dataType, LongType)
             ]
+            # eval() dispatches on the VALUE's runtime type (Python
+            # int), which cannot tell BIGINT from INT/SMALLINT/TINYINT
+            # — so analyze() must REJECT tables where the two rules
+            # would disagree instead of silently melting columns the
+            # declared BIGINT-only contract excludes (r12 review
+            # finding).
+            narrow = [
+                f.name
+                for f in fields[1:]
+                if isinstance(f.dataType, (ByteType, ShortType, IntegerType))
+            ]
+            if narrow:
+                raise ValueError(
+                    f"non-BIGINT integer metric columns {narrow}: the melt "
+                    "contract is BIGINT-only — CAST them to BIGINT first"
+                )
             if not melted:
                 raise ValueError("table argument has no BIGINT metric columns")
             return AnalyzeResult(

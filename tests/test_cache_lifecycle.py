@@ -185,6 +185,46 @@ def test_seal_guard_covers_inferred_round_path():
         src = f.read()
     assert "env_round.isdigit() and os.path.exists(round_path)" not in src
     assert "seal_supersede_ok(" in src
+    # r12 review finding: a seal-only FORCE stamp (honest box, no
+    # forced_stamp_pinned_ratio recorded by the r10 rule) must gauge
+    # through its honest pinned chain, not None — otherwise a strictly
+    # better honest rerun is refused forever.
+    seal_only_forced = {"forced_stamp": True, "pinned_ratio_vs_prev": 1.12}
+    assert bench.effective_pinned_gauge(seal_only_forced) == 1.12
+    assert bench.seal_supersede_ok(seal_only_forced, 1.01)
+    assert not bench.seal_supersede_ok(seal_only_forced, 1.3)
+    # ...and chained through a forced baseline like any honest stamp
+    seal_only_chained = {
+        "forced_stamp": True,
+        "pinned_ratio_vs_prev": 1.05,
+        "ratio_prev_stamp_ratio": 1.2,
+    }
+    assert bench.effective_pinned_gauge(seal_only_chained) == 1.05 * 1.2
+    # a forced stamp with NO gauge at all still refuses (can't compare)
+    assert bench.effective_pinned_gauge({"forced_stamp": True}) is None
+    assert not bench.seal_supersede_ok({"forced_stamp": True}, 1.0)
+
+
+def test_seal_guard_refuses_closed_rounds_unconditionally():
+    """r12 review finding: the gauge-only supersede rule regressed the
+    stale-env protection — SPARK_GRAFT_ROUND left at a CLOSED round on
+    a quiet box would relabel current-round-code timings as the old
+    round. Once the driver's BENCH_r{N}.json exists, round N is closed
+    and its BENCH_FULL_r{N} is immutable without FORCE; the gauge
+    contest applies only to same-round re-stamps (the driver's
+    post-close bench runs before BENCH_r{N} lands)."""
+    import os
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "bench.py")) as f:
+        src = f.read()
+    # the identity check exists and wins over the gauge contest
+    assert "round_closed" in src
+    assert 'f"BENCH_r{cur:02d}.json"' in src
+    assert "round_closed or not seal_supersede_ok(" in src
+    # the supersede announcement moved after both guards (no longer
+    # printed before the skew guard can still refuse the write)
+    before_guards = src.index("skew_blocked = refuse_round_artifact")
+    assert "superseding" not in src[:before_guards]
 
 
 def test_teardown_shared_memos_unpersists_and_clears(spark):

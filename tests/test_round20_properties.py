@@ -447,3 +447,17 @@ def test_udtf_unpivot_schema_derived_from_table_argument(spark):
         ("b", "n_lines", 2),
         ("b", "n_chars", 20),
     }
+    # contract agreement (r12 review finding): eval() dispatches on
+    # Python int, which cannot tell BIGINT from INT — analyze() must
+    # REJECT narrow-integer metric columns rather than let the two
+    # dispatch rules disagree (eval would melt an INT column that
+    # analyze excluded from the declared BIGINT-only contract).
+    spark.createDataFrame(
+        [(1, 2, 3)], "k long, narrow int, wide long"
+    ).createOrReplaceTempView("__unpivot_narrow")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="BIGINT-only"):
+        spark.sql(
+            "SELECT * FROM unpivot_longs_fn(TABLE(__unpivot_narrow))"
+        ).collect()

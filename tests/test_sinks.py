@@ -485,3 +485,15 @@ def test_keyed_layout_multi_file_per_key(spark, tmp_path):
     out2 = str(tmp_path / "keyed_single")
     write_keyed_layout(df, out2)
     assert len(glob.glob(os.path.join(out2, "STATE_FIPS=A", "*.parquet"))) == 1
+    # binned regime without any present sort column: explicit error
+    # naming the missing columns, not a zero-arg hash() crash or a
+    # silent single-bin fallback (r12 review finding)
+    import pytest
+
+    bare = df.select("STATE_FIPS", "v")
+    with pytest.raises(ValueError, match="sort_cols"):
+        write_keyed_layout(bare, str(tmp_path / "nope"), target_rows_per_file=10)
+    # ...while the default regime on the same frame still succeeds
+    out4 = str(tmp_path / "keyed_bare")
+    write_keyed_layout(bare, out4)
+    assert spark.read.parquet(out4).count() == 4100
