@@ -169,6 +169,9 @@ def test_no_degenerate_joins_anywhere(plans):
         "quantile_regression_origin",  # broadcast 3-row τ-quarter spine (both-sided threshold non-equi)
         "mrr_eval_retrieval",  # broadcast 10-row query panel (the rrf/ndcg/rbo device)
         "acf_hourly_lag_profile",  # broadcast hour-spine × |types| dense-series cross
+        "krippendorff_alpha_nominal",  # 1-row unit-agg × 1-row marginal-agg cross
+        "misra_gries_mergeable",  # per-stage 1-row decrement-threshold crosses (×4 + final)
+        "seasonal_decompose_ma",  # acf's broadcast hour-spine × |types| cross
     }
     for name, p in plans.items():
         base = name.split("/")[0]

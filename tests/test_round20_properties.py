@@ -461,3 +461,177 @@ def test_udtf_unpivot_schema_derived_from_table_argument(spark):
         spark.sql(
             "SELECT * FROM unpivot_longs_fn(TABLE(__unpivot_narrow))"
         ).collect()
+
+
+def test_krippendorff_alpha_bruteforce(spark):
+    """The scaled-integer alpha must equal the textbook definition
+    computed with exact Fractions: alpha = 1 - D_o/D_e, D_o =
+    (1/n) sum_u (m_u^2 - sum_c n_uc^2)/(m_u - 1), D_e =
+    (n^2 - sum_c n_c^2)/(n(n-1)) — recomputed here with Python
+    Counters over independently re-derived labels."""
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    from clean_census_acs_data_spark.queries_round12d import (
+        _W_ALPHA,
+        _W_CHAR,
+        _W_DIGIT,
+        _W_PUNCT,
+        _W_WS,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    labels: dict[int, list[str]] = {}
+    for r in docs:
+        text, nc = r["text"], r["n_chars"]
+        logit = (
+            _W_WS * len(text.split(" "))
+            + _W_ALPHA * len(re.findall(r"[A-Za-z]+", text))
+            + _W_PUNCT * len(re.findall(r"[^A-Za-z0-9 ]+", text))
+            + _W_DIGIT * len(re.findall(r"[0-9]+", text))
+            + _W_CHAR * nc
+        )
+        ra = "keep" if logit >= 8000 else ("review" if logit >= 3000 else "drop")
+        rb = "keep" if nc >= 320 else ("review" if nc >= 160 else "drop")
+        ls = [ra, rb]
+        if r["doc_id"] % 3 != 0:
+            nt = len(text.split(" "))
+            ls.append(
+                "keep" if nt >= 60 else ("review" if nt >= 30 else "drop")
+            )
+        labels[r["doc_id"]] = ls
+    pairable = {u: ls for u, ls in labels.items() if len(ls) >= 2}
+    n = sum(len(ls) for ls in pairable.values())
+    do_total = Fraction(0)
+    for ls in pairable.values():
+        m, cc = len(ls), Counter(ls)
+        do_total += Fraction(m * m - sum(v * v for v in cc.values()), m - 1)
+    marg = Counter(l for ls in pairable.values() for l in ls)
+    de_pairs = n * n - sum(v * v for v in marg.values())
+    alpha = 1 - Fraction(n - 1) * do_total / de_pairs
+    row = QUERIES["krippendorff_alpha_nominal"](spark, SF).collect()[0]
+    from clean_census_acs_data_spark.queries_round20b import _ALPHA_SCALE
+
+    assert row["n_units"] == len(pairable)
+    assert row["n_values"] == n
+    assert row["do_scaled"] == _ALPHA_SCALE * do_total  # exact: scale clears denominators
+    assert row["de_pairs"] == de_pairs
+    assert Fraction(row["alpha_num"], row["alpha_den"]) == alpha
+    assert row["alpha"] == row["alpha_num"] / row["alpha_den"]
+    # the statistic is inside its defined range and non-degenerate here
+    assert -1.0 <= row["alpha"] <= 1.0
+    # missing labels genuinely exercised: some units have 2, some 3
+    sizes = {len(ls) for ls in pairable.values()}
+    assert sizes == {2, 3}
+
+
+def test_misra_gries_mergeable_bruteforce(spark):
+    """The 4-stage unrolled SQL fold must equal a sequential Python
+    implementation of the SAME canonical fold (exact bucket counts,
+    merge = pointwise add, subtract the (k+1)-th largest by
+    (v DESC, token), drop non-positives) — and the final summary must
+    satisfy the MG guarantee exact - D <= counter <= exact, with every
+    token of frequency > D present."""
+    from collections import Counter
+
+    from clean_census_acs_data_spark.queries_round20b import _MG_B, _MG_K
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    buckets = [Counter() for _ in range(_MG_B)]
+    exact = Counter()
+    for r in docs:
+        toks = r["text"].split(" ")
+        buckets[r["doc_id"] % _MG_B].update(toks)
+        exact.update(toks)
+
+    def compress(cnt: Counter) -> tuple[Counter, int]:
+        items = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        t = items[_MG_K][1] if len(items) > _MG_K else 0
+        return Counter({k: v - t for k, v in items if v - t > 0}), t
+
+    s: Counter = Counter()
+    d_total = 0
+    for b in range(_MG_B):
+        s, t = compress(s + buckets[b])
+        d_total += t
+
+    rows = QUERIES["misra_gries_mergeable"](spark, SF).collect()
+    got = {r["token"]: r["counter"] for r in rows}
+    assert got == dict(s)
+    assert all(r["decrement_total"] == d_total for r in rows)
+    assert len(got) <= _MG_K
+    # the deterministic MG guarantee against the exact counts
+    for tok, c in got.items():
+        assert exact[tok] - d_total <= c <= exact[tok]
+    for tok, c in exact.items():
+        if c > d_total:
+            assert tok in got, f"frequent token {tok!r} missing from summary"
+
+
+def test_seasonal_decompose_bruteforce(spark):
+    """trend48/det48/seasonal pairs recomputed with plain Python ints
+    over the independently densified hourly series, and the additive
+    identity x = trend + seasonal + remainder checked EXACTLY in
+    Fractions for every row with a defined trend."""
+    import datetime as dt
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    ev = load_table(spark, SF, "events").select("event_type", "ts").collect()
+    floor = lambda t: t.replace(minute=0, second=0, microsecond=0)  # noqa: E731
+    counts: Counter = Counter((r["event_type"], floor(r["ts"])) for r in ev)
+    types = sorted({r["event_type"] for r in ev})
+    lo = floor(min(r["ts"] for r in ev))
+    hi = floor(max(r["ts"] for r in ev))
+    hours = []
+    h = lo
+    while h <= hi:
+        hours.append(h)
+        h += dt.timedelta(hours=1)
+    series = {ty: [counts.get((ty, h), 0) for h in hours] for ty in types}
+    trend48: dict[tuple, int] = {}
+    det48: dict[tuple, int] = {}
+    for ty, xs in series.items():
+        for i in range(len(xs)):
+            if i - 12 < 0 or i + 12 >= len(xs):
+                continue
+            t48 = xs[i - 12] + xs[i + 12] + 2 * sum(xs[i - 11 : i + 12])
+            trend48[(ty, hours[i])] = t48
+            det48[(ty, hours[i])] = 48 * xs[i] - t48
+    snum: dict[tuple, int] = defaultdict(int)
+    sden: dict[tuple, int] = defaultdict(int)
+    for (ty, h), d in det48.items():
+        snum[(ty, h.hour)] += d
+        sden[(ty, h.hour)] += 1
+
+    rows = QUERIES["seasonal_decompose_ma"](spark, SF).collect()
+    assert len(rows) == len(types) * len(hours)
+    checked = 0
+    for r in rows:
+        key = (r["event_type"], r["h"])
+        assert r["x"] == series[r["event_type"]][hours.index(r["h"])]
+        if key in trend48:
+            assert r["trend48"] == trend48[key]
+            assert r["det48"] == det48[key]
+            hod = (r["event_type"], r["h"].hour)
+            assert r["s_num"] == snum[hod] and r["s_den"] == sden[hod]
+            # exact additive identity in Fractions
+            total = (
+                Fraction(r["trend48"], 48)
+                + Fraction(r["s_num"], 48 * r["s_den"])
+                + Fraction(r["det48"] * r["s_den"] - r["s_num"], 48 * r["s_den"])
+            )
+            assert total == Fraction(r["x"], 1)
+            # emitted floats are the single divisions of those integers
+            assert r["trend"] == r["trend48"] / 48.0
+            assert r["seasonal"] == r["s_num"] / (48 * r["s_den"])
+            assert r["remainder"] == (
+                r["det48"] * r["s_den"] - r["s_num"]
+            ) / (48 * r["s_den"])
+            checked += 1
+        else:
+            assert r["trend48"] is None and r["remainder"] is None
+    assert checked > 100  # margins excluded, interior fully pinned
