@@ -172,6 +172,9 @@ def test_no_degenerate_joins_anywhere(plans):
         "krippendorff_alpha_nominal",  # 1-row unit-agg × 1-row marginal-agg cross
         "misra_gries_mergeable",  # per-stage 1-row decrement-threshold crosses (×4 + final)
         "seasonal_decompose_ma",  # acf's broadcast hour-spine × |types| cross
+        "jonckheere_terpstra_trend",  # 1-row J-agg × 1-row group-moments cross
+        "friedman_balanced_blocks",  # day-spine × |types| cross + 1-row dims/gsum crosses
+        "conformal_quantile_calibration",  # broadcast 2-row q̂ table over the test half
     }
     for name, p in plans.items():
         base = name.split("/")[0]

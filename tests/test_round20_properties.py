@@ -635,3 +635,126 @@ def test_seasonal_decompose_bruteforce(spark):
         else:
             assert r["trend48"] is None and r["remainder"] is None
     assert checked > 100  # margins excluded, interior fully pinned
+
+
+def test_jonckheere_terpstra_bruteforce(spark):
+    """J recomputed by the O(N^2) textbook pair loop (g_a < g_b and
+    x_a < x_b, strict on both), the moments from their closed forms,
+    and z re-derived as the same single expression."""
+    import math
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    data = [(r["g"], r["cents"]) for r in rows]
+    n = len(data)
+    j = sum(
+        1
+        for i in range(n)
+        for l in range(n)
+        if data[i][0] < data[l][0] and data[i][1] < data[l][1]
+    )
+    from collections import Counter
+
+    sizes = Counter(g for g, _ in data)
+    mu_x4 = n * n - sum(c * c for c in sizes.values())
+    var_x72 = n * n * (2 * n + 3) - sum(
+        c * c * (2 * c + 3) for c in sizes.values()
+    )
+    row = QUERIES["jonckheere_terpstra_trend"](spark, SF).collect()[0]
+    assert row["n_total"] == n
+    assert row["j_stat"] == j
+    assert row["mu_x4"] == mu_x4
+    assert row["var_x72"] == var_x72
+    assert row["z_score"] == (4 * j - mu_x4) / 4.0 / math.sqrt(var_x72 / 72.0)
+    # the ordinal structure is genuinely exercised: all 5 levels present
+    assert len(sizes) == 5
+
+
+def test_friedman_balanced_blocks_bruteforce(spark):
+    """Conover's tie-robust T recomputed with exact Fractions from true
+    midranks over the independently densified (day x type) design, and
+    the no-ties textbook identity 12*sum(R^2)/(nk(k+1)) - 3n(k+1)
+    asserted blockwise where no block has ties."""
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    ev = load_table(spark, SF, "events").select("event_type", "ts").collect()
+    day = lambda t: t.date()  # noqa: E731
+    counts: Counter = Counter((day(r["ts"]), r["event_type"]) for r in ev)
+    days = sorted({day(r["ts"]) for r in ev})
+    types = sorted({r["event_type"] for r in ev})
+    n, k = len(days), len(types)
+    # true midranks per block
+    rsum: dict[str, Fraction] = defaultdict(Fraction)
+    a2 = Fraction(0)
+    any_ties = False
+    for d in days:
+        xs = sorted((counts.get((d, ty), 0), ty) for ty in types)
+        vals = [v for v, _ in xs]
+        for v, ty in xs:
+            lo = vals.index(v)
+            n_ties = vals.count(v)
+            if n_ties > 1:
+                any_ties = True
+            mid = Fraction(2 * lo + n_ties + 1, 2)  # average of ranks lo+1..lo+n_ties
+            rsum[ty] += mid
+            a2 += mid * mid
+    sum_r2 = sum(v * v for v in rsum.values())
+    t_num = (k - 1) * (sum_r2 - Fraction(n * n * k * (k + 1) * (k + 1), 4))
+    t_den = a2 - Fraction(n * k * (k + 1) * (k + 1), 4)
+    rows = QUERIES["friedman_balanced_blocks"](spark, SF).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert r["n_blocks"] == n and r["k_treatments"] == k
+        assert Fraction(r["rank_sum_dbl"], 2) == rsum[r["event_type"]]
+        # the x4-scaled integers equal the Fraction forms exactly
+        assert Fraction(r["chi2_num"], 4) == t_num
+        assert Fraction(r["chi2_den"], 4) == t_den
+        assert r["chi2_f"] == r["chi2_num"] / r["chi2_den"]
+    if not any_ties:
+        textbook = Fraction(12) * sum_r2 / (n * k * (k + 1)) - 3 * n * (k + 1)
+        assert t_num / t_den == textbook
+    # zero-filled cells are really in the design: every block has k cells
+    assert sum(rsum.values()) == Fraction(n * k * (k + 1), 2)
+
+
+def test_conformal_quantile_bruteforce(spark):
+    """The conformal index, selected quantile, and held-out coverage
+    recomputed from first principles: k = ceil((n_cal+1)(1-alpha)),
+    qhat = the k-th smallest calibration score, coverage = exact count
+    on the disjoint test half."""
+    import math
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    scores = {
+        r["doc_id"]: abs(r["n_chars"] - 6 * len(r["text"].split(" ")))
+        for r in docs
+    }
+    cal = sorted(
+        (scores[d], d) for d in scores if d % 2 == 0
+    )
+    test = [scores[d] for d in scores if d % 2 != 0]
+    got = {
+        (r["alpha_num"], r["alpha_den"]): r
+        for r in QUERIES["conformal_quantile_calibration"](spark, SF).collect()
+    }
+    assert set(got) == {(1, 10), (1, 20)}
+    for (an, ad), r in got.items():
+        n_cal = len(cal)
+        k = math.ceil((ad - an) * (n_cal + 1) / ad)
+        qhat = cal[k - 1][0]
+        ncov = sum(1 for s in test if s <= qhat)
+        assert r["n_cal"] == n_cal and r["k_idx"] == k
+        assert r["qhat"] == qhat
+        assert r["n_test"] == len(test) and r["n_covered"] == ncov
+        assert r["coverage"] == ncov / len(test)
+        # the index really is the guarantee index: k/(n_cal+1) >= 1-alpha
+        assert k * ad >= (ad - an) * (n_cal + 1)
