@@ -861,3 +861,4 @@ from clean_census_acs_data_spark import queries_round19d  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round20  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round20b  # noqa: E402,F401
 from clean_census_acs_data_spark import queries_round20c  # noqa: E402,F401
+from clean_census_acs_data_spark import queries_round20d  # noqa: E402,F401

@@ -127,14 +127,12 @@ def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _friedman_sql() -> str:
-    """ONE shared text (date_trunc/rank/count are common). Balanced by
-    construction: every observed day × every observed type, missing
-    cells = 0 events — a day with NO events at all would drop the
-    whole block, which is the correct Friedman treatment of a missing
-    block."""
-    return """
-WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+# The dense (day × type) block design with doubled within-block
+# midranks — shared verbatim by friedman_balanced_blocks and
+# page_trend_test (queries_round20d), which are the omnibus and
+# ordered-alternative tests over the SAME ranked blocks.
+_BLOCK_RANK_CTES = """
+days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
 types AS (SELECT DISTINCT event_type AS ty FROM events),
 cellraw AS (
   SELECT date_trunc('day', ts) AS d, event_type AS ty,
@@ -151,7 +149,17 @@ r AS (
          CAST(2 * RANK() OVER (PARTITION BY d ORDER BY x)
               + COUNT(*) OVER (PARTITION BY d, x) - 1 AS BIGINT) AS dr
   FROM cell
-),
+)"""
+
+
+def _friedman_sql() -> str:
+    """ONE shared text (date_trunc/rank/count are common). Balanced by
+    construction: every observed day × every observed type, missing
+    cells = 0 events — a day with NO events at all would drop the
+    whole block, which is the correct Friedman treatment of a missing
+    block."""
+    return f"""
+WITH {_BLOCK_RANK_CTES},
 dims AS (
   SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n,
          CAST(COUNT(DISTINCT ty) AS BIGINT) AS k,

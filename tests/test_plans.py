@@ -175,6 +175,7 @@ def test_no_degenerate_joins_anywhere(plans):
         "jonckheere_terpstra_trend",  # 1-row J-agg × 1-row group-moments cross
         "friedman_balanced_blocks",  # day-spine × |types| cross + 1-row dims/gsum crosses
         "conformal_quantile_calibration",  # broadcast 2-row q̂ table over the test half
+        "page_trend_test",  # friedman's day-spine cross + 1-row dims/lsum crosses
     }
     for name, p in plans.items():
         base = name.split("/")[0]

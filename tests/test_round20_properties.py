@@ -758,3 +758,89 @@ def test_conformal_quantile_bruteforce(spark):
         assert r["coverage"] == ncov / len(test)
         # the index really is the guarantee index: k/(n_cal+1) >= 1-alpha
         assert k * ad >= (ad - an) * (n_cal + 1)
+
+
+def test_page_trend_bruteforce(spark):
+    """Page's L recomputed from exact-Fraction midranks over the same
+    densified blocks with the lexicographic treatment order, moments
+    from their closed forms, and the shared-CTE contract: rank sums
+    must equal friedman_balanced_blocks' exactly."""
+    import math
+    from collections import Counter, defaultdict
+    from fractions import Fraction
+
+    ev = load_table(spark, SF, "events").select("event_type", "ts").collect()
+    day = lambda t: t.date()  # noqa: E731
+    counts: Counter = Counter((day(r["ts"]), r["event_type"]) for r in ev)
+    days = sorted({day(r["ts"]) for r in ev})
+    types = sorted({r["event_type"] for r in ev})
+    n, k = len(days), len(types)
+    rsum: dict[str, Fraction] = defaultdict(Fraction)
+    for d in days:
+        xs = sorted((counts.get((d, ty), 0), ty) for ty in types)
+        vals = [v for v, _ in xs]
+        for v, ty in xs:
+            lo, t = vals.index(v), vals.count(v)
+            rsum[ty] += Fraction(2 * lo + t + 1, 2)
+    l_stat = sum((types.index(ty) + 1) * rsum[ty] for ty in types)
+    mu_x4 = n * k * (k + 1) * (k + 1)
+    var_x144 = n * k * k * (k + 1) * (k + 1) * (k - 1)
+    rows = QUERIES["page_trend_test"](spark, SF).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert r["treatment_order"] == types.index(r["event_type"]) + 1
+        assert Fraction(r["rank_sum_dbl"], 2) == rsum[r["event_type"]]
+        assert Fraction(r["l_dbl"], 2) == l_stat
+        assert r["mu_x4"] == mu_x4 and r["var_x144"] == var_x144
+        assert r["z_score"] == 3 * (2 * r["l_dbl"] - mu_x4) / math.sqrt(var_x144)
+    # shared-CTE contract with friedman: identical rank sums
+    fr = {
+        r["event_type"]: r["rank_sum_dbl"]
+        for r in QUERIES["friedman_balanced_blocks"](spark, SF).collect()
+    }
+    assert fr == {r["event_type"]: r["rank_sum_dbl"] for r in rows}
+
+
+def test_grubbs_outlier_bruteforce(spark):
+    """G^2 recomputed with unbounded Python ints from the definition
+    ((n-1) * dev*^2 // sum dev^2, micro-quantized), the argmax with
+    the (|dev| DESC, custkey) total order, and the statistical
+    identity G = |x* - xbar| / s verified in floats."""
+    import math
+    from collections import defaultdict
+
+    cust = (
+        load_table(spark, SF, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_nk: dict[int, list] = defaultdict(list)
+    for r in cust:
+        by_nk[r["c_nationkey"]].append((r["c_custkey"], r["cents"]))
+    got = {
+        r["nation_key"]: r
+        for r in QUERIES["grubbs_outlier_scan"](spark, SF).collect()
+    }
+    assert set(got) == set(by_nk)
+    for nk, items in by_nk.items():
+        n = len(items)
+        s = sum(c for _, c in items)
+        devs = [(abs(n * c - s), -ck, ck, n * c - s) for ck, c in items]
+        devs.sort(reverse=True)
+        _, _, ck_star, dev_star = devs[0]
+        sum_dev2 = sum((n * c - s) ** 2 for _, c in items)
+        g2_micro = ((n - 1) * dev_star * dev_star * 1000000) // sum_dev2
+        r = got[nk]
+        assert r["n_cust"] == n and r["outlier_custkey"] == ck_star
+        assert r["dev_n_cleared"] == dev_star
+        assert r["g2_micro"] == g2_micro
+        assert r["g_stat"] == math.sqrt(g2_micro / 1000000.0)
+        # identity vs the textbook float definition (within quantization)
+        mean = s / n
+        sd = math.sqrt(sum((c - mean) ** 2 for _, c in items) / (n - 1))
+        g_text = abs(dev_star / n) / sd
+        assert abs(r["g_stat"] - g_text) <= 1e-3 + 1e-6 * g_text
