@@ -193,17 +193,23 @@ def windowed_distinct_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pb_sql(div: str) -> str:
-    """ONE shared text, dialect-parameterized only on integer division
-    (DuckDB ``//`` vs Spark ``DIV``) — the mcnemar device."""
-    return f"""
-WITH cust AS (
+_PB_CUST = """
   SELECT c.c_custkey AS ck, c.c_nationkey AS nk,
          CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
          CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
   GROUP BY c.c_custkey, c.c_nationkey, c.c_acctbal
-),
+"""
+
+
+def _pb_sql(div: str, cust: str = _PB_CUST) -> str:
+    """ONE shared text, dialect-parameterized only on integer division
+    (DuckDB ``//`` vs Spark ``DIV``) — the mcnemar device. ``cust``
+    lets the Spark side substitute a materialized base (r12: the CTE
+    is referenced 3×, which Spark's CTE inlining re-derives; DuckDB
+    materializes it, so the oracle keeps the default text)."""
+    return f"""
+WITH cust AS ({cust}),
 pairs AS (
   SELECT a.nk, a.ck AS ia, b.ck AS ib,
          b.y - a.y AS dy, b.x - a.x AS dx
@@ -281,7 +287,32 @@ def passing_bablok_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile. Group sizes of millions need per-group pair sampling
     first (the documented Theil–Sen switch point). Scale bound: y
     sums cents per customer (int64 to ~9×10¹⁶ cents); dy + dx is a
-    sum of two int64 cent deltas — no products anywhere."""
+    sum of two int64 cent deltas — no products anywhere.
+
+    r12 perf adjudication (SURVEY's r13 watch item, closed EARLY with
+    measurements): Spark's CTE inlining re-derives ``cust`` once per
+    reference (3×, 12 file scans — the misra_gries pattern), so three
+    materialization variants were built and measured at sf0.1:
+    (a) eager localCheckpoint + view substitution — cold interleaved
+    fresh-process A/B 11.7/13.7 s vs 9.0/10.0 s inlined: LOSS (the
+    ExistingRDD base has no stats, the pair and residual joins fall
+    from broadcast to sort-merge); (b) same + explicit BROADCAST
+    hints — same-session 5.12/2.60 vs 3.63/2.98 s: cold loss, warm
+    wash; (c) tracked_cache + eager fill (stats flow, broadcasts come
+    back) — fill+tail 7.83/3.99 vs 5.15/3.74 s: cold loss, warm wash.
+    ALL REJECTED: the re-derived subtree is a customer⋈orders
+    aggregation over SMALL dims, cheaper than any materialization
+    barrier + fill at this scale. The inlined shared text stands as
+    the measured local optimum (plan evidence:
+    plans/r12/passing_bablok_regression_before.txt = the LIVE inlined
+    plan, .._rejected_materialized.txt = variant (a), kept as the
+    adjudication record: parquet scans 12 → 0, Exchange 18 → 6, but
+    BroadcastHashJoin 6 → 0 / SortMergeJoin 4 — the stats loss). At
+    true 100-TB the decision flips — materialize ``cust`` via the
+    ``_pb_sql(cust=...)`` seam exactly as variant (a) does — because
+    customer⋈orders becomes the dominant cost and three derivations
+    of it dwarf one materialization; that switch point is the same
+    scale knob as misra_gries' (data-sized base vs bounded summary)."""
     register_views(spark, sf_dir)
     return spark.sql(_pb_sql("DIV"))
 
@@ -437,26 +468,48 @@ def langid_eval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clean_census_acs_data_spark.queries_round7c import lang_id_confusion
 
     cm = lang_id_confusion(spark, sf_dir)
-    tp = (
-        cm.where(F.col("labeled_lang") == F.col("pred_lang"))
-        .groupBy(F.col("labeled_lang").alias("cls"))
-        .agg(F.sum("n_docs").cast("long").alias("tp"))
-    )
-    rowsum = cm.groupBy(F.col("labeled_lang").alias("cls")).agg(
-        F.sum("n_docs").cast("long").alias("support")
-    )
-    colsum = cm.groupBy(F.col("pred_lang").alias("cls")).agg(
-        F.sum("n_docs").cast("long").alias("predicted")
-    )
+    # r12 optimization (guide §1.2): tp/rowsum/colsum are three DIFFERENT
+    # aggregations of cm, so the former three-branch join re-derived the
+    # whole confusion-matrix pipeline (scan + scoring + exchange) once
+    # per branch — no exchange reuse possible across distinct grouping
+    # keys. Instead each of the ≤|langs|² cells contributes to its
+    # row-class (support, tp) and its column-class (predicted) via a
+    # 2-way explode, and ONE groupBy(cls) reads all three sums off a
+    # single cm derivation (cold A/B 5.2/5.4 → 1.6/1.7 s). Classes that
+    # only ever appear as predictions (support = 0) are dropped, exactly
+    # the oracle's FROM rowsum semantics; sums are the same exact
+    # integers, so the output is bit-identical.
+    zero = F.lit(0).cast("long")
+    n = F.col("n_docs").cast("long")
+    contrib = cm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("labeled_lang").alias("cls"),
+                    n.alias("sup_n"),
+                    F.when(F.col("labeled_lang") == F.col("pred_lang"), n)
+                    .otherwise(zero)
+                    .alias("tp_n"),
+                    zero.alias("pred_nc"),
+                ),
+                F.struct(
+                    F.col("pred_lang").alias("cls"),
+                    zero.alias("sup_n"),
+                    zero.alias("tp_n"),
+                    n.alias("pred_nc"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
     j = (
-        rowsum.join(tp, "cls", "left")
-        .join(colsum, "cls", "left")
-        .select(
-            "cls",
-            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
-            F.coalesce("predicted", F.lit(0)).cast("long").alias("pred_n"),
-            "support",
+        contrib.groupBy("cls")
+        .agg(
+            F.sum("sup_n").cast("long").alias("support"),
+            F.sum("tp_n").cast("long").alias("tp"),
+            F.sum("pred_nc").cast("long").alias("pred_n"),
         )
+        .where(F.col("support") > 0)
+        .select("cls", "tp", "pred_n", "support")
     )
     return j.select(
         F.col("cls").alias("lang"),
