@@ -35,7 +35,6 @@ from clean_census_acs_data_spark.queries_ext import (
     _COMPONENTS_ORACLE,
     _PLANTED_DOCS,
 )
-from clean_census_acs_data_spark.session import tracked_cache
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,17 +71,19 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     each row normalizes to P(to | from) with one double division.
 
     Shape: one user-keyed window shuffle (sequences are user-local —
-    never a global sort), then a |types|²-bounded aggregate; the 5-row
-    row-total table joins back by broadcast. At 100 TB the window
-    partitioning is the natural event-log layout and the matrix stays
-    KB-sized."""
+    never a global sort), then a |types|²-bounded aggregate; row totals
+    come from a SUM window OVER the ≤|types|² aggregate itself (r12
+    optimization, guide §2.4/§1.2: the former tracked_cache + eager
+    count + broadcast-join-back derived the same totals but paid the
+    lag-window pipeline twice — once to fill the cache, once at the
+    terminal action; the window form is one single-pass plan, 16
+    Exchange → 3, and the extra exchange it adds shuffles ≤25 rows).
+    At 100 TB the window partitioning is the natural event-log layout
+    and the matrix stays KB-sized."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = _t(spark, sf_dir, "events").select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     )
-    # cached: the tiny type×type transition table feeds the row totals
-    # AND the final join — uncached, the per-user lag window shuffle
-    # (the dominant cost) ran twice
     tr = (
         seq.where(F.col("prev_type").isNotNull())
         .groupBy(
@@ -90,17 +91,13 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("to_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .transform(tracked_cache)
     )
-    tr.count()  # eager: sibling subtrees race a lazy cache fill
-    tot = tr.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_total"))
-    return tr.join(F.broadcast(tot), "from_type").select(
+    row_total = F.sum("n").over(Window.partitionBy("from_type"))
+    return tr.select(
         "from_type",
         "to_type",
         F.col("n").cast("long").alias("n"),
-        (F.col("n").cast("double") / F.col("row_total").cast("double")).alias(
-            "prob"
-        ),
+        (F.col("n").cast("double") / row_total.cast("double")).alias("prob"),
     )
 
 

@@ -178,27 +178,48 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT cached: the r8 warm A/B credited a cache here, but the COLD
     # first-rep A/B (scripts/cold_ab.py, 2×2 interleaved at sf0.1:
     # cache 4.22/4.45 s vs nocache 3.42/3.14 s, 0.76×) shows the eager
-    # fill + cache write cost more than the repeated distinct — whose
+    # fill + cache write cost more than the repeated recompute — whose
     # shuffle files Spark's exchange reuse already shares between the
-    # four consumers. VERDICT r8 flagged exactly this.
-    items = (
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # three consumers. VERDICT r8 flagged exactly this.
+    #
+    # r12 optimization (guide §2.4/§1.2 step 1): pair generation is
+    # in-row over per-order BASKETS (collect_set → sorted array →
+    # nested-transform upper-triangle pairs) instead of the former
+    # items⋈items self-join on l_orderkey. That removes the distinct's
+    # (orderkey, partkey) exchange AND the self-join's orderkey
+    # exchange + two sorts + SortMergeJoin (26 Exchange → 8 in the
+    # recsys consumer; one exchange now carries lineitem rows, reused
+    # by all three basket consumers). Baskets are ≤13 items, so the
+    # in-row fan-out is the same bounded basket-size² the join
+    # produced — the blocking discipline is unchanged at 100 TB.
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
     )
-    a, b = items.alias("a"), items.alias("b")
-    pr = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    ps = F.array_sort(F.col("parts"))
+    pair_structs = F.flatten(
+        F.transform(
+            ps,
+            lambda x, i: F.transform(
+                F.slice(ps, i + F.lit(2), F.size(ps)),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     cab = (
-        pr.groupBy("part_a", "part_b")
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= _BASKET_MIN_SUPPORT)
     )
-    cu = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
-    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cu = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     ua = cu.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
     ub = cu.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
     return (

@@ -172,37 +172,58 @@ def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     slow-click/fast-click mix can still complete). Reports
     (n_purchases, n_with_click, n_full_chain) as one row.
 
-    Shape: two chained bucketed-EXISTS probes (clicks→views, then
-    purchases→qualified-clicks), each an equi-join on (user, hour
-    bucket) with the range predicate as residual — the same
-    skew-bounded decomposition as attribution_first_last; no per-user
-    unbounded self-join anywhere. The qualified-click table is
-    distinct-reduced before the second probe.
+    Shape (r12 optimization, guide §2.4): ONE user-partitioned RANGE-
+    frame window pass replaces the former three bucketed-EXISTS
+    semi-join probes (22 Exchange / 12 scans → 2 Exchange / 1 scan).
+    ``EXISTS right IN (us−w, us)`` ≡ ``MAX(right_us) OVER (ORDER BY us
+    RANGE BETWEEN w−1 PRECEDING AND 1 PRECEDING) IS NOT NULL`` on
+    integer µs — MAX ignores the NULLs that mask other event types, and
+    the strict range frame is exactly the open interval. Chaining is
+    two Window nodes over the SAME sort (click-qualification first,
+    then purchase probes over clicks/qualified-clicks) — no second
+    exchange. The old probe decomposition lives on in
+    attribution_first_last; here the window form is strictly less
+    traffic at any scale (events shuffle once, no 2× bucket-probe
+    fan-out, no distinct).
 
     Scale bound: epoch-µs is compared, never multiplied or summed
     across rows — int64 µs cannot wrap until ~year 294000; outputs
     are plain int64 COUNTs."""
-    ev = _t(spark, sf_dir, "events")
-
-    def typed(t: str, *cols) -> DataFrame:
-        return ev.where(F.col("event_type") == t).select(
-            *cols, F.unix_micros("ts").alias("us")
-        )
-
-    p = typed("purchase", "event_id", "user_id")
-    c = typed("click", "user_id")
-    v = typed("view", "user_id")
-    cv = _exists_within(c, v, _FUNNEL_W_US)
-    with_click = _exists_within(p, c, _FUNNEL_W_US)
-    full_chain = _exists_within(p, cv, _FUNNEL_W_US)
-    return (
-        p.agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
-        .crossJoin(
-            with_click.agg(F.count(F.lit(1)).cast("long").alias("n_with_click"))
-        )
-        .crossJoin(
-            full_chain.agg(F.count(F.lit(1)).cast("long").alias("n_full_chain"))
-        )
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-(_FUNNEL_W_US - 1), -1)
+    )
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    view_us = F.when(F.col("event_type") == "view", F.col("us"))
+    click_us = F.when(is_click, F.col("us"))
+    staged = ev.select(
+        "us",
+        "user_id",
+        is_purchase.alias("is_p"),
+        click_us.alias("c_us"),
+        # qualified click: a view strictly inside (us − w, us)
+        F.when(is_click & F.max(view_us).over(w).isNotNull(), F.col("us")).alias(
+            "qc_us"
+        ),
+    )
+    probed = staged.select(
+        "is_p",
+        F.max("c_us").over(w).isNotNull().alias("has_c"),
+        F.max("qc_us").over(w).isNotNull().alias("has_qc"),
+    ).where("is_p")
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.when(F.col("has_c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_click"),
+        F.sum(F.when(F.col("has_qc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_full_chain"),
     )
 
 

@@ -53,15 +53,17 @@ def test_shared_memos_survive_reap(spark):
 
 
 def test_entry_with_tracked_cache_still_correct(spark):
-    """A representative converted entry (market_basket_lift caches its
-    basket table through tracked_cache) returns identical results
-    before and after a reap cycle."""
+    """A representative converted entry (tpch_q21_waiting_suppliers
+    caches its joined line table through tracked_cache; market_basket
+    _lift lost its cache in the r12 in-row-pairs rewrite) returns
+    identical results before and after a reap cycle."""
     from clean_census_acs_data_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    a = sorted(map(tuple, QUERIES["market_basket_lift"](spark, sf).collect()))
+    name = "tpch_q21_waiting_suppliers"
+    a = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
     S.reap_tracked_caches()
-    b = sorted(map(tuple, QUERIES["market_basket_lift"](spark, sf).collect()))
+    b = sorted(map(tuple, QUERIES[name](spark, sf).collect()))
     S.reap_tracked_caches()
     assert a == b and len(a) > 0
 
