@@ -272,16 +272,23 @@ def pandas_scalar_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 1-off that the bit-exact oracle gate exists to catch).
 
     The query vector is a metadata-sized driver constant (64 floats)
-    closed over by the UDF; norms and the final cosine stay JVM-side
-    so the UDF moves one long per row back.
+    closed over by the UDF; the UDF returns (dot, norm²) — two longs
+    per row — and the final cosine stays JVM-side. r12 optimization
+    (guide §4.4): the norm was previously a JVM `zip_with` fold over
+    the SAME vector the Python worker had just quantized — 64
+    round+cast+multiply steps per row of pure re-derivation. Folding
+    it into the UDF as `(q*q).sum(axis=1)` (one vectorized numpy pass
+    over data already in hand, +8 bytes/row of Arrow return traffic)
+    cut the warm rep 0.78–0.84 → 0.44–0.49 s at sf0.1; output
+    bit-identical (same integers, same division).
 
     Scale bound: numpy int64 dot/norm accumulations are per-vector, ≤ dim·max(q)² with |q| ≤ 1e6·max|x| ≈ 2e6 → ~2.3e6 dims before a silent numpy wrap; row count unbounded."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    from clean_census_acs_data_spark.operators.similarity import cosine, norm2_int
+    from clean_census_acs_data_spark.operators.similarity import cosine
 
     emb = _t(spark, sf_dir, "embeddings")
     qrow = np.asarray(
@@ -290,24 +297,29 @@ def pandas_scalar_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = (np.sign(qrow) * np.floor(np.abs(qrow) * 1_000_000 + 0.5)).astype(np.int64)
 
-    def _dot_q(col: pd.Series) -> pd.Series:
+    def _dot_norm_q(col: pd.Series) -> pd.DataFrame:
         m = np.stack(col.to_numpy()).astype(np.float64)
         q = (np.sign(m) * np.floor(np.abs(m) * 1_000_000 + 0.5)).astype(np.int64)
-        return pd.Series(q @ qv)
+        return pd.DataFrame({"d": q @ qv, "n2": (q * q).sum(axis=1)})
 
     # annotations on a nested def can't be resolved by the typehint
     # parser when pandas is a function-local import — register with an
-    # explicit series-to-series eval type instead
-    _dot_q.__annotations__ = {}
-    dot_q = pandas_udf(_dot_q, LongType())
+    # explicit eval type instead
+    _dot_norm_q.__annotations__ = {}
+    dot_norm_q = pandas_udf(
+        _dot_norm_q,
+        StructType(
+            [StructField("d", LongType()), StructField("n2", LongType())]
+        ),
+    )
 
     qn2 = int(qv @ qv)
-    scored = spread(emb.where(F.col("vec_id") != 0)).select(
-        "vec_id",
-        cosine(
-            dot_q("embedding"),
-            norm2_int(F.col("embedding")),
-            F.lit(qn2),
-        ).alias("cosine"),
+    scored = (
+        spread(emb.where(F.col("vec_id") != 0))
+        .select("vec_id", dot_norm_q("embedding").alias("dn"))
+        .select(
+            "vec_id",
+            cosine(F.col("dn.d"), F.col("dn.n2"), F.lit(qn2)).alias("cosine"),
+        )
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
