@@ -80,6 +80,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     shingle_tbl: DataFrame | None = None,
+    sig_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH.
 
@@ -94,7 +95,13 @@ def minhash_lsh_pairs(
     ``shingle_tbl`` optionally injects a pre-materialized (doc, sh)
     stage (standard_shingle_table) so the shingle pass is shared across
     the session instead of rebuilt per call; ``docs``/``shingle_n`` are
-    ignored when it is given.
+    ignored when it is given. ``sig_tbl`` likewise injects a
+    pre-materialized signature table (doc, mh0..mh{{num_hashes−1}},
+    standard_minhash_signatures): without it, the band self-join's two
+    sides each re-derive the md5+remix pass over every shingle — the
+    kernel's single most expensive projection, run twice (r12 plan
+    audit: two full `transform(sh, md5…)` subtrees, no reuse between
+    the join sides). Requires ``shingle_tbl`` (same derivation source).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
@@ -128,10 +135,14 @@ def minhash_lsh_pairs(
         # shingle table computed once and cached: reused by the two sides
         # of the candidate self-join and the two verification probes. At
         # 100 TB this is the materialized signature/shingle stage every
-        # LSH dedup pipeline persists.
+        # LSH dedup pipeline persists. Filter on the cheap equivalent
+        # predicate (n-shingles exist ⟺ ≥ n tokens) BEFORE the
+        # projection — a post-projection size(sh) filter gets pushed
+        # down and re-evaluates the whole shingle subtree per row (r12,
+        # see standard_shingle_table).
         sh_tbl = (
-            docs.select(F.col(id_col).alias("doc"), sh.alias("sh"))
-            .where(F.size("sh") > 0)
+            docs.where(F.size(tokens(F.col(text_col))) >= shingle_n)
+            .select(F.col(id_col).alias("doc"), sh.alias("sh"))
             .transform(tracked_cache)
         )
         # materialize the cache NOW: four downstream subtrees (both sides
@@ -141,10 +152,20 @@ def minhash_lsh_pairs(
         # cost). At 100 TB this stage is persisted to storage, not
         # executor memory.
         sh_tbl.count()
-    hv = F.transform(F.col("sh"), lambda s: md5_long(s) % F.lit(MINHASH_M))
-    sig = sh_tbl.select("doc", hv.alias("hv")).select(
-        "doc", *minhash_signature_from_hashes(F.col("hv"), num_hashes)
-    )
+    if sig_tbl is not None:
+        if shingle_tbl is None or num_hashes != 8:
+            raise ValueError(
+                "sig_tbl must come from the same shared derivation as "
+                "shingle_tbl (pass both) and carries exactly 8 minhashes "
+                f"(got shingle_tbl={'set' if shingle_tbl is not None else 'None'}, "
+                f"num_hashes={num_hashes})"
+            )
+        sig = sig_tbl
+    else:
+        hv = F.transform(F.col("sh"), lambda s: md5_long(s) % F.lit(MINHASH_M))
+        sig = sh_tbl.select("doc", hv.alias("hv")).select(
+            "doc", *minhash_signature_from_hashes(F.col("hv"), num_hashes)
+        )
 
     band_cols = [
         F.concat_ws(
@@ -424,9 +445,17 @@ def standard_shingle_table(spark, sf_dir: str) -> DataFrame:
         docs = spread(plant_near_dups(load_table(spark, sf_dir, "documents")))
         toks = tokens(F.col("text"))
         sh = F.array_distinct(shingles(toks, 3))
+        # r12 (guide §1.2 per-task work): filter BEFORE the projection
+        # on the cheap equivalent predicate — `size(sh) > 0 ⟺
+        # size(tokens) ≥ 3` (3-shingles exist iff ≥3 tokens; distinct
+        # keeps ≥1). The former `.where(F.size("sh") > 0)` was pushed
+        # below the projection by the optimizer, so every row evaluated
+        # the WHOLE shingle subtree twice (filter + project) — measured
+        # 1.9–2.6 s → 0.47–0.59 s for the stage at sf0.1, rows
+        # identical (exceptAll ∅ both ways).
         tbl = (
-            docs.select(F.col("doc_id").alias("doc"), sh.alias("sh"))
-            .where(F.size("sh") > 0)
+            docs.where(F.size(tokens(F.col("text"))) >= 3)
+            .select(F.col("doc_id").alias("doc"), sh.alias("sh"))
             .cache()
         )
         tbl.count()  # eager: fan-out consumers must not race the fill
@@ -495,6 +524,14 @@ def standard_near_dup_pairs(
                 shingle_n=3,
                 threshold=0.0,
                 shingle_tbl=standard_shingle_table(spark, sf_dir),
+                # r12: the shared signature cache feeds BOTH band-join
+                # sides — without it each side re-ran the md5+remix
+                # pass over every shingle (the kernel's dominant
+                # projection, duplicated in the plan). The sig fill is
+                # paid once per session and reused by the audit
+                # entries (parameter sweep, estimate audit,
+                # provenance) that already consume this memo.
+                sig_tbl=standard_minhash_signatures(spark, sf_dir),
             )
             .repartition(8)
             .cache()
