@@ -78,8 +78,14 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("nlabel"))
         )
+        # the previous round's label rides along as old_label so the
+        # convergence check below is a bare filter+count over the
+        # checkpointed frame — the r12 fusion of what used to be a
+        # label⋈label diff join (one whole shuffle+join job per round,
+        # removed; the checkpoint carries one extra int64 column)
         cand = labels.join(neighbor_min, "v", "left").select(
             "v",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
         )
         # pointer jumping (path compression): label[v] ← label[label[v]].
@@ -93,25 +99,23 @@ def connected_components(
             cand.join(lookup, cand.label == F.col("lv"), "left")
             .select(
                 "v",
+                "old_label",
                 F.least(F.col("label"), F.coalesce("llabel", "label")).alias("label"),
             )
         )
         new_labels = _truncate(new_labels)
         # Round 1 can't have converged when any edge exists (every
         # edge-touching vertex with a smaller neighbor changes label),
-        # so skip its convergence-diff join+count — one fewer driver
-        # action per call, paid for only by degenerate empty graphs
-        # doing one extra (trivial) round.
+        # so skip its convergence count — one fewer driver action per
+        # call, paid for only by degenerate empty graphs doing one
+        # extra (trivial) round.
         if it == 0:
-            labels = new_labels
+            labels = new_labels.select("v", "label")
             continue
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+            new_labels.where(F.col("label") != F.col("old_label")).count()
         )
-        labels = new_labels
+        labels = new_labels.select("v", "label")
         if changed == 0:
             break
     else:

@@ -43,19 +43,27 @@ FROM e
 @register("applyinpandas_minmax_scale", oracle=_MINMAX_ORACLE)
 def applyinpandas_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user min-max feature scaling THROUGH the grouped-map
-    applyInPandas path: each user's rows arrive as one Arrow-backed
-    pandas frame, are scaled to integer micro-units against the
-    group's own min/max, and return as a frame. The SQL twin (window
-    min/max + the same floored integer expression) proves the Arrow
-    hop is lossless.
+    applyInPandas path, grouped by a deterministic USER BUCKET rather
+    than the raw user id (r12, guide §4.2/§4.5): grouping by user_id
+    invoked the Python function once per user, and at scale the call
+    count tracks the entity count, not the data size. Bucketing
+    pmod(user_id, 4·cores) hands each call a batch of users at once
+    and the per-user min/max moves inside as ONE vectorized pandas
+    groupby-transform — same floored integer expression, bit-identical
+    output, exactly 4·cores Python calls regardless of user count.
+    The SQL twin (window min/max + the same floored integer
+    expression) proves the Arrow hop is lossless either way.
 
-    This is the degenerate-group hazard surface of the Pandas API —
-    one giant user means one giant pandas frame, which is exactly why
-    the registry's default normalization (winsorize_clip,
-    quality_percentile_filter) uses windows instead; the entry exists
-    to cover the API with honest semantics, and its docstring is the
-    warning label. Scaling itself is integer-floored so engines cannot
-    drift.
+    The bucket count derives from defaultParallelism (scale-adaptive:
+    4 waves per core at any cluster size, never a constant tuned to
+    one box); results are bucket-count-invariant because every user's
+    rows still land in exactly one group.
+
+    Grouping by the raw entity id remains the degenerate-group hazard
+    surface of this API (one giant user = one giant frame — why the
+    registry's default normalization uses windows); bucketing bounds
+    the hazard only as long as buckets stay balanced, which
+    pmod over ~uniform user ids gives.
 
     Scale bound: (cents − mn)·1e6 wraps int64 at a per-group value range ≥ 9.2e12 cents (~$9·10¹⁰) — widen to object/Decimal in the pandas fn if a book ever spans that."""
     import pandas as pd
@@ -71,15 +79,13 @@ def applyinpandas_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def scale(pdf: pd.DataFrame) -> pd.DataFrame:
-        # numpy throughout (this runs once per USER: pandas Series ops
-        # and frame construction constants dominate — the sessionizer's
-        # measured construction trick, applied to the grouped-map path)
         cents = pdf["cents"].to_numpy()
-        mn, mx = int(cents.min()), int(cents.max())
-        if mx == mn:
-            s = np.zeros(len(cents), dtype=np.int64)
-        else:
-            s = (cents - mn) * 1_000_000 // (mx - mn)
+        g = pdf.groupby("user_id")["cents"]
+        mn = g.transform("min").to_numpy()
+        rng = g.transform("max").to_numpy() - mn
+        # (cents - mn) ≥ 0, so // matches the SQL twin's floor division;
+        # rng == 0 groups scale to 0 exactly as the per-user form did
+        s = np.where(rng == 0, 0, (cents - mn) * 1_000_000 // np.where(rng == 0, 1, rng))
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"].to_numpy(),
@@ -89,12 +95,14 @@ def applyinpandas_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             copy=False,
         )
 
+    n_buckets = spark.sparkContext.defaultParallelism * 4
     e = spread(_t(spark, sf_dir, "events")).select(
         "event_id",
         "user_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("__bucket"),
     )
-    return e.groupBy("user_id").applyInPandas(scale, schema)
+    return e.groupBy("__bucket").applyInPandas(scale, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -125,19 +133,26 @@ FROM st
 @register("cogroup_click_purchase_stats", oracle=_COGROUP_ORACLE)
 def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user click/purchase interleave statistics THROUGH the
-    cogrouped applyInPandas path: each user's click frame and purchase
-    frame arrive together (the Pandas API's two-sided custom join
-    surface), and the function counts clicks preceding the first
-    purchase — a stand-in for any custom merge logic (as-of matching,
-    churn windows) that relational operators also express, which is
-    precisely what lets the SQL twin hash-check the Arrow hop.
+    cogrouped applyInPandas path: each bucket's click frame and
+    purchase frame arrive together (the Pandas API's two-sided custom
+    join surface), and the function counts clicks preceding each
+    user's first purchase — a stand-in for any custom merge logic
+    (as-of matching, churn windows) that relational operators also
+    express, which is precisely what lets the SQL twin hash-check the
+    Arrow hop.
 
-    Cogroup shuffles both sides on the user key once — the same
-    exchange a join would pay; all arithmetic is integer counts, so
-    there is nothing for the two runtimes to disagree on. Users
-    present on either side appear (full-outer cogroup semantics).
+    r12 (guide §4.2/§4.5): cogrouping on the raw user id invoked the
+    Python function once per user — a per-entity call count whose
+    1-row frame-construction constant dominated the entry. The
+    cogroup key is now the deterministic bucket pmod(user_id,
+    4·cores); both sides of each bucket arrive as one frame pair and
+    the per-user logic is vectorized pandas groupby/reindex inside —
+    integer-identical outputs, exactly 4·cores Python calls at any
+    user count. Cogroup still shuffles both sides once, now on the
+    bucket key. Users present on either side appear (the reindex over
+    the union of per-side key sets preserves full-outer semantics).
 
-    Scale bound: µs values are compared, never multiplied or cross-row summed; per-user counts are int64 row counts."""
+    Scale bound: µs values are compared, never multiplied or cross-row summed; per-user counts are int64 row counts. The first-purchase map rides a float64 hop, exact for epochs < 2^53 µs (~year 2255); switch to an int64 merge if the horizon ever matters."""
     import pandas as pd
 
     schema = StructType(
@@ -152,37 +167,60 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     def stats(key, clicks: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
-        (uid,) = key
-        n_c, n_p = len(clicks), len(purchases)
-        if n_p:
-            first = purchases["us"].to_numpy().min()
-            before = int((clicks["us"].to_numpy() < first).sum()) if n_c else 0
-        else:
-            before = 0
-        # 1-element numpy construction (the sessionizer's measured
-        # 388→143 µs trick) — this function runs once per USER, so the
-        # frame-construction constant IS the entry's dominant cost
+        # a bucket absent from one side arrives as an EMPTY frame that
+        # can be column-less (no Arrow schema for the missing side) —
+        # normalize so the vectorized path below sees typed columns
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "us": pd.Series(dtype=np.int64),
+            }
+        )
+        if "user_id" not in clicks.columns:
+            clicks = empty
+        if "user_id" not in purchases.columns:
+            purchases = empty
+        n_c = clicks.groupby("user_id").size()
+        pg = purchases.groupby("user_id")["us"]
+        n_p = pg.size()
+        first = pg.min()
+        users = n_c.index.union(n_p.index)
+        # clicks strictly before the user's first purchase; users with
+        # no purchase stay False. The map's float64 hop is exact for
+        # µs < 2^53 (year ~2255) — noted in the scale bound below
+        f = clicks["user_id"].map(first)
+        valid = f.notna().to_numpy()
+        before_mask = np.zeros(len(clicks), dtype=bool)
+        before_mask[valid] = (
+            clicks["us"].to_numpy()[valid] < f.to_numpy()[valid].astype(np.int64)
+        )
+        before = (
+            pd.Series(before_mask, index=clicks.index)
+            .groupby(clicks["user_id"])
+            .sum()
+            .reindex(users, fill_value=0)
+        )
         return pd.DataFrame(
             {
-                "user_id": np.array([uid], dtype=np.int64),
-                "n_clicks": np.array([n_c], dtype=np.int64),
-                "n_purchases": np.array([n_p], dtype=np.int64),
-                "clicks_before_first_purchase": np.array(
-                    [before], dtype=np.int64
-                ),
+                "user_id": users.to_numpy(dtype=np.int64),
+                "n_clicks": n_c.reindex(users, fill_value=0).to_numpy(dtype=np.int64),
+                "n_purchases": n_p.reindex(users, fill_value=0).to_numpy(dtype=np.int64),
+                "clicks_before_first_purchase": before.to_numpy(dtype=np.int64),
             },
             copy=False,
         )
 
+    n_buckets = spark.sparkContext.defaultParallelism * 4
     ev = _t(spark, sf_dir, "events")
+    bucket = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("__bucket")
     c = ev.where(F.col("event_type") == "click").select(
-        "user_id", F.unix_micros("ts").alias("us")
+        "user_id", F.unix_micros("ts").alias("us"), bucket
     )
     p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_micros("ts").alias("us")
+        "user_id", F.unix_micros("ts").alias("us"), bucket
     )
     return (
-        c.groupBy("user_id")
-        .cogroup(p.groupBy("user_id"))
+        c.groupBy("__bucket")
+        .cogroup(p.groupBy("__bucket"))
         .applyInPandas(stats, schema)
     )

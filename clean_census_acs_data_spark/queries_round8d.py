@@ -274,89 +274,114 @@ def lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is 3 rows keyed by bands — the table you consult before
     changing dedup_minhash_lsh's parameters, alongside
     near_dup_jaccard_histogram (threshold calibration) and
-    dedup_pair_provenance (per-pair margins)."""
+    dedup_pair_provenance (per-pair margins).
+
+    r12 shape (guide §1.2 step 1, §2.4): the three bandings NEST — a
+    collision on a 4-row band implies collisions on both of its 2-row
+    sub-bands, which imply collisions on each constituent 1-row band —
+    so candidates(2×4) ⊆ candidates(4×2) ⊆ candidates(8×1). The sweep
+    therefore runs ONE banding self-join (the 8×1 superset, with both
+    docs' full signatures carried through the join), derives each
+    config's membership as a per-pair signature predicate, runs the
+    exact-Jaccard verify ONCE over the superset, and reads all three
+    configs' counts off a single conditional aggregate. The previous
+    form ran two banding self-joins plus two shingle-verify joins plus
+    a third aggregation over the memoized default-banding pair table
+    — strictly more work over subsets of the same superset."""
     # both stages from the session-shared memos (round 9): the sweep
     # used to build private plan-identical caches of the shingle and
     # signature tables — cheap-looking only while CacheManager
     # substituted an earlier entry's live copy; per-entry cache reaping
     # exposed the recompute. The memos are already eagerly materialized,
-    # so every (bands, rpb) config below reads, never recomputes.
+    # so the superset self-join below reads, never recomputes.
     sh_tbl = D.standard_shingle_table(spark, sf_dir)
     sig = D.standard_minhash_signatures(spark, sf_dir)
-    outs = []
-    for bands, rpb in _SWEEP_CONFIGS:
-        if (bands, rpb) == (4, 2):
-            # the 4x2 config IS the registry-default banding: its
-            # verified candidate table is exactly the session-memoized
-            # standard pair superset (threshold 0.0) — aggregate that
-            # cached table instead of re-running the banding self-join
-            # and the shingle verification a second time (interleaved
-            # cold A/B at sf0.1: 4.44 s mean with reuse vs 5.49 without)
-            pairs = D.standard_near_dup_pairs(spark, sf_dir, threshold=0.0)
-            outs.append(
-                pairs.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                    F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
-                    .cast("long")
-                    .alias("n_verified"),
-                    F.expr(
-                        "cast(sum(case when jaccard >= 0.5 then 1 else 0 end)"
-                        " * 1000000 div count(1) as long)"
-                    ).alias("precision_micro"),
-                ).select(
-                    F.lit(bands).cast("long").alias("bands"),
-                    "n_candidates",
-                    "n_verified",
-                    "precision_micro",
-                )
-            )
-            continue
-        band_cols = [
-            F.concat_ws(
-                "#", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
-            )
-            for b in range(bands)
+    mh_arr = F.array(*[F.col(f"mh{i}") for i in range(8)])
+    # 8×1 banding on the raw int64 minhash value (the concat_ws('#')
+    # string key of a 1-row band is bijective with it)
+    banded = sig.select(
+        "doc",
+        mh_arr.alias("sig"),
+        F.posexplode(mh_arr).alias("band_id", "band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    def _band_hit(rpb: int, band: int):
+        eqs = [
+            F.col("sig_a").getItem(band * rpb + r)
+            == F.col("sig_b").getItem(band * rpb + r)
+            for r in range(rpb)
         ]
-        banded = sig.select(
-            "doc", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
+        out = eqs[0]
+        for e in eqs[1:]:
+            out = out & e
+        return out
+
+    def _any_band(rpb: int, bands: int):
+        out = _band_hit(rpb, 0)
+        for band in range(1, bands):
+            out = out | _band_hit(rpb, band)
+        return out
+
+    sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ver = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    union = F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter
+    jac = inter.cast("double") / union.cast("double")
+    flat = ver.select(
+        _any_band(4, 2).alias("in2"),
+        _any_band(2, 4).alias("in4"),
+        jac.alias("jaccard"),
+    )
+    # per-config aggregate semantics mirror the old per-config frames
+    # exactly, including the empty-candidate edge: n_candidates was a
+    # COUNT (0 when empty — hence the coalesce), n_verified a SUM
+    # (NULL when empty — hence when() WITHOUT otherwise, so a config
+    # with zero candidate rows sums no inputs and stays NULL)
+    hit = F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+    stats = flat.agg(
+        F.count(F.lit(1)).cast("long").alias("n8"),
+        F.sum(hit).cast("long").alias("v8"),
+        F.coalesce(F.sum(F.when(F.col("in4"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n4"),
+        F.sum(F.when(F.col("in4"), hit)).cast("long").alias("v4"),
+        F.coalesce(F.sum(F.when(F.col("in2"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("in2"), hit)).cast("long").alias("v2"),
+    )
+
+    def _row(bands: int, n: str, v: str):
+        return F.struct(
+            F.lit(bands).cast("long").alias("bands"),
+            F.col(n).alias("n_candidates"),
+            F.col(v).alias("n_verified"),
+            F.expr(f"cast({v} * 1000000 div {n} as long)").alias(
+                "precision_micro"
+            ),
         )
-        a, b = banded.alias("a"), banded.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc") < F.col("b.doc")),
-            )
-            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-            .dropDuplicates(["doc_a", "doc_b"])
-        )
-        sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-        sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-        ver = cand.join(sa, "doc_a").join(sb, "doc_b")
-        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
-        union = F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter
-        jac = inter.cast("double") / union.cast("double")
-        outs.append(
-            ver.select(jac.alias("jaccard"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_candidates"),
-                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
-                .cast("long")
-                .alias("n_verified"),
-                F.expr(
-                    "cast(sum(case when jaccard >= 0.5 then 1 else 0 end)"
-                    " * 1000000 div count(1) as long)"
-                ).alias("precision_micro"),
-            )
-            .select(
-                F.lit(bands).cast("long").alias("bands"),
-                "n_candidates",
-                "n_verified",
-                "precision_micro",
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+
+    return (
+        stats.select(
+            F.explode(
+                F.array(_row(2, "n2", "v2"), _row(4, "n4", "v4"), _row(8, "n8", "v8"))
+            ).alias("r")
+        ).select("r.*")
+    )

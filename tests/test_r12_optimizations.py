@@ -162,3 +162,193 @@ def test_markov_window_totals_match_joinback(spark):
     assert sorted(map(tuple, new.collect())) == sorted(
         map(tuple, old.collect())
     ) and new.count() > 0
+
+
+def test_bucketed_minmax_matches_per_user_grouping(spark):
+    """applyinpandas_minmax_scale's r12 bucketed grouped-map (pmod
+    user bucket + vectorized per-user groupby-transform inside) must
+    emit exactly the rows of the original one-group-per-user form."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from clean_census_acs_data_spark.io import spread
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),
+            StructField("user_id", LongType(), False),
+            StructField("scaled_micro", LongType(), False),
+        ]
+    )
+
+    def scale_one_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = pdf["cents"].to_numpy()
+        mn, mx = int(cents.min()), int(cents.max())
+        s = (
+            np.zeros(len(cents), dtype=np.int64)
+            if mx == mn
+            else (cents - mn) * 1_000_000 // (mx - mn)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "scaled_micro": s.astype(np.int64),
+            }
+        )
+
+    e = spread(load_table(spark, SF, "events")).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    old = e.groupBy("user_id").applyInPandas(scale_one_user, schema)
+    new = QUERIES["applyinpandas_minmax_scale"](spark, SF)
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    ) and new.count() > 0
+
+
+def test_bucketed_cogroup_stats_match_per_user_grouping(spark):
+    """cogroup_click_purchase_stats' r12 bucketed cogroup (vectorized
+    per-user reindex inside) must emit exactly the rows of the
+    original one-cogroup-per-user form, full-outer semantics
+    included."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_clicks", LongType(), False),
+            StructField("n_purchases", LongType(), False),
+            StructField("clicks_before_first_purchase", LongType(), False),
+        ]
+    )
+
+    def stats_one_user(key, clicks, purchases):
+        (uid,) = key
+        n_c, n_p = len(clicks), len(purchases)
+        if n_p:
+            first = purchases["us"].to_numpy().min()
+            before = int((clicks["us"].to_numpy() < first).sum()) if n_c else 0
+        else:
+            before = 0
+        return pd.DataFrame(
+            {
+                "user_id": np.array([uid], dtype=np.int64),
+                "n_clicks": np.array([n_c], dtype=np.int64),
+                "n_purchases": np.array([n_p], dtype=np.int64),
+                "clicks_before_first_purchase": np.array([before], dtype=np.int64),
+            }
+        )
+
+    ev = load_table(spark, SF, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    old = (
+        c.groupBy("user_id").cogroup(p.groupBy("user_id")).applyInPandas(
+            stats_one_user, schema
+        )
+    )
+    new = QUERIES["cogroup_click_purchase_stats"](spark, SF)
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    ) and new.count() > 0
+
+
+def test_sweep_derived_configs_match_independent_bandings(spark):
+    """lsh_parameter_sweep's r12 single-superset derivation (all three
+    configs read off the 8x1 candidate set via signature predicates)
+    must match the original per-config independent banding self-joins
+    row-for-row."""
+    from clean_census_acs_data_spark.operators import dedup as D
+    from clean_census_acs_data_spark.queries import QUERIES
+    from clean_census_acs_data_spark.queries_round8d import _SWEEP_CONFIGS
+
+    sh_tbl = D.standard_shingle_table(spark, SF)
+    sig = D.standard_minhash_signatures(spark, SF)
+    rows = []
+    for bands, rpb in _SWEEP_CONFIGS:
+        band_cols = [
+            F.concat_ws("#", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)])
+            for b in range(bands)
+        ]
+        banded = sig.select(
+            "doc", F.posexplode(F.array(*band_cols)).alias("band_id", "band_key")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sa = sh_tbl.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sh_tbl.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+        ver = cand.join(sa, "doc_a").join(sb, "doc_b")
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+        union = F.size("sh_a").cast("long") + F.size("sh_b").cast("long") - inter
+        jac = inter.cast("double") / union.cast("double")
+        r = (
+            ver.select(jac.alias("jaccard"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_candidates"),
+                F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0))
+                .cast("long")
+                .alias("n_verified"),
+                F.expr(
+                    "cast(sum(case when jaccard >= 0.5 then 1 else 0 end)"
+                    " * 1000000 div count(1) as long)"
+                ).alias("precision_micro"),
+            )
+            .collect()[0]
+        )
+        rows.append((bands, r.n_candidates, r.n_verified, r.precision_micro))
+    got = sorted(
+        (r.bands, r.n_candidates, r.n_verified, r.precision_micro)
+        for r in QUERIES["lsh_parameter_sweep"](spark, SF).collect()
+    )
+    assert got == sorted(rows)
+    # the nesting that licenses the derivation: candidate counts are
+    # monotone in band count (2x4 subset of 4x2 subset of 8x1)
+    by_bands = {r[0]: r[1] for r in rows}
+    assert by_bands[2] <= by_bands[4] <= by_bands[8]
+
+
+def test_cc_fused_convergence_exact_on_chain_and_forest(spark):
+    """connected_components' r12 fused convergence check (old_label
+    carried through the checkpoint, filter+count instead of a diff
+    join) must still land exactly on min-label fixpoints — exercised
+    on a 12-hop chain (multiple pointer-jump rounds, nontrivial
+    convergence detection) plus disjoint components."""
+    from clean_census_acs_data_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 112)]
+    other = [(7, 3), (3, 1), (50, 40)]
+    edges = spark.createDataFrame(
+        chain + other, schema="doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(edges).collect()
+    }
+    want = {(v, 100) for v in range(100, 113)}
+    want |= {(v, 1) for v in (1, 3, 7)}
+    want |= {(40, 40), (50, 40)}
+    assert got == want
