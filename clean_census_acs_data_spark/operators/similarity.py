@@ -196,6 +196,94 @@ def lsh_topk(
     )
 
 
+def centroid_array(
+    cent: DataFrame,
+    *,
+    id_col: str = "centroid_id",
+    vec_col: str = "__cq",
+    n2_col: str = "__cn2",
+) -> DataFrame:
+    """ONE-row frame holding every centroid as an id-ascending array of
+    (cid, cq, cn2) structs — the broadcast side of the in-row argmax
+    assignment (see argbest_centroid). array_sort on an array of
+    structs orders by the first field, so the array index order IS
+    centroid-id order and the fold's first-wins tie handling matches
+    the ``ROW_NUMBER ... ORDER BY c_cos DESC, centroid_id ASC``
+    selection it replaces."""
+    return cent.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("cid"),
+                    F.col(vec_col).alias("cq"),
+                    F.col(n2_col).alias("cn2"),
+                )
+            )
+        ).alias("__cents")
+    )
+
+
+def argbest_centroid(q: Column, n2: Column, cents: Column, *, exclude_cid: Column | None = None) -> Column:
+    """struct(c, cid) of the best centroid for a quantized vector,
+    computed IN-ROW over the centroid_array broadcast — replaces the
+    |centroids|× crossJoin fan-out + per-vector ROW_NUMBER window
+    (an |centroids|·n-row exchange + sort) with a narrow projection
+    (r12, guide §2.4: the window shuffle existed only to pick a
+    per-row argmax that a higher-order fold computes in place).
+
+    Selection semantics are EXACTLY the replaced window's
+    ``ORDER BY c_cos DESC NULLS LAST, centroid_id ASC`` rn=1 row:
+    the fold walks centroids in id order keeping a strictly-better
+    score only, so equal scores keep the smaller id; Spark's NaN
+    ordering (NaN > any double, NaN = NaN) makes ``>`` agree with the
+    DESC sort for 0/0 cosines, and the explicit NULL arms reproduce
+    NULLS LAST (a NULL score never beats a non-NULL one, all-NULL
+    rows keep the smallest id). ``exclude_cid`` skips one centroid —
+    the rank-2 selection for multi-probe assignment.
+
+    Multi-rank callers should stage scored_centroids() as a REAL
+    column and run argbest_scored() folds over the column reference —
+    two inline argbest_centroid calls would clone the scoring
+    transform (distinct lambda exprIds defeat subexpression
+    elimination, the text_lang_id lesson) and pay the dots twice."""
+    return argbest_scored(scored_centroids(q, n2, cents), exclude_cid=exclude_cid)
+
+
+def scored_centroids(q: Column, n2: Column, cents: Column) -> Column:
+    """Array of (c, cid) structs: the cosine of the quantized vector
+    against every centroid of the centroid_array broadcast, in
+    centroid-id order. The per-row dot work lives here, once."""
+    return F.transform(
+        cents,
+        lambda c: F.struct(
+            cosine(_dot_q(q, c["cq"]), n2, c["cn2"]).alias("c"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def argbest_scored(scored: Column, *, exclude_cid: Column | None = None) -> Column:
+    """The selection fold of argbest_centroid over an already-scored
+    (c, cid) array — cheap comparisons only, so successive ranks can
+    share one scored column."""
+    if exclude_cid is not None:
+        scored = F.filter(scored, lambda s: s["cid"] != exclude_cid)
+    init = F.struct(
+        F.lit(None).cast("double").alias("c"),
+        F.lit(None).cast("long").alias("cid"),
+    )
+    return F.aggregate(
+        scored,
+        init,
+        lambda acc, s: F.when(
+            acc["cid"].isNull()
+            | (acc["c"].isNull() & s["c"].isNotNull())
+            | (s["c"] > acc["c"]),
+            s,
+        ).otherwise(acc),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -219,9 +307,15 @@ def ivf_topk(
     the data's density, LSH is data-independent).
 
     Returns (vec_id, cosine, centroid_id) — the query's own row is
-    excluded from candidates."""
-    from pyspark.sql.window import Window
+    excluded from candidates.
 
+    r12: assignment is the in-row argbest_centroid fold over the
+    one-row centroid_array broadcast — the previous
+    crossJoin(centroids) + per-vector ROW_NUMBER window shuffled and
+    sorted an n·|centroids|-row fan-out per *consumer* of ``assigned``
+    (this function references it twice: query side and candidate
+    side). Identical selection semantics (argbest_centroid
+    docstring)."""
     from clean_census_acs_data_spark.io import spread
 
     base = _quantized(spread(emb), id_col, vec_col)
@@ -230,22 +324,13 @@ def ivf_topk(
         F.col("__q").alias("__cq"),
         F.col("__n2").alias("__cn2"),
     )
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        id_col,
-        "__q",
-        "__n2",
-        "centroid_id",
-        cosine(
-            _dot_q(F.col("__q"), F.col("__cq")),
-            F.col("__n2"),
-            F.col("__cn2"),
-        ).alias("c_cos"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    cents = centroid_array(cent)
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, "__q", "__n2", "centroid_id")
+        base.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__best", argbest_centroid(F.col("__q"), F.col("__n2"), F.col("__cents"))
+        )
+        .select(id_col, "__q", "__n2", F.col("__best")["cid"].alias("centroid_id"))
     )
     q = assigned.where(F.col(id_col) == query_id).select(
         F.col("__q").alias("__qvec"),

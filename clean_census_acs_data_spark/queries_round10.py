@@ -609,8 +609,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.regexp_replace(c, r"([\\$])", r"\\$1")
 
         rep = F.concat(_rep_quote(F.col("l")), F.lit("\x01"), _rep_quote(F.col("r")))
-        docs = docs.crossJoin(F.broadcast(top)).select(
-            "doc_id", F.regexp_replace("s", pat, rep).alias("s")
+        # r12: cache each round's rewritten corpus. Uncached, round i's
+        # lineage re-applied all i preceding regex passes for EVERY
+        # consumer (next round's pair agg AND its tokens_after agg) —
+        # O(iters²) regex passes over the corpus and a plan that grew
+        # to 166 KB of explain text by round 6. Cached, each rewrite
+        # runs once (the first consumer fills it) — O(iters) passes.
+        docs = tracked_cache(
+            docs.crossJoin(F.broadcast(top)).select(
+                "doc_id", F.regexp_replace("s", pat, rep).alias("s")
+            )
         )
         tokens_after = docs.agg(
             F.sum(F.size(F.split("s", " "))).alias("tokens_after")

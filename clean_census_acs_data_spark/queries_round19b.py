@@ -153,46 +153,43 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     the median is lower-median selection with (sum, idᵢ, idⱼ)
     tiebreaks; the single float is the final /2 display division.
 
-    100-TB shape: the Walsh join is partition-key-bounded (nation) —
-    the per-entity-bounded quadratic discipline; one window sort per
-    group selects the median. Past ~10⁵ rows per group, sample or
-    switch to the binary-search-on-value HL algorithm (O(n log n)) —
-    document, don't silently degrade. Scale bound: pair sums ≤ 2·max
-    cents, nowhere near int64; pair count n(n+1)/2 per group wraps
-    nothing (count only)."""
+    100-TB shape: the quadratic is partition-key-bounded (nation) —
+    the per-entity-bounded quadratic discipline. r12: the Walsh pair
+    MULTISET is generated IN-ROW from one collect_list per nation
+    (upper-triangle slice/transform) and the median selected by
+    array_sort + element_at — the (s, ia, ib) ROW_NUMBER tiebreak of
+    the join form only disambiguates EQUAL sums, so the k-th smallest
+    SUM is the same value under any such order and only the sum is
+    emitted. This replaces the per-nation pair self-join (n²/2 rows
+    shuffled into a per-nation window sort) with a group-count-sized
+    shuffle: one collect_list exchange of n rows, then 25 rows of
+    in-row compute. Past ~10⁵ rows per group, sample or switch to the
+    binary-search-on-value HL algorithm (O(n log n)) — document, don't
+    silently degrade (same switch point as the join form had). Scale
+    bound: pair sums ≤ 2·max cents, nowhere near int64; pair count
+    n(n+1)/2 per group wraps nothing (count only)."""
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_custkey").alias("ck"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
     )
-    b = c.select(
-        F.col("nk").alias("nkb"),
-        F.col("ck").alias("ib"),
-        F.col("cents").alias("cb"),
-    )
-    w = c.join(
-        b, (F.col("nk") == F.col("nkb")) & (F.col("ck") <= F.col("ib"))
-    ).select(
-        "nk",
-        (F.col("cents") + F.col("cb")).alias("s"),
-        F.col("ck").alias("ia"),
-        "ib",
-    )
-    wr = Window.partitionBy("nk").orderBy("s", "ia", "ib")
-    return (
-        w.select(
-            "nk",
-            "s",
-            F.row_number().over(wr).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("nk")).alias("np"),
+    g = c.groupBy("nk").agg(F.collect_list("cents").alias("cs"))
+    n = F.size("cs")
+    walsh = F.flatten(
+        F.transform(
+            "cs",
+            lambda x, i: F.transform(
+                F.slice("cs", i + 1, n - i), lambda y: x + y
+            ),
         )
-        .where(F.col("rn") == F.expr("(np + 1) DIV 2"))
-        .select(
-            F.col("nk").alias("nation_key"),
-            F.col("np").cast("long").alias("n_walsh_pairs"),
-            F.col("s").cast("long").alias("hl_doubled_cents"),
-            (F.col("s").cast("double") / 2).alias("hl_location_cents"),
-        )
+    )
+    np_ = (n.cast("long") * (n.cast("long") + 1) / 2).cast("long")
+    s = F.element_at(F.array_sort(walsh), ((np_ + 1) / 2).cast("int"))
+    return g.select(
+        F.col("nk").alias("nation_key"),
+        np_.alias("n_walsh_pairs"),
+        s.cast("long").alias("hl_doubled_cents"),
+        (s.cast("double") / 2).alias("hl_location_cents"),
     )
 
 

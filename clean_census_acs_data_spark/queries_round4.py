@@ -293,23 +293,30 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "q",
-        "n2",
-        "centroid_id",
-        cosine(pair_dot("q", "cq"), F.col("n2"), F.col("cn2")).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    # r12: assignment is the in-row argbest_centroid fold over the
+    # one-row centroid-array broadcast — the previous 8-way crossJoin
+    # fan-out + per-vector ROW_NUMBER window shuffled and sorted 8n
+    # rows just to pick a per-row argmax (identical selection
+    # semantics: operators/similarity.argbest_centroid docstring).
     # materialize + truncate: the assignment feeds THREE consumers (both
-    # pair-join sides and the final projection) — uncached, the 8-way
-    # centroid scoring cross join and window re-run per consumer (the
+    # pair-join sides and the final projection) — uncached, the
+    # centroid scoring pass would re-run per consumer (the
     # iterative-lineage discipline; this is the persisted cluster
     # assignment a production SemDeDup pass writes anyway)
+    from clean_census_acs_data_spark.operators.similarity import (
+        argbest_centroid,
+        centroid_array,
+    )
+
+    cents = centroid_array(
+        cent, id_col="centroid_id", vec_col="cq", n2_col="cn2"
+    )
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "q", "n2", "centroid_id")
+        e.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__best", argbest_centroid(F.col("q"), F.col("n2"), F.col("__cents"))
+        )
+        .select("vec_id", "q", "n2", F.col("__best")["cid"].alias("centroid_id"))
         .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -467,56 +467,49 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.8·10⁹) and int64 epoch-µs itself (wraps ~year 294000). No
     overflow at any row count.
 
-    Scale shape: NOT a per-user unbounded self-join (a power user
-    would make that quadratic — VERDICT r2 #3's lesson). Clicks land
-    in floor(µs/30min) buckets; each purchase probes its own and the
-    previous bucket (a 2× explode of three longs), so the equi-key is
-    (user_id, bucket) and candidates per purchase are bounded by the
-    clicks of one user in ≤1 hour regardless of total history length.
-    Purchases with zero touches survive via the left join (count
-    ignores the probe NULLs; the two probe rows collapse in the
-    group-by on the unique event_id)."""
+    Scale shape (r12): NOT a per-user unbounded self-join (a power
+    user would make that quadratic — VERDICT r2 #3's lesson), and
+    since r12 not a bucket-probe join either: ``EXISTS/aggregate over
+    clicks in (pus−w, pus)`` is exactly a per-user RANGE window frame
+    ``RANGE BETWEEN w−1 PRECEDING AND 1 PRECEDING`` on integer µs
+    (strict < on both ends ⟺ the closed integer frame) — the same
+    device that rewrote funnel_time_constrained this round. Clicks
+    and purchases ride ONE user-partitioned sort; each purchase row
+    reads its three aggregates (count of click µs, min/max of the
+    NULL-gated (µs, id) touch struct) straight off the frame, so the
+    2× bucket-probe fan-out, the probe join, and the per-purchase
+    re-aggregation exchange all disappear (plan: 4 parquet scans /
+    4 Exchange / 1 join → 1 scan / 1 Exchange / 0 joins). Candidates
+    per purchase stay bounded by one user's clicks in 30 min; zero-
+    touch purchases read count 0 / NULL extrema off an empty frame —
+    identical to the old left-join + group-by semantics."""
     ev = _t(spark, sf_dir, "events")
-    w = F.lit(_ATTR_WINDOW_US).cast("long")
-    p = ev.where(F.col("event_type") == "purchase").select(
+    e = ev.where(F.col("event_type").isin("click", "purchase")).select(
         "event_id",
-        F.col("user_id").alias("__pu"),
-        F.unix_micros("ts").alias("__pus"),
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("__us"),
     )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("__cu"),
-        F.unix_micros("ts").alias("__cus"),
-        F.col("event_id").alias("__cid"),
-        F.floor(F.unix_micros("ts") / w).cast("long").alias("__cb"),
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("__us")
+        .rangeBetween(-(_ATTR_WINDOW_US - 1), -1)
     )
-    probes = p.withColumn(
-        "__pb",
-        F.explode(
-            F.array(
-                (F.floor(F.col("__pus") / w) - 1).cast("long"),
-                F.floor(F.col("__pus") / w).cast("long"),
-            )
-        ),
-    )
-    joined = probes.join(
-        c,
-        (F.col("__pb") == F.col("__cb"))
-        & (F.col("__pu") == F.col("__cu"))
-        & (F.col("__cus") < F.col("__pus"))
-        & (F.col("__cus") > F.col("__pus") - w),
-        "left",
-    )
+    is_click = F.col("event_type") == "click"
+    cus = F.when(is_click, F.col("__us"))
     touch = F.when(
-        F.col("__cus").isNotNull(),
-        F.struct(F.col("__cus").alias("us"), F.col("__cid").alias("eid")),
+        is_click,
+        F.struct(F.col("__us").alias("us"), F.col("event_id").alias("eid")),
     )
     return (
-        joined.groupBy("event_id")
-        .agg(
-            F.count("__cus").cast("long").alias("n_touches"),
-            F.min(touch).alias("__f"),
-            F.max(touch).alias("__l"),
+        e.select(
+            "event_id",
+            "event_type",
+            F.count(cus).over(wr).cast("long").alias("n_touches"),
+            F.min(touch).over(wr).alias("__f"),
+            F.max(touch).over(wr).alias("__l"),
         )
+        .where(F.col("event_type") == "purchase")
         .select(
             "event_id",
             "n_touches",

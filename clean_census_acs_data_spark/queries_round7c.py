@@ -242,7 +242,14 @@ def open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow join back to orders, a tiny per-day agg, and a running sum
     whose single-partition window runs over the day-count-sized
     aggregate — same discipline as pareto_8020_concentration. At
-    100 TB only the first two steps touch fact data."""
+    100 TB only the first two steps touch fact data.
+
+    r12: both deltas of an order are emitted IN-ROW (explode of a
+    2-struct array) instead of a self-union of the joined frame — the
+    union's two branches each re-derived the whole closes-aggregate +
+    join pipeline (8 parquet scans / 12 Exchange → 4 / 5 in the
+    committed plans), and the (day, delta) multiset they produce is
+    identical by construction."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
@@ -250,12 +257,19 @@ def open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "close_date"
     )
     deltas = j.select(
-        F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")
-    ).unionAll(
-        j.select(
-            F.date_add("close_date", 1).alias("day"), F.lit(-1).alias("delta")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("o_orderdate").alias("day"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.date_add("close_date", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("dd")
+    ).select("dd.day", "dd.delta")
     per = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("d"))
     wcum = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

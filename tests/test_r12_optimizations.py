@@ -40,9 +40,9 @@ def test_lang_id_frame_matches_unstaged_fold(spark):
 def test_funnel_window_probe_matches_semijoin_probe(spark):
     """funnel_time_constrained's r12 single-window-pass form must
     agree with the original chained bucketed-EXISTS decomposition
-    (still live in _exists_within / attribution_first_last): the
-    range frame (−(w−1), −1) on integer µs is exactly the open
-    interval (us−w, us) the semi-join probes."""
+    (still live in _exists_within): the range frame (−(w−1), −1) on
+    integer µs is exactly the open interval (us−w, us) the semi-join
+    probes."""
     from clean_census_acs_data_spark.queries import QUERIES
     from clean_census_acs_data_spark.queries_round7b import (
         _FUNNEL_W_US,
@@ -352,3 +352,220 @@ def test_cc_fused_convergence_exact_on_chain_and_forest(spark):
     want |= {(v, 1) for v in (1, 3, 7)}
     want |= {(40, 40), (50, 40)}
     assert got == want
+
+
+def test_hodges_lehmann_inrow_matches_pair_join(spark):
+    """hodges_lehmann_location's r12 in-row Walsh-pair selection
+    (collect_list → upper-triangle transform → array_sort →
+    element_at) must select exactly the join-form median: the k-th
+    smallest pair SUM under (s, ia, ib) ordering is the k-th element
+    of the sorted sum multiset, because the id tiebreaks only permute
+    EQUAL sums."""
+    from pyspark.sql.window import Window
+
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    got = {
+        (r.nation_key, r.n_walsh_pairs, r.hl_doubled_cents)
+        for r in QUERIES["hodges_lehmann_location"](spark, SF).collect()
+    }
+    c = load_table(spark, SF, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_custkey").alias("ck"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    b = c.select(
+        F.col("nk").alias("nkb"),
+        F.col("ck").alias("ib"),
+        F.col("cents").alias("cb"),
+    )
+    w = c.join(
+        b, (F.col("nk") == F.col("nkb")) & (F.col("ck") <= F.col("ib"))
+    ).select(
+        "nk",
+        (F.col("cents") + F.col("cb")).alias("s"),
+        F.col("ck").alias("ia"),
+        "ib",
+    )
+    wr = Window.partitionBy("nk").orderBy("s", "ia", "ib")
+    want = {
+        (r.nk, r.np, r.s)
+        for r in w.select(
+            "nk",
+            "s",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("nk")).alias("np"),
+        )
+        .where(F.col("rn") == F.expr("(np + 1) DIV 2"))
+        .select("nk", F.col("np").cast("long").alias("np"), "s")
+        .collect()
+    }
+    assert got == want
+
+
+def test_attribution_window_matches_bucket_probe_join(spark):
+    """attribution_first_last's r12 RANGE-window form must agree
+    row-for-row with the original bucket-probe left join + group-by
+    (the exact pre-r12 formulation, rebuilt here): same touch counts,
+    same first/last (µs, id) struct extrema, zero-touch purchases
+    included with NULL extrema."""
+    from clean_census_acs_data_spark.queries import QUERIES
+    from clean_census_acs_data_spark.queries_round7 import _ATTR_WINDOW_US
+
+    new = QUERIES["attribution_first_last"](spark, SF)
+
+    ev = load_table(spark, SF, "events")
+    w = F.lit(_ATTR_WINDOW_US).cast("long")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("__pu"),
+        F.unix_micros("ts").alias("__pus"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("__cu"),
+        F.unix_micros("ts").alias("__cus"),
+        F.col("event_id").alias("__cid"),
+        F.floor(F.unix_micros("ts") / w).cast("long").alias("__cb"),
+    )
+    probes = p.withColumn(
+        "__pb",
+        F.explode(
+            F.array(
+                (F.floor(F.col("__pus") / w) - 1).cast("long"),
+                F.floor(F.col("__pus") / w).cast("long"),
+            )
+        ),
+    )
+    joined = probes.join(
+        c,
+        (F.col("__pb") == F.col("__cb"))
+        & (F.col("__pu") == F.col("__cu"))
+        & (F.col("__cus") < F.col("__pus"))
+        & (F.col("__cus") > F.col("__pus") - w),
+        "left",
+    )
+    touch = F.when(
+        F.col("__cus").isNotNull(),
+        F.struct(F.col("__cus").alias("us"), F.col("__cid").alias("eid")),
+    )
+    old = (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("__cus").cast("long").alias("n_touches"),
+            F.min(touch).alias("__f"),
+            F.max(touch).alias("__l"),
+        )
+        .select(
+            "event_id",
+            "n_touches",
+            F.col("__f.us").alias("first_touch_us"),
+            F.col("__f.eid").alias("first_touch_id"),
+            F.col("__l.us").alias("last_touch_us"),
+            F.col("__l.eid").alias("last_touch_id"),
+        )
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_open_orders_explode_matches_union_deltas(spark):
+    """open_orders_sweep's r12 in-row two-delta explode must produce
+    the exact (day, delta-sum) aggregate of the original self-union of
+    the joined frame."""
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    new = QUERIES["open_orders_sweep"](spark, SF)
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    closes = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_date")
+    )
+    j = o.join(closes, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderdate", "close_date"
+    )
+    deltas = j.select(
+        F.col("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        j.select(
+            F.date_add("close_date", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    per = deltas.groupBy("day").agg(F.sum("delta").cast("long").alias("d"))
+    from pyspark.sql.window import Window
+
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    old = per.select(
+        "day", F.sum("d").over(wcum).cast("long").alias("open_orders")
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_argbest_centroid_matches_rownumber_window(spark):
+    """argbest_centroid's in-row fold must reproduce the ROW_NUMBER
+    (c_cos DESC, centroid_id ASC) rn=1 selection it replaced in
+    ivf_topk / semantic_dedup — including the degenerate orderings:
+    equal scores always keep the smaller id (ties broken first-wins
+    over the id-ascending centroid array). Zero-norm vectors raise
+    identically in both forms under the session's ANSI division, so
+    the equivalence domain is non-degenerate vectors."""
+    from pyspark.sql.window import Window
+
+    from clean_census_acs_data_spark.operators import similarity as S
+
+    # vectors engineered for exact cosine ties: centroid 0 = e1,
+    # centroid 1 = e2, centroid 2 = (1,1)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 1.0]),
+        (3, [1.0, 1.0]),  # tie with centroid 2 (cos=1); ties 0 vs 1
+        (4, [0.0, 2.0]),  # ties centroids 1 and 2? no: 1 wins (cos=1)
+        (5, [3.0, 0.0]),  # centroid 0 wins exactly
+        (6, [2.0, 1.0]),
+        (7, [1.0, 2.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = S._quantized(emb, "vec_id", "embedding")
+    cent = base.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("__q").alias("__cq"),
+        F.col("__n2").alias("__cn2"),
+    )
+    got = {
+        (r.vec_id, r.cid)
+        for r in base.crossJoin(F.broadcast(S.centroid_array(cent)))
+        .select(
+            "vec_id",
+            S.argbest_centroid(F.col("__q"), F.col("__n2"), F.col("__cents"))[
+                "cid"
+            ].alias("cid"),
+        )
+        .collect()
+    }
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        S.cosine(
+            S._dot_q(F.col("__q"), F.col("__cq")),
+            F.col("__n2"),
+            F.col("__cn2"),
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("centroid_id")
+    )
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    # pin the engineered cases explicitly
+    by_vec = dict(got)
+    assert by_vec[3] == 2  # exact cos=1 with centroid 2
+    assert by_vec[4] == 1
+    assert by_vec[5] == 0
