@@ -478,8 +478,8 @@ def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads its three aggregates (count of click µs, min/max of the
     NULL-gated (µs, id) touch struct) straight off the frame, so the
     2× bucket-probe fan-out, the probe join, and the per-purchase
-    re-aggregation exchange all disappear (plan: 4 parquet scans /
-    4 Exchange / 1 join → 1 scan / 1 Exchange / 0 joins). Candidates
+    re-aggregation exchange all disappear (plan: 2 parquet scans /
+    1 join → 1 scan / 0 joins, one exchange either way). Candidates
     per purchase stay bounded by one user's clicks in 30 min; zero-
     touch purchases read count 0 / NULL extrema off an empty frame —
     identical to the old left-join + group-by semantics."""

@@ -247,9 +247,9 @@ def open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12: both deltas of an order are emitted IN-ROW (explode of a
     2-struct array) instead of a self-union of the joined frame — the
     union's two branches each re-derived the whole closes-aggregate +
-    join pipeline (8 parquet scans / 12 Exchange → 4 / 5 in the
-    committed plans), and the (day, delta) multiset they produce is
-    identical by construction."""
+    join pipeline (4 parquet scans / 2 joins → 2 / 1 in the committed
+    plans), and the (day, delta) multiset they produce is identical by
+    construction."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_date"))
