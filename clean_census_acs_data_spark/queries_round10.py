@@ -2004,16 +2004,25 @@ def bucketed_join_shuffle_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_bucket_db_cleanup(spark, db)
     li_t, o_t = f"{db}.lineitem_bq", f"{db}.orders_bq"
     if not spark.catalog.tableExists(li_t):
-        load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice"
-        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
-            "overwrite"
-        ).saveAsTable(li_t)
-        load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderpriority"
-        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
-            "overwrite"
-        ).saveAsTable(o_t)
+        # r12: the two layout writes are independent jobs — submit them
+        # from two driver threads so the smaller orders write back-fills
+        # cores the lineitem write's tail leaves idle (guide §2.6; the
+        # same overlap device as bench warmup's parallel engine spawns).
+        # Each writes its own table; results are unaffected by order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write(args: tuple[str, list[str], str, str]) -> None:
+            src, cols, key, tbl = args
+            load_table(spark, sf_dir, src).select(*cols).write.bucketBy(
+                8, key
+            ).sortBy(key).mode("overwrite").saveAsTable(tbl)
+
+        jobs = [
+            ("lineitem", ["l_orderkey", "l_extendedprice"], "l_orderkey", li_t),
+            ("orders", ["o_orderkey", "o_orderpriority"], "o_orderkey", o_t),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_write, jobs))
     li = spark.table(li_t)
     o = spark.table(o_t)
     return (

@@ -460,7 +460,17 @@ def event_debounce_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale bound: the only arithmetic is epoch-µs + 4.32·10¹⁰ (int64
     wraps ~year 294000); ties are pre-collapsed to one row per
-    (user, µs) with MIN(event_id) on both engines."""
+    (user, µs) with MIN(event_id) on both engines.
+
+    r12 (guide §4.2, the applyinpandas_minmax_scale device): the
+    grouped map is keyed on the deterministic bucket
+    pmod(user_id, 4·defaultParallelism), not raw user_id — one Python
+    call + one pandas-frame construction per BUCKET instead of per
+    user (a per-entity call count that tracks entity count, not data
+    size). The fold inside walks the bucket sorted by (user_id, µs)
+    and resets its last-kept state at each user boundary — per-user
+    chains never see each other, so the output is grouping-invariant
+    (pinned by test_bucketed_debounce_matches_per_user_grouping)."""
     import pandas as pd
 
     ev = (
@@ -470,27 +480,35 @@ def event_debounce_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     gap = _DEBOUNCE_GAP_US
+    n_buckets = 4 * spark.sparkContext.defaultParallelism
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("us")
+        pdf = pdf.sort_values(["user_id", "us"])
         us = pdf["us"].to_numpy()
         eid = pdf["eid"].to_numpy()
-        uid = pdf["user_id"].iloc[0]
-        kept_us, kept_eid = [], []
-        last = None
-        for u, e in zip(us.tolist(), eid.tolist()):
-            if last is None or u - last >= gap:
+        uid = pdf["user_id"].to_numpy()
+        kept_uid, kept_us, kept_eid = [], [], []
+        last_uid = None
+        last = 0
+        for i in range(len(us)):
+            u = int(us[i])
+            cur = int(uid[i])
+            if cur != last_uid or u - last >= gap:
+                kept_uid.append(cur)
                 kept_us.append(u)
-                kept_eid.append(e)
+                kept_eid.append(int(eid[i]))
+                last_uid = cur
                 last = u
         return pd.DataFrame(
             {
-                "user_id": [uid] * len(kept_us),
+                "user_id": kept_uid,
                 "kept_us": kept_us,
                 "kept_eid": kept_eid,
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        fold, schema="user_id long, kept_us long, kept_eid long"
+    return (
+        ev.withColumn("__b", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        .groupBy("__b")
+        .applyInPandas(fold, schema="user_id long, kept_us long, kept_eid long")
     )

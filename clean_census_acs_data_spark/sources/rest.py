@@ -201,10 +201,21 @@ def decode_wire(responses: DataFrame, expected_vars: list[str]) -> DataFrame:
     # schema discovery: union of observed header names beyond the request
     # (the reference's geo-column probe + extra-column passthrough,
     # test_final_zcta.py:196-198 / Test_census_tract.py:174-175). A tiny
-    # metadata aggregation — one distinct over header keys, not data.
+    # metadata aggregation — one distinct over HEADER keys, not data:
+    # r12 — this used to collect map_keys over the exploded kv frame,
+    # which executed the whole decode fan-out (explode of every data
+    # row + per-row map build) once for discovery and again for the
+    # real query. The map's keys are by construction the header row,
+    # so reading element_at(arr, 1) of responses that have at least
+    # one data row (size >= 2 — headers of data-less responses never
+    # produced kv rows, preserved exactly) observes the identical set
+    # with one row per RESPONSE instead of one per data row.
     observed = {
         r[0]
-        for r in kv.select(F.explode(F.map_keys("m")).alias("k")).distinct().collect()
+        for r in rows.where(F.size("arr") >= 2)
+        .select(F.explode(F.element_at("arr", 1)).alias("k"))
+        .distinct()
+        .collect()
     }
     extras = sorted(observed - set(expected_vars) - set(geo_cols))
     cols = [F.element_at("m", v).alias(v) for v in expected_vars]

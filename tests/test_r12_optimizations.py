@@ -569,3 +569,48 @@ def test_argbest_centroid_matches_rownumber_window(spark):
     assert by_vec[3] == 2  # exact cos=1 with centroid 2
     assert by_vec[4] == 1
     assert by_vec[5] == 0
+
+
+def test_bucketed_debounce_matches_per_user_grouping(spark):
+    """event_debounce_keep_first's r12 bucketed grouped-map (pmod user
+    bucket, per-user state reset at each user boundary inside the
+    fold) must emit exactly the rows of the original
+    one-group-per-user form."""
+    import pandas as pd
+
+    from clean_census_acs_data_spark.queries import QUERIES
+    from clean_census_acs_data_spark.queries_round14 import _DEBOUNCE_GAP_US
+
+    new = QUERIES["event_debounce_keep_first"](spark, SF)
+
+    ev = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id", F.unix_micros("ts").alias("us"))
+        .agg(F.min("event_id").alias("eid"))
+    )
+    gap = _DEBOUNCE_GAP_US
+
+    def fold_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("us")
+        uid = pdf["user_id"].iloc[0]
+        kept_us, kept_eid = [], []
+        last = None
+        for u, e in zip(pdf["us"].tolist(), pdf["eid"].tolist()):
+            if last is None or u - last >= gap:
+                kept_us.append(u)
+                kept_eid.append(e)
+                last = u
+        return pd.DataFrame(
+            {
+                "user_id": [uid] * len(kept_us),
+                "kept_us": kept_us,
+                "kept_eid": kept_eid,
+            }
+        )
+
+    old = ev.groupBy("user_id").applyInPandas(
+        fold_one, schema="user_id long, kept_us long, kept_eid long"
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    ) and new.count() > 0
