@@ -501,6 +501,12 @@ def main() -> None:
                 ("streaming_engine_first_query", "streaming_tumbling_watermark"),
                 ("python_datasource_spawn", "streaming_replay_source"),
                 ("pandas_state_worker_spawn", "streaming_stateful_sessions"),
+                # r12: the scalar Arrow-UDF (ArrowEvalPython) path is a
+                # FOURTH independent first-touch (~2 s measured: 3.1 s
+                # first rep vs ~1.0 s steady for pandas_scalar_cosine
+                # even after the three warms above) — previously billed
+                # to whichever ArrowEvalPython entry ran first.
+                ("arrow_scalar_udf_spawn", "pandas_scalar_cosine"),
             ]
         ]
         t0 = time.perf_counter()

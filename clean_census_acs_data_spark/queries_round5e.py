@@ -87,23 +87,24 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    ex = {
-        r.vec_id for r in S.brute_force_topk(emb, query_id=0, k=10).select("vec_id").collect()
-    }
-    legs = {
-        "lsh": [
-            r.vec_id
-            for r in S.lsh_topk(emb, query_id=0, k=5, planes=8, dim=64)
-            .select("vec_id")
-            .collect()
-        ],
-        "ivf": [
-            r.vec_id
-            for r in S.ivf_topk(emb, query_id=0, k=5, n_centroids=8)
-            .select("vec_id")
-            .collect()
-        ],
-    }
+    # r12 (guide §2.6): the three top-k legs are INDEPENDENT jobs whose
+    # results only meet in driver-side set arithmetic — run their
+    # collects from a thread pool so the lsh/ivf legs back-fill cores
+    # the brute-force leg's tail leaves idle. Each leg's result is a
+    # deterministic top-k list; assembly order below is fixed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ids(df) -> list:
+        return [r.vec_id for r in df.select("vec_id").collect()]
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ex = pool.submit(_ids, S.brute_force_topk(emb, query_id=0, k=10))
+        f_lsh = pool.submit(
+            _ids, S.lsh_topk(emb, query_id=0, k=5, planes=8, dim=64)
+        )
+        f_ivf = pool.submit(_ids, S.ivf_topk(emb, query_id=0, k=5, n_centroids=8))
+        ex = set(f_ex.result())
+        legs = {"lsh": f_lsh.result(), "ivf": f_ivf.result()}
     rows = []
     for method in ("lsh", "ivf"):
         ids = legs[method]

@@ -200,9 +200,12 @@ def test_exact_dedup_groups_on_hash(plans):
 
 def test_census_pipeline_no_python_in_decode(plans):
     """Wire decode must be JVM json expressions; Python appears only in
-    the fetch (MapInPandas over the cached responses)."""
+    the fetch. Since the r12 response memo the fetch's MapInPandas runs
+    inside the memoized localCheckpoint fill, so the FINAL plan reads
+    the checkpointed responses (Scan ExistingRDD) instead of showing
+    the MapInPandas node; either lineage is the honest shape."""
     p = plans["census_pipeline_e2e"]
-    assert count_nodes(p, "MapInPandas") >= 1
+    assert count_nodes(p, "MapInPandas") >= 1 or "ExistingRDD" in p
     assert "from_json" in p
     # decode/normalize/rename/align are projections — no Python eval ops
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
