@@ -490,19 +490,34 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative distinct-gram coverage). Tiebreak on doc_id keeps the
     argmax total.
 
-    Spark shape, per round: gains are one groupBy over the REMAINING
-    (doc, gram) pairs; the argmax is a 1-row TakeOrderedAndProject kept
-    AS a DataFrame and broadcast back (never collected); the covered
-    set — bounded by k·grams/doc, broadcastable for any practical k —
-    prunes the next round via anti-joins. The (doc, gram) table is
-    cached once and reused across rounds (same iterative-consumer
-    discipline as bpe_train_merges; tiny argmax/total frames are
-    cached eagerly because TakeOrdered subtrees aren't exchange-reused).
+    Spark shape (r12, guide §2.3 "aggregate before you shuffle" /
+    §1.2 step 1): the full (doc, gram) aggregation runs ONCE — round
+    1's gains ARE the per-doc totals — and every later round derives
+    its gains arithmetically as ``total(d) − |grams(d) ∩ covered|``:
+    the remaining-pair count per doc equals its total minus its hits
+    against the covered set, so instead of anti-joining and
+    re-aggregating the WHOLE shrinking pair table per round (the old
+    shape: 3 full hash-agg passes), rounds 2..k aggregate only the
+    pairs that HIT the broadcast covered set — a frame bounded by
+    k·grams/doc·docs-sharing-them, not the corpus. Docs with zero
+    remaining grams are dropped (``gain > 0``), exactly matching the
+    oracle's GROUP BY over the filtered pair table (a fully-covered
+    doc has no qualifying rows there). The argmax is a 1-row
+    TakeOrderedAndProject kept AS a DataFrame and broadcast back
+    (never collected); tiny argmax/covered frames are cached eagerly
+    because TakeOrdered subtrees aren't exchange-reused.
 
-    100-TB shape: each round is one shuffle of the shrinking pair
-    table plus 1-row broadcasts; nothing driver-side grows with the
-    corpus. For large k the covered-set broadcast swaps to a shuffle
-    anti-join on gram — same plan, one more exchange.
+    100-TB shape: one corpus-sized pair shuffle TOTAL (the totals
+    aggregate — partial map-side agg), then per round one broadcast
+    probe of the cached pair table + a hits-sized aggregate; nothing
+    driver-side grows with the corpus. For large k the covered-set
+    broadcast swaps to a shuffle join on gram — same plan, one more
+    exchange.
+
+    r12 A/B (cold interleaved tree A/B vs the pre-rewrite tree,
+    fresh process, q1 warmup, noop sink — numbers in
+    OPTIMIZATION_r12.md): the old shape's three full-pair
+    aggregations collapse to one.
 
     Perf adjudication (VERDICT r11 ask #5 — the 2.81→3.75 s
     honest-stamp growth r10→r11, 4.88 s in the judge's run): cold
@@ -524,18 +539,47 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).transform(tracked_cache)
     grams.count()  # eager: scanned by every greedy round
 
+    # The ONE corpus-sized aggregation: per-doc distinct-gram totals.
+    # Round 1's gains are exactly this frame; later rounds subtract
+    # their covered-hit counts from it instead of re-aggregating the
+    # whole pair table.
+    totals = (
+        grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .transform(tracked_cache)
+    )
+    totals.count()  # eager: probed by every round's gains derivation
+
     picked: DataFrame | None = None  # doc_id frame, grows by 1/round
     covered: DataFrame | None = None  # distinct grams of picked docs
     rows: list[DataFrame] = []
     for rnd in range(1, 4):
-        rem = grams
-        if picked is not None:
-            rem = rem.join(F.broadcast(picked), "doc_id", "left_anti")
-        if covered is not None:
-            rem = rem.join(F.broadcast(covered), "gram", "left_anti")
-        gains = rem.groupBy("doc_id").agg(
-            F.count(F.lit(1)).alias("marginal_gain")
-        )
+        if covered is None:
+            gains = totals.select(
+                "doc_id", F.col("total").alias("marginal_gain")
+            )
+        else:
+            # hits(d) = |grams(d) ∩ covered| — only pairs matching the
+            # broadcast covered set reach this aggregate, so its input
+            # is hits-sized, not corpus-sized.
+            hits = (
+                grams.join(F.broadcast(covered), "gram")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("hit"))
+            )
+            gains = (
+                totals.join(F.broadcast(picked), "doc_id", "left_anti")
+                .join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (
+                        F.col("total") - F.coalesce(F.col("hit"), F.lit(0))
+                    ).alias("marginal_gain"),
+                )
+                # a fully-covered doc has NO remaining (doc, gram) row,
+                # so the oracle's GROUP BY emits no row for it
+                .where(F.col("marginal_gain") > 0)
+            )
         pick = gains.orderBy(F.desc("marginal_gain"), "doc_id").limit(1).transform(tracked_cache)
         pick.count()  # eager: referenced by 3 branches below
         pick_docs = pick.select("doc_id")
@@ -546,14 +590,17 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             if covered is None
             else covered.union(pick_grams).distinct()
         ).transform(tracked_cache)
-        covered.count()  # eager: anti-join source + total below
-        total = covered.agg(F.count(F.lit(1)).alias("covered_total"))
+        # The eager fill's count IS the round's covered_total — a
+        # driver-sized scalar (same discipline as the audited knn
+        # centroid count); the old shape re-derived it as a separate
+        # aggregate + 1-row crossJoin broadcast per round.
+        n_covered = covered.count()
         rows.append(
-            pick.crossJoin(F.broadcast(total)).select(
+            pick.select(
                 F.lit(rnd).cast("long").alias("sel_round"),
                 "doc_id",
                 F.col("marginal_gain").cast("long").alias("marginal_gain"),
-                F.col("covered_total").cast("long").alias("covered_total"),
+                F.lit(n_covered).cast("long").alias("covered_total"),
             )
         )
     return rows[0].unionByName(rows[1]).unionByName(rows[2])

@@ -614,3 +614,70 @@ def test_bucketed_debounce_matches_per_user_grouping(spark):
     assert sorted(map(tuple, new.collect())) == sorted(
         map(tuple, old.collect())
     ) and new.count() > 0
+
+
+def test_greedy_gains_arithmetic_matches_antijoin_aggregate(spark):
+    """greedy_coverage_select's r12 gains derivation — per-doc total
+    minus broadcast covered-hit count, dropping gain 0 — must emit
+    exactly the rows of the original per-round anti-join + full
+    re-aggregation for every greedy round state. Rebuilds the old form
+    verbatim and walks both through all three rounds."""
+    from clean_census_acs_data_spark.operators.text import shingles
+
+    d = load_table(spark, SF, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(t, 2))).alias("gram")
+    ).cache()
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+
+    picked = None
+    covered = None
+    for rnd in range(1, 4):
+        # old form: anti-join the full pair table, re-aggregate
+        rem = grams
+        if picked is not None:
+            rem = rem.join(F.broadcast(picked), "doc_id", "left_anti")
+        if covered is not None:
+            rem = rem.join(F.broadcast(covered), "gram", "left_anti")
+        old_gains = rem.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("marginal_gain")
+        )
+        # new form: arithmetic over the once-computed totals
+        if covered is None:
+            new_gains = totals.select(
+                "doc_id", F.col("total").alias("marginal_gain")
+            )
+        else:
+            hits = (
+                grams.join(F.broadcast(covered), "gram")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("hit"))
+            )
+            new_gains = (
+                totals.join(F.broadcast(picked), "doc_id", "left_anti")
+                .join(hits, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    (
+                        F.col("total") - F.coalesce(F.col("hit"), F.lit(0))
+                    ).alias("marginal_gain"),
+                )
+                .where(F.col("marginal_gain") > 0)
+            )
+        assert old_gains.exceptAll(new_gains).count() == 0
+        assert new_gains.exceptAll(old_gains).count() == 0
+        # advance the greedy state via the OLD form
+        pick_docs = (
+            old_gains.orderBy(F.desc("marginal_gain"), "doc_id")
+            .limit(1)
+            .select("doc_id")
+            .cache()
+        )
+        assert pick_docs.count() == 1
+        picked = pick_docs if picked is None else picked.union(pick_docs)
+        pick_grams = grams.join(F.broadcast(pick_docs), "doc_id").select("gram")
+        covered = (
+            pick_grams if covered is None else covered.union(pick_grams).distinct()
+        ).cache()
+        covered.count()
