@@ -346,34 +346,46 @@ def cross_source_fp_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     each other — the governance signal that drives per-source dedup
     priorities and mixing weights.
 
-    Shape: the (source, fingerprint) table is distinct-reduced first
-    (fingerprint-vocabulary-sized, not corpus-sized), and the pair
-    join keys on the 8-byte fingerprint with a source inequality —
-    each fingerprint contributes |sources-containing-it|² pairs, which
-    the 1/8 winnow sampling and the distinct-reduction keep bounded.
-    At 100 TB this runs on the already-persisted fingerprint store
-    (dedup_incremental_reference's table), zero extra text passes."""
+    Shape (r12, guide §2.4/§1.2 step 1): ONE pass — the exploded
+    (source, fp) stream partial-aggregates straight into
+    ``groupBy(fp).collect_set(source)`` (collect_set dedupes per
+    fingerprint map-side, so the former separate ``.distinct()``
+    exchange, the cache fill + eager count, and the fp⋈fp self-join
+    all disappear), then source PAIRS are generated IN-ROW from the
+    sorted per-fp holder set (the market_basket upper-triangle
+    device) and count-aggregated. The holder set is bounded by
+    |sources| — a catalog-size constant — so the in-row fan-out is
+    exactly the bounded |holders|²/2 the join produced. At 100 TB
+    this is one corpus-fingerprint shuffle instead of the old
+    distinct + join exchanges, and it runs just as well on the
+    already-persisted fingerprint store
+    (dedup_incremental_reference's table)."""
     d = spread(_t(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     fps = F.filter(
         F.transform(X.shingles(toks, 3), X.md5_long),
         lambda h: h % 8 == 0,
     )
-    # cached: both sides of the cross-source join read the fingerprint
-    # table — uncached, the tokenize + shingle + md5 + distinct runs
-    # once per side
-    fp = (
+    holders = (
         d.where(F.size(F.split(F.col("text"), " ")) >= 3)
         .select("source", F.explode(fps).alias("fp"))
-        .distinct()
-        .transform(tracked_cache)
+        .groupBy("fp")
+        .agg(F.collect_set("source").alias("srcs"))
+        .where(F.size("srcs") >= 2)
     )
-    fp.count()  # eager: the two join sides race a lazy cache fill
-    a = fp.select(F.col("source").alias("source_a"), "fp")
-    b = fp.select(F.col("source").alias("source_b"), "fp")
+    ss = F.array_sort(F.col("srcs"))
+    pair_structs = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + F.lit(2), F.size(ss)),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .where(F.col("source_a") < F.col("source_b"))
+        holders.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
     )

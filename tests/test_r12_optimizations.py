@@ -681,3 +681,36 @@ def test_greedy_gains_arithmetic_matches_antijoin_aggregate(spark):
             pick_grams if covered is None else covered.union(pick_grams).distinct()
         ).cache()
         covered.count()
+
+
+def test_xsource_inrow_pairs_match_selfjoin(spark):
+    """cross_source_fp_overlap's r12 in-row holder-set pair generation
+    must emit exactly the rows of the original distinct → fp⋈fp
+    self-join with the source inequality (rebuilt verbatim here)."""
+    from clean_census_acs_data_spark.queries import QUERIES
+    from clean_census_acs_data_spark.io import spread
+
+    new = QUERIES["cross_source_fp_overlap"](spark, SF)
+
+    d = spread(load_table(spark, SF, "documents"))
+    toks = X.tokens("text")
+    fps = F.filter(
+        F.transform(X.shingles(toks, 3), X.md5_long),
+        lambda h: h % 8 == 0,
+    )
+    fp = (
+        d.where(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("source", F.explode(fps).alias("fp"))
+        .distinct()
+    )
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), "fp")
+    old = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
