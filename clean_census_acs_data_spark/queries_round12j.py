@@ -76,51 +76,71 @@ def source_loo_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the exact Shapley-style marginal at the full coalition — no
     sampling needed, one holder-count aggregate.
 
-    100-TB shape: distinct (source, gram) partial-aggregates map-side;
-    the holder count groups on gram and joins back on the same key
-    (exchange reuse); the report is |sources| rows with the corpus
-    total as a broadcast-window scalar. Gram strings could ride
-    xxhash64 like tv_distance_sources at larger vocabularies — kept
-    as strings here because the holder join IS the dictionary.
+    100-TB shape (r12, guide §1.2 step 1 / §2.4): ONE corpus pass —
+    the exploded (source, gram) stream partial-aggregates straight
+    into ``groupBy(gram).collect_set(source)`` (the dedup happens in
+    the aggregate, so the old shape's separate ``.distinct()`` and its
+    THREE re-derivations — holder aggregate, join-back side, corpus
+    total — collapse into one gram shuffle; a cached variant of the
+    holder frame was also built and REJECTED: its array-cell fill cost
+    more cold than the recompute it saved, the same lesson as the
+    original uncached-grams A/B). size(srcs) rides each posexploded
+    row, so the holder count needs no dictionary join; the corpus
+    total rides the SAME aggregate — each gram is counted exactly once
+    by attributing it to its pos-0 holder, and ``SUM(first_cnt) OVER
+    ()`` over the |sources|-row report recovers total_grams without a
+    second corpus derivation (first_cnt itself is collect_set-order-
+    dependent per source, but only its order-invariant global sum is
+    emitted). Gram strings could ride xxhash64 like
+    tv_distance_sources at larger vocabularies.
 
     Scale bound: the ppm step runs in DECIMAL(38,0)/HUGEINT — the BIGINT form wrapped at n_unique ≥ 9.2e12 distinct grams per source, reachable in a 100-TB corpus; counts themselves are plain int64 row counts."""
     from clean_census_acs_data_spark.operators.text import shingles
 
     d = _t(spark, sf_dir, "documents").repartition(8)
     t = F.split(F.lower(F.col("text")), " ")
-    # grams feeds two consumers but is NOT cached: warm A/B at sf0.1
-    # measured 0.96 s uncached vs 1.17 s cached (gram-string rows are
-    # expensive to materialize; the distinct recompute is codegen)
-    grams = d.select(
-        "source", F.explode(F.array_distinct(shingles(t, 2))).alias("gram")
-    ).distinct()
-    holders = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_sources"))
+    holders = (
+        d.select(
+            "source",
+            F.explode(F.array_distinct(shingles(t, 2))).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.collect_set("source").alias("srcs"))
+    )
     per = (
-        grams.join(holders, "gram")
+        holders.select(
+            F.size("srcs").alias("n_sources"),
+            F.posexplode("srcs").alias("pos", "source"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
             .cast("long")
             .alias("n_unique"),
+            # each gram counted exactly once (by its pos-0 holder);
+            # the global sum below is collect_set-order-invariant
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("first_cnt"),
+        )
+        .withColumn(
+            "total_grams",
+            F.sum("first_cnt").over(Window.partitionBy()),
         )
     )
-    total = holders.agg(F.count(F.lit(1)).cast("long").alias("total_grams"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "n_grams",
-            "n_unique",
-            "total_grams",
-            # DECIMAL(38,0): the BIGINT product n_unique·1e6 wraps at
-            # n_unique ≥ 2^63/1e6 ≈ 9.2e12 distinct grams per source —
-            # reachable in a 100-TB corpus (operands positive, so plain
-            # widening matches DuckDB's HUGEINT // exactly)
-            F.expr("(CAST(n_unique AS DECIMAL(38,0)) * 1000000) DIV total_grams")
-            .cast("long")
-            .alias("loo_drop_ppm"),
-        )
+    return per.select(
+        "source",
+        "n_grams",
+        "n_unique",
+        "total_grams",
+        # DECIMAL(38,0): the BIGINT product n_unique·1e6 wraps at
+        # n_unique ≥ 2^63/1e6 ≈ 9.2e12 distinct grams per source —
+        # reachable in a 100-TB corpus (operands positive, so plain
+        # widening matches DuckDB's HUGEINT // exactly)
+        F.expr("(CAST(n_unique AS DECIMAL(38,0)) * 1000000) DIV total_grams")
+        .cast("long")
+        .alias("loo_drop_ppm"),
     )
 
 

@@ -714,3 +714,44 @@ def test_xsource_inrow_pairs_match_selfjoin(spark):
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
     assert new.count() > 0
+
+
+def test_loo_single_pass_matches_join_form(spark):
+    """source_loo_coverage's r12 single-derivation form (per-gram
+    holder sets + pos-0 total attribution) must emit exactly the rows
+    of the original distinct → holder-count → join-back shape
+    (rebuilt verbatim here, including the crossJoin total)."""
+    from clean_census_acs_data_spark.operators.text import shingles
+    from clean_census_acs_data_spark.queries import QUERIES
+
+    new = QUERIES["source_loo_coverage"](spark, SF)
+
+    d = load_table(spark, SF, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    grams = d.select(
+        "source", F.explode(F.array_distinct(shingles(t, 2))).alias("gram")
+    ).distinct()
+    holders = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_sources"))
+    per = (
+        grams.join(holders, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_sources") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    total = holders.agg(F.count(F.lit(1)).cast("long").alias("total_grams"))
+    old = per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_grams",
+        "n_unique",
+        "total_grams",
+        F.expr("(CAST(n_unique AS DECIMAL(38,0)) * 1000000) DIV total_grams")
+        .cast("long")
+        .alias("loo_drop_ppm"),
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
