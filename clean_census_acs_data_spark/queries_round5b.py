@@ -115,23 +115,42 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("t")
     )
 
-    def _offset_pairs(o: int) -> DataFrame:
-        return (
-            d.where(F.size("t") > o)
-            .select(
-                F.explode(F.sequence(F.lit(1), F.size("t") - o)).alias("i"), "t"
-            )
-            .select(
+    # r12 (guide §2.3 "project before the exchange" / §1.2 per-task
+    # work): pairs are generated IN-ROW (one transform per offset,
+    # concatenated, then ONE explode of bare 2-string structs). The
+    # old explode(sequence)+element_at form carried the WHOLE token
+    # array through every generated row — O(tokens²) bytes
+    # materialized per document, twice (once per offset branch) —
+    # and scanned the corpus twice via the union. Measured (warm
+    # noop reps at sf0.1): pair leg 0.48–2.1 → 0.23–0.56 s, cab
+    # aggregate 0.86–2.1 → 0.63–0.98 s, output bit-identical
+    # (exceptAll ∅ both ways). The empty-sequence guard mirrors
+    # operators/text.shingles: sequence(1, 0) is a DESCENDING [1, 0],
+    # so short docs must map to an empty index array, not phantom
+    # pairs.
+    def _pairs_for(o: int):
+        idx = F.when(
+            F.size("t") > o, F.sequence(F.lit(1), F.size("t") - o)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
                 F.least(
-                    F.expr("element_at(t, i)"), F.expr(f"element_at(t, i + {o})")
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + F.lit(o)),
                 ).alias("tok_a"),
                 F.greatest(
-                    F.expr("element_at(t, i)"), F.expr(f"element_at(t, i + {o})")
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + F.lit(o)),
                 ).alias("tok_b"),
-            )
+            ),
         )
 
-    pr = _offset_pairs(1).unionAll(_offset_pairs(2))
+    pr = (
+        d.where(F.size("t") > 1)
+        .select(F.explode(F.concat(_pairs_for(1), _pairs_for(2))).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+    )
     # NOT cached: cab feeds the PMI join chain and supplies t_pair, uni
     # feeds t_tok plus both broadcast sides — but Spark's exchange reuse
     # shares each agg's shuffle across its consumers, so the r8 caches

@@ -229,14 +229,26 @@ def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the bigram-position table feeds TWO consumers (the global
     # bigram LM counts and the per-doc tf) — uncached, the tokenize +
     # explode + element_at pipeline over the whole corpus runs twice
+    # r12: bigrams generated IN-ROW (transform → one explode of bare
+    # 2-string structs) — the old explode(sequence)+element_at form
+    # carried the WHOLE token array through every position row
+    # (O(tokens²) bytes per doc) before the cache fill. The where
+    # guard keeps sequence(1, size−1) ascending (size ≥ 2).
     bg = (
         d.where(F.size("t") > 1)
-        .select(F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "doc_id", "t")
         .select(
             "doc_id",
-            F.expr("element_at(t, i)").alias("w1"),
-            F.expr("element_at(t, i + 1)").alias("w2"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
         )
+        .select("doc_id", "p.w1", "p.w2")
         .transform(tracked_cache)
     )
     bg.count()  # eager: sibling subtrees race a lazy cache fill

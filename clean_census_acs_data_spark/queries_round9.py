@@ -1610,8 +1610,8 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 already at gap_e6 ≥ 9.2e12 (~10⁷ positions at a 1-nat gap) —
     it is computed in DECIMAL(38,0) on BOTH engines (the
     corpus_mix_sample discipline, ADVICE r6), good to gap_e6 < 10³²."""
-    # bigrams are generated ARRAY-LOCALLY (element_at(t, i)/(i+1) over
-    # an exploded index sequence) instead of posexplode + lead() over a
+    # bigrams are generated ARRAY-LOCALLY (in-row transform over the
+    # index sequence, r12) instead of posexplode + lead() over a
     # per-doc window: the window forced a full shuffle+sort of every
     # token row on doc_id, which was the entry's dominant cost
     # (the lm_bigram_surprisal shape; same (w, nw) values row for row)
@@ -1620,18 +1620,26 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", "source", F.split("text", " ").alias("t")
     )
+    # r12: bigrams generated IN-ROW (transform → one explode of bare
+    # 2-string structs) — the old explode(sequence)+element_at form
+    # carried the WHOLE token array through every position row
+    # (O(tokens²) bytes per doc) before the cache fill. The where
+    # guard keeps sequence(1, size−1) ascending (size ≥ 2).
     bg = (
         d.where(F.size("t") > 1)
         .select(
             "source",
-            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
-            "t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w"),
+                        F.element_at(F.col("t"), i + F.lit(1)).alias("nw"),
+                    ),
+                )
+            ).alias("p"),
         )
-        .select(
-            "source",
-            F.expr("element_at(t, i)").alias("w"),
-            F.expr("element_at(t, i + 1)").alias("nw"),
-        )
+        .select("source", "p.w", "p.nw")
         .transform(tracked_cache)
     )
     uni = (

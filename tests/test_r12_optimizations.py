@@ -755,3 +755,103 @@ def test_loo_single_pass_matches_join_form(spark):
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
     assert new.count() > 0
+
+
+def test_inrow_pair_kernels_match_explode_sequence_forms(spark):
+    """The r12 in-row pair/bigram generators (token_cooccurrence_pmi,
+    lm_bigram_surprisal, doremi_domain_weights) must emit exactly the
+    multiset of the old explode(sequence) + element_at forms —
+    including 1- and 2-token edge docs, where sequence(1, 0) would go
+    DESCENDING and fabricate phantom pairs without the guard."""
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "x"),
+            (3, "p q"),
+            (4, "m n o"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.split("text", " ").alias("t"))
+
+    # --- PMI ±2-window unordered pairs
+    def _offset_pairs(o):
+        return (
+            d.where(F.size("t") > o)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("t") - o)).alias("i"),
+                "t",
+            )
+            .select(
+                F.least(
+                    F.expr("element_at(t, i)"),
+                    F.expr(f"element_at(t, i + {o})"),
+                ).alias("tok_a"),
+                F.greatest(
+                    F.expr("element_at(t, i)"),
+                    F.expr(f"element_at(t, i + {o})"),
+                ).alias("tok_b"),
+            )
+        )
+
+    old_pr = _offset_pairs(1).unionAll(_offset_pairs(2))
+
+    def _pairs_for(o):
+        idx = F.when(
+            F.size("t") > o, F.sequence(F.lit(1), F.size("t") - o)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.least(
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + F.lit(o)),
+                ).alias("tok_a"),
+                F.greatest(
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + F.lit(o)),
+                ).alias("tok_b"),
+            ),
+        )
+
+    new_pr = (
+        d.where(F.size("t") > 1)
+        .select(F.explode(F.concat(_pairs_for(1), _pairs_for(2))).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+    )
+    assert old_pr.exceptAll(new_pr).count() == 0
+    assert new_pr.exceptAll(old_pr).count() == 0
+    assert new_pr.count() == 3 + 2 + 1 + 2 + 1  # doc1: 3+2, doc3: 1, doc4: 2+1
+
+    # --- adjacent bigrams (the lm_bigram_surprisal / doremi kernel)
+    old_bg = (
+        d.where(F.size("t") > 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"),
+            "doc_id",
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(t, i)").alias("w1"),
+            F.expr("element_at(t, i + 1)").alias("w2"),
+        )
+    )
+    new_bg = (
+        d.where(F.size("t") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    assert old_bg.exceptAll(new_bg).count() == 0
+    assert new_bg.exceptAll(old_bg).count() == 0
