@@ -126,24 +126,29 @@ def ngram_decontaminate(
         .select(md5_long(F.col("gram")).alias("gram_h"))
         .distinct()
     )
-    totals = t_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams_distinct"))
-    overlaps = (
-        t_grams.join(e_grams, "gram_h")
+    # r12 (guide §1.2 step 1 / §2.4): totals and overlaps ride ONE
+    # per-doc aggregation — each distinct train gram is flagged against
+    # the broadcast eval set in-row (left join on the 8-byte hash), so
+    # n_overlap is a conditional SUM next to the COUNT instead of a
+    # second aggregation + a totals⋈overlaps join on doc_id. Same
+    # distinct exchange, one fewer aggregate, one fewer join;
+    # zero-overlap docs keep their row by construction (sum of 0s).
+    e_marked = e_grams.withColumn("__hit", F.lit(1))
+    per_doc = (
+        t_grams.join(F.broadcast(e_marked), "gram_h", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams_distinct"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_overlap"),
+        )
     )
     frac = F.col("n_overlap").cast("double") / F.col("n_grams_distinct").cast("double")
-    return (
-        totals.join(overlaps, id_col, "left")
-        .select(
-            id_col,
-            "n_grams_distinct",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
-            (F.coalesce(frac, F.lit(0.0)) > F.lit(max_overlap_frac)).alias(
-                "is_contaminated"
-            ),
-        )
+    return per_doc.select(
+        id_col,
+        "n_grams_distinct",
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        frac.alias("overlap_frac"),
+        (frac > F.lit(max_overlap_frac)).alias("is_contaminated"),
     )
 
 

@@ -855,3 +855,53 @@ def test_inrow_pair_kernels_match_explode_sequence_forms(spark):
     )
     assert old_bg.exceptAll(new_bg).count() == 0
     assert new_bg.exceptAll(old_bg).count() == 0
+
+
+def test_decontaminate_single_agg_matches_two_agg_join(spark):
+    """ngram_decontaminate's r12 single-aggregation form (in-row eval
+    flag + conditional sum) must emit exactly the rows of the original
+    totals⋈overlaps two-aggregate shape (rebuilt verbatim here)."""
+    from clean_census_acs_data_spark.operators.corpus import (
+        _word_grams,
+        ngram_decontaminate,
+    )
+    from clean_census_acs_data_spark.operators.text import md5_long
+
+    docs = load_table(spark, SF, "documents")
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    eval_set = docs.where(F.col("doc_id") % 17 == 0)
+    new = ngram_decontaminate(train, eval_set, n=5)
+
+    t_grams = (
+        train.select(
+            "doc_id", F.explode(_word_grams(F.col("text"), 5)).alias("gram")
+        )
+        .select("doc_id", md5_long(F.col("gram")).alias("gram_h"))
+        .distinct()
+    )
+    e_grams = (
+        eval_set.select(F.explode(_word_grams(F.col("text"), 5)).alias("gram"))
+        .select(md5_long(F.col("gram")).alias("gram_h"))
+        .distinct()
+    )
+    totals = t_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams_distinct")
+    )
+    overlaps = (
+        t_grams.join(e_grams, "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.col("n_overlap").cast("double") / F.col(
+        "n_grams_distinct"
+    ).cast("double")
+    old = totals.join(overlaps, "doc_id", "left").select(
+        "doc_id",
+        "n_grams_distinct",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.coalesce(frac, F.lit(0.0)).alias("overlap_frac"),
+        (F.coalesce(frac, F.lit(0.0)) > F.lit(0.10)).alias("is_contaminated"),
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
