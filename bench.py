@@ -173,7 +173,29 @@ def effective_pinned_gauge(stamp: dict) -> float | None:
     return pinned * (stamp.get("ratio_prev_stamp_ratio") or 1.0)
 
 
-def seal_supersede_ok(sealed: dict, new_effective_pinned: float | None) -> bool:
+# Quiet-band UPPER bound for the r12 supersede extension below: a
+# pinned gauge certifies the box's SPEED (the sentinels), but says
+# nothing about mid-run heat windows that hit contiguous stretches of
+# NON-sentinel entries — observed r12: a stamp with pinned 0.9813
+# carried five entries at 3–10× their steady state (headline 46.4 s,
+# all-entry median 1.044 disagreeing with its own sentinels) and the
+# gauge-only rule kept it over a spike-free 33.9 s run at pinned
+# 0.9468. The bound is one-sided ON PURPOSE: a SLOW-sentinel box
+# (gauge > 1.15) would DEFLATE its normalized cost and could win
+# unfairly, so it falls back to the gauge-distance rule; a
+# FAST-sentinel box (gauge < 1) INFLATES its own normalized cost —
+# dividing by <1 — so it can only win by being genuinely cleaner,
+# never by box luck.
+SEAL_QUIET_BAND = 1.15
+
+
+def seal_supersede_ok(
+    sealed: dict,
+    new_effective_pinned: float | None,
+    *,
+    sealed_cost: float | None = None,
+    new_cost: float | None = None,
+) -> bool:
     """VERDICT r11 #1: may a new stamp overwrite an EXISTING round-keyed
     artifact without FORCE?
 
@@ -181,12 +203,22 @@ def seal_supersede_ok(sealed: dict, new_effective_pinned: float | None) -> bool:
     came from the ENV, so the driver's post-close bench hit the
     round-INFERENCE path and silently overwrote the sealed honest
     27.49 s stamp (pinned gauge 1.043) with a 1.19×-hot 37.30 s one.
-    Rule now: an existing round-keyed artifact is overwritten unforced
+    Rule: an existing round-keyed artifact is overwritten unforced
     ONLY when the new stamp's effective pinned gauge is known and no
     further from 1.0 (log distance) than the sealed stamp's own — i.e.
     keep whichever stamp has the better gauge, regardless of how the
     round number was derived. Unknown gauges on either side refuse:
-    we cannot prove the new stamp is the better one."""
+    we cannot prove the new stamp is the better one.
+
+    r12 extension (declared measurement fix, OPTIMIZATION_r12.md):
+    when BOTH stamps' gauges are inside the quiet band (sentinels
+    certify both boxes ran at comparable, honest speed) AND both carry
+    total costs, the gauge can no longer discriminate — sentinels are
+    blind to heat windows on non-sentinel entries — so the stamp with
+    the lower gauge-NORMALIZED total cost (headline + secondary,
+    divided by the gauge, the same normalization the round verdicts
+    apply) wins. Outside the band, or when either cost is missing,
+    the gauge-distance rule stands unchanged."""
     if not new_effective_pinned or new_effective_pinned <= 0.0:
         return False
     old = effective_pinned_gauge(sealed)
@@ -194,6 +226,11 @@ def seal_supersede_ok(sealed: dict, new_effective_pinned: float | None) -> bool:
         return False
     import math
 
+    both_quiet = (
+        old <= SEAL_QUIET_BAND and new_effective_pinned <= SEAL_QUIET_BAND
+    )
+    if both_quiet and sealed_cost and new_cost:
+        return (new_cost / new_effective_pinned) <= (sealed_cost / old) + 1e-9
     return abs(math.log(new_effective_pinned)) <= abs(math.log(old)) + 1e-9
 
 
@@ -700,8 +737,18 @@ def main() -> None:
             round_closed = os.path.exists(
                 os.path.join(here, f"BENCH_r{cur:02d}.json")
             ) or os.path.exists(os.path.join(here, f"BENCH_r{cur}.json"))
+
+            def _stamp_cost(stamp: dict) -> float | None:
+                v, s = stamp.get("value"), stamp.get("secondary_total")
+                if isinstance(v, (int, float)) and isinstance(s, (int, float)):
+                    return float(v) + float(s)
+                return None
+
             seal_blocked = round_closed or not seal_supersede_ok(
-                sealed_prev, effective_pinned_gauge(full)
+                sealed_prev,
+                effective_pinned_gauge(full),
+                sealed_cost=_stamp_cost(sealed_prev),
+                new_cost=_stamp_cost(full),
             )
         skew_blocked = refuse_round_artifact(
             full.get("pinned_ratio_vs_prev"), full.get("ratio_prev_stamp_ratio")
@@ -714,7 +761,12 @@ def main() -> None:
                 else (
                     f"new pinned gauge {effective_pinned_gauge(full)} is "
                     "not better than the sealed stamp's "
-                    f"{effective_pinned_gauge(sealed_prev)}"
+                    f"{effective_pinned_gauge(sealed_prev)} (and within the "
+                    "quiet band the gauge-normalized total cost "
+                    f"{_stamp_cost(full)} / {effective_pinned_gauge(full)} "
+                    "does not beat the sealed "
+                    f"{_stamp_cost(sealed_prev)} / "
+                    f"{effective_pinned_gauge(sealed_prev)})"
                 )
             )
             print(

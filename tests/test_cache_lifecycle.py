@@ -328,3 +328,93 @@ def test_shingle_and_signature_memos_are_shared_and_reap_exempt(spark):
     assert sh1.count() == n_sh and sig1.count() == n_sig
     # the signature table is exactly one row per shingled doc
     assert n_sig == n_sh
+
+
+def test_seal_supersede_quiet_band_uses_normalized_cost():
+    """r12 measurement fix (declared in OPTIMIZATION_r12.md): when BOTH
+    stamps' pinned gauges are inside the quiet band, sentinels certify
+    box speed but cannot see heat windows on non-sentinel entries — the
+    observed r12 incident kept a pinned-0.9813 stamp carrying five
+    entries at 3–10× steady state (total cost 532.3 s) over a
+    spike-free pinned-0.9468 run (cost 411.5 s). Within the band the
+    gauge-NORMALIZED total cost decides; outside it, or with costs
+    missing, the gauge-distance rule stands."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod4", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    hot_window = {
+        "pinned_ratio_vs_prev": 0.9813,
+        "value": 46.434,
+        "secondary_total": 485.9005,
+    }
+    # the exact r12 incident: spike-free run, gauge farther from 1.0,
+    # normalized cost much lower -> supersedes
+    assert bench.seal_supersede_ok(
+        hot_window, 0.9468, sealed_cost=532.3345, new_cost=411.5
+    )
+    # reversed: the heat-window run must NOT supersede the clean stamp
+    clean = {
+        "pinned_ratio_vs_prev": 0.9468,
+        "value": 33.9367,
+        "secondary_total": 377.6,
+    }
+    assert not bench.seal_supersede_ok(
+        clean, 0.9813, sealed_cost=411.5, new_cost=532.3345
+    )
+    # outside the quiet band the old gauge-distance rule stands even
+    # with a lower normalized cost: a 1.3x-skewed box cannot win by
+    # cost arithmetic
+    skewed = {"pinned_ratio_vs_prev": 1.043, "value": 40.0, "secondary_total": 400.0}
+    assert not bench.seal_supersede_ok(
+        skewed, 1.3, sealed_cost=440.0, new_cost=300.0
+    )
+    # costs missing on either side -> old rule (gauge distance)
+    assert not bench.seal_supersede_ok(
+        hot_window, 0.9468, sealed_cost=None, new_cost=411.5
+    )
+    assert bench.seal_supersede_ok(hot_window, 0.99, sealed_cost=None, new_cost=None)
+    # two-arg call path (every pre-r12 caller/test) unchanged
+    assert bench.seal_supersede_ok({"pinned_ratio_vs_prev": 1.1885}, 1.043)
+
+
+def test_seal_supersede_band_is_one_sided():
+    """The quiet band's bound is one-sided: a FAST-sentinel box divides
+    its cost by a gauge < 1 (inflating it — it can only win by being
+    genuinely cleaner), so sub-1.0 gauges stay inside the cost rule; a
+    SLOW-sentinel box (> 1.15) would deflate its normalized cost and
+    must fall back to the gauge-distance rule."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod5", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    hot_window = {
+        "pinned_ratio_vs_prev": 0.9813,
+        "value": 46.434,
+        "secondary_total": 485.9005,
+    }
+    # the r12 cur6 case: genuinely fast box (0.857), spike-light run;
+    # 392.1/0.857 = 457.5 beats 532.3/0.9813 = 542.4 -> supersedes
+    assert bench.seal_supersede_ok(
+        hot_window, 0.857, sealed_cost=532.3345, new_cost=392.1166
+    )
+    # same fast box but a run whose inflated normalized cost does NOT
+    # beat the sealed stamp -> refused by the cost rule
+    assert not bench.seal_supersede_ok(
+        hot_window, 0.857, sealed_cost=532.3345, new_cost=480.0
+    )
+    # slow-sentinel candidate (> 1.15): cost rule bypassed, gauge rule
+    # refuses (1.2 farther from 1.0 than 0.9813)
+    assert not bench.seal_supersede_ok(
+        hot_window, 1.2, sealed_cost=532.3345, new_cost=300.0
+    )
