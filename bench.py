@@ -104,6 +104,14 @@ PINNED_SKEW_BOUND = 1.3
 # as cross-round baselines; other scales write only the rolling file.
 CANONICAL_BENCH_SF = 0.1
 
+# Likewise the core count (r13): the driver's scaling probe re-runs
+# bench at SPARK_GRAFT_CPUS=8, and in r12 that post-close 8-core pass
+# hit the round-inference path and landed as BENCH_FULL_r13.json —
+# an 8-core stamp is not a valid 32-core baseline, and every r13 gauge
+# would have been computed against it. Non-canonical core counts write
+# only the rolling file.
+CANONICAL_BENCH_CPUS = 32
+
 
 class _SkipRoundArtifact(Exception):
     """Internal: non-canonical SF — skip the round-keyed write."""
@@ -173,19 +181,11 @@ def effective_pinned_gauge(stamp: dict) -> float | None:
     return pinned * (stamp.get("ratio_prev_stamp_ratio") or 1.0)
 
 
-# Quiet-band UPPER bound for the r12 supersede extension below: a
-# pinned gauge certifies the box's SPEED (the sentinels), but says
-# nothing about mid-run heat windows that hit contiguous stretches of
-# NON-sentinel entries — observed r12: a stamp with pinned 0.9813
-# carried five entries at 3–10× their steady state (headline 46.4 s,
-# all-entry median 1.044 disagreeing with its own sentinels) and the
-# gauge-only rule kept it over a spike-free 33.9 s run at pinned
-# 0.9468. The bound is one-sided ON PURPOSE: a SLOW-sentinel box
-# (gauge > 1.15) would DEFLATE its normalized cost and could win
-# unfairly, so it falls back to the gauge-distance rule; a
-# FAST-sentinel box (gauge < 1) INFLATES its own normalized cost —
-# dividing by <1 — so it can only win by being genuinely cleaner,
-# never by box luck.
+# Quiet-band UPPER bound for the stamp seal rule below: a pinned gauge
+# inside this band certifies the box ran at honest, comparable speed.
+# The bound is one-sided ON PURPOSE: gauges < 1 mean the box was FASTER
+# than the baseline stamp's — also honest; only a slow box (> 1.15)
+# misstates the round.
 SEAL_QUIET_BAND = 1.15
 
 
@@ -203,22 +203,24 @@ def seal_supersede_ok(
     came from the ENV, so the driver's post-close bench hit the
     round-INFERENCE path and silently overwrote the sealed honest
     27.49 s stamp (pinned gauge 1.043) with a 1.19×-hot 37.30 s one.
-    Rule: an existing round-keyed artifact is overwritten unforced
-    ONLY when the new stamp's effective pinned gauge is known and no
-    further from 1.0 (log distance) than the sealed stamp's own — i.e.
-    keep whichever stamp has the better gauge, regardless of how the
-    round number was derived. Unknown gauges on either side refuse:
-    we cannot prove the new stamp is the better one.
+    Unknown gauges on either side refuse: we cannot prove the new stamp
+    is the better one.
 
-    r12 extension (declared measurement fix, OPTIMIZATION_r12.md):
-    when BOTH stamps' gauges are inside the quiet band (sentinels
-    certify both boxes ran at comparable, honest speed) AND both carry
-    total costs, the gauge can no longer discriminate — sentinels are
-    blind to heat windows on non-sentinel entries — so the stamp with
-    the lower gauge-NORMALIZED total cost (headline + secondary,
-    divided by the gauge, the same normalization the round verdicts
-    apply) wins. Outside the band, or when either cost is missing,
-    the gauge-distance rule stands unchanged."""
+    r13 rule (VERDICT r12 'What's wrong #2' / ask #3): **the FIRST
+    quiet-band stamp of a round is FINAL.** The r12 extension let the
+    lowest gauge-normalized total cost win within the quiet band, which
+    made re-running the bench strictly improving — a min over N noisy
+    draws is a biased-low order statistic no matter how principled the
+    tiebreak (the sealed r12 stamp was the best of seven runs spanning
+    32.3–46.4 s). Now: a sealed stamp whose effective pinned gauge is
+    inside the quiet band (≤ SEAL_QUIET_BAND) refuses EVERY unforced
+    supersede — cheaper reruns included. Only a stamp taken on a
+    demonstrably skewed box (gauge outside the band) may be replaced,
+    and only by a stamp whose gauge is no further from 1.0 (log
+    distance) — the r11 recovery rule, unchanged. ``sealed_cost`` /
+    ``new_cost`` are accepted for caller compatibility but no longer
+    participate in the decision."""
+    del sealed_cost, new_cost  # r13: cost preference removed (biased-low)
     if not new_effective_pinned or new_effective_pinned <= 0.0:
         return False
     old = effective_pinned_gauge(sealed)
@@ -226,11 +228,9 @@ def seal_supersede_ok(
         return False
     import math
 
-    both_quiet = (
-        old <= SEAL_QUIET_BAND and new_effective_pinned <= SEAL_QUIET_BAND
-    )
-    if both_quiet and sealed_cost and new_cost:
-        return (new_cost / new_effective_pinned) <= (sealed_cost / old) + 1e-9
+    if old <= SEAL_QUIET_BAND:
+        # first quiet stamp wins — rerunning must not be improving
+        return False
     return abs(math.log(new_effective_pinned)) <= abs(math.log(old)) + 1e-9
 
 
@@ -613,6 +613,13 @@ def main() -> None:
         "secondary_total": round(sum(secondary.values()), 4),
         "warmup_init_sec": warmup_init,
         "sf": sf_val,
+        # r13: the core count the run actually used, so an artifact
+        # taken at a non-canonical count is self-describing
+        "cpus": (
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            if os.environ.get("SPARK_GRAFT_CPUS", "32").isdigit()
+            else os.environ.get("SPARK_GRAFT_CPUS")
+        ),
         # per-entry cache-storage occupancy AFTER that entry's reap:
         # separates cache-leak pressure from box drift (VERDICT r8 #2b)
         "storage_after_bytes": storage_after,
@@ -624,8 +631,15 @@ def main() -> None:
         import re as _re
 
         here0 = os.path.dirname(os.path.abspath(__file__))
+        # only round-keyed names participate (r13: a stray file like
+        # BENCH_FULL_8core_r12.json matching the glob but not the
+        # round pattern must not AttributeError the whole gauge block)
         prevs = sorted(
-            _glob.glob(os.path.join(here0, "BENCH_FULL_r*.json")),
+            (
+                p
+                for p in _glob.glob(os.path.join(here0, "BENCH_FULL_r*.json"))
+                if _re.search(r"r(\d+)\.json$", p)
+            ),
             key=lambda p: int(
                 _re.search(r"r(\d+)\.json$", p).group(1)
             ),
@@ -687,6 +701,15 @@ def main() -> None:
                 f"bench: sf={sf_val} is not the canonical round scale "
                 f"({CANONICAL_BENCH_SF}); skipping the round-keyed "
                 "artifact (rolling BENCH_FULL.json written).",
+                file=sys.stderr,
+            )
+            raise _SkipRoundArtifact
+        bench_cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        if bench_cpus.isdigit() and int(bench_cpus) != CANONICAL_BENCH_CPUS:
+            print(
+                f"bench: cpus={bench_cpus} is not the canonical core "
+                f"count ({CANONICAL_BENCH_CPUS}); skipping the "
+                "round-keyed artifact (rolling BENCH_FULL.json written).",
                 file=sys.stderr,
             )
             raise _SkipRoundArtifact
@@ -851,33 +874,43 @@ def main() -> None:
             }
         )
     )
-    # ULTRA-COMPACT true-last line (< ~1200 chars): the driver captures
-    # a 2000-char stdout tail and truncation eats the line's HEAD — in
-    # r6 the compact line above outgrew the window and BENCH_r06.json
-    # lost the headline "value" (VERDICT r6 'What's wrong #1'). Keep
-    # this line short enough that it ALWAYS survives whole.
+    # COMPACT true-last line: the driver captures a 2000-char stdout
+    # tail and truncation eats the line's HEAD — in r6 the compact line
+    # above outgrew the window and BENCH_r06.json lost the headline
+    # "value" (VERDICT r6 'What's wrong #1'). r13 (VERDICT r12 ask #2):
+    # the r12 top-5-only "queries" map starved the driver's PERF — only
+    # 4 queries were comparable round-over-round and a headline entry
+    # that merely fell out of the top-5 was flagged as dropped. The
+    # final line now carries ALL headline timings (2-decimal rounding,
+    # ~1.1 KB for 41 entries) so PERF can compare the full set; the
+    # separators=(",", ":") form and the progressive drops below keep
+    # it safely inside the tail window.
     last = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "median_ratio_vs_prev": full.get("median_ratio_vs_prev"),
         "pinned_ratio_vs_prev": full.get("pinned_ratio_vs_prev"),
-        "queries": dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-        ),
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "secondary_total": round(sum(secondary.values()), 4),
         "secondary_count": len(secondary),
-        "secondary_top5": dict(
-            sorted(secondary.items(), key=lambda kv: -kv[1])[:5]
-        ),
-        "warmup_init_sec": warmup_init,
+        "secondary_top5": {
+            k: round(v, 2)
+            for k, v in sorted(secondary.items(), key=lambda kv: -kv[1])[:5]
+        },
         "sf": sf_val,
     }
-    line = json.dumps(last)
-    if len(line) > 1500:  # hard guard: never outgrow the tail window
+    line = json.dumps(last, separators=(",", ":"))
+    if len(line) > 1900:  # hard guard: never outgrow the 2000-char tail
         last.pop("secondary_top5", None)
-        last.pop("warmup_init_sec", None)
-        line = json.dumps(last)
+        line = json.dumps(last, separators=(",", ":"))
+    if len(line) > 1900:  # still too big (future registry growth):
+        # degrade to the top-5 map rather than lose the line's head
+        last["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        }
+        line = json.dumps(last, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -251,10 +251,189 @@ def changed_since(repo: str, commit: str) -> frozenset[str] | None:
     return _CHANGED_CACHE[key]
 
 
+_LAST_CHANGE_CACHE: dict[tuple[str, str], int] = {}
+
+# ---------------------------------------------- function-level change map
+#
+# File-granular "changed since attestation" stopped discriminating once
+# a few rounds of edits had touched most registry modules (260 of 396
+# entries at r13 start), so the 50-slot driver window never reached the
+# prior round's actual rewrites (VERDICT r12 ask #7). The fix is a
+# static function-level reachability map: an entry is IMPLEMENTATION-
+# changed only when some top-level def/class/assignment its code
+# actually reaches (via the package's import idioms) differs — by AST
+# dump, so moves/whitespace don't count — from the tree at the entry's
+# attestation commit. Resolution failures degrade to "changed"
+# (conservative: an entry is re-attested too early, never too late).
+
+_MOD_INDEX_CACHE: dict[tuple[str, str], dict | None] = {}
+_REACH_CACHE: dict[tuple[str, str], frozenset[tuple[str, str]]] = {}
+
+
+def _index_source(repo: str, commit: str, relpath: str) -> str | None:
+    if commit == "WORKTREE":
+        try:
+            return open(os.path.join(repo, relpath), encoding="utf-8").read()
+        except OSError:
+            return None
+    return _git(repo, "show", f"{commit}:{relpath}")
+
+
+def _refs_and_imports(node, anchor: list[str]) -> tuple[set[str], dict[str, str]]:
+    """All names / one-level attribute chains referenced inside
+    ``node``, plus package-internal imports declared inside it
+    (function-local deferred imports are idiomatic here)."""
+    import ast
+
+    refs: set[str] = set()
+    imports: dict[str, str] = {}
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.Name):
+            refs.add(sub.id)
+        elif isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+            refs.add(f"{sub.value.id}.{sub.attr}")
+        elif isinstance(sub, ast.Import):
+            for a in sub.names:
+                if a.name == PKG or a.name.startswith(PKG + "."):
+                    imports[(a.asname or a.name).split(".")[0]] = (
+                        a.name if a.asname else a.name.split(".")[0]
+                    )
+                    if a.asname:
+                        imports[a.asname] = a.name
+        elif isinstance(sub, ast.ImportFrom):
+            if sub.level:
+                base = anchor[: len(anchor) - (sub.level - 1)]
+                mod = ".".join(base + ([sub.module] if sub.module else []))
+            else:
+                mod = sub.module or ""
+            if mod == PKG or mod.startswith(PKG + "."):
+                for a in sub.names:
+                    imports[a.asname or a.name] = f"{mod}.{a.name}"
+    return refs, imports
+
+
+def _module_index(repo: str, commit: str, relpath: str) -> dict | None:
+    """Static index of a module version: top-level defs/classes/assigns
+    with their AST dumps, per-def references, and import maps. None
+    when the file is missing or unparseable at that commit."""
+    import ast
+
+    key = (commit, relpath)
+    if key in _MOD_INDEX_CACHE:
+        return _MOD_INDEX_CACHE[key]
+    src = _index_source(repo, commit, relpath)
+    try:
+        tree = ast.parse(src) if src is not None else None
+    except SyntaxError:
+        tree = None
+    if tree is None:
+        _MOD_INDEX_CACHE[key] = None
+        return None
+    parts = relpath[: -len(".py")].split(os.sep)
+    if parts and parts[-1] == "__init__":
+        parts = parts[:-1]
+    anchor = parts if os.path.basename(relpath) == "__init__.py" else parts[:-1]
+    mod_imports: dict[str, str] = {}
+    defs: dict[str, dict] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            _, imp = _refs_and_imports(node, anchor)
+            mod_imports.update(imp)
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            refs, imp = _refs_and_imports(node, anchor)
+            dump = "" if node.name in defs else ast.dump(node)
+            defs[node.name] = {"dump": dump, "refs": refs, "imports": imp}
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = (
+                node.targets if isinstance(node, ast.Assign) else [node.target]
+            )
+            value = node.value
+            if value is None:
+                continue
+            refs, imp = _refs_and_imports(value, anchor)
+            for t in targets:
+                if isinstance(t, ast.Name):
+                    dump = "" if t.id in defs else ast.dump(value)
+                    defs[t.id] = {"dump": dump, "refs": refs, "imports": imp}
+    idx = {"defs": defs, "imports": mod_imports, "anchor": anchor}
+    _MOD_INDEX_CACHE[key] = idx
+    return idx
+
+
+def _reach(repo: str, mod_name: str, fn_name: str, mod_rel: dict[str, str]) -> frozenset[tuple[str, str]]:
+    """(module name, def name) nodes statically reachable from
+    ``mod_name.fn_name`` in the CURRENT worktree, following same-module
+    references, ``from pkg.m import f`` names and ``m.f`` attribute
+    chains through package-internal imports."""
+    key = (mod_name, fn_name)
+    if key in _REACH_CACHE:
+        return _REACH_CACHE[key]
+    seen: set[tuple[str, str]] = set()
+    stack = [(mod_name, fn_name)]
+    while stack:
+        mod, name = stack.pop()
+        if (mod, name) in seen:
+            continue
+        seen.add((mod, name))
+        rel = mod_rel.get(mod)
+        idx = _module_index(repo, "WORKTREE", rel) if rel else None
+        if not idx:
+            continue
+        d = idx["defs"].get(name)
+        if not d:
+            continue
+        imports = {**idx["imports"], **d["imports"]}
+        for ref in d["refs"]:
+            if "." in ref:
+                a, b = ref.split(".", 1)
+                t = imports.get(a)
+                if t in mod_rel:  # module alias: m.f
+                    stack.append((t, b))
+                elif t and t.rsplit(".", 1)[0] in mod_rel:
+                    # from-imported OBJECT then attribute on it
+                    m2, o2 = t.rsplit(".", 1)
+                    stack.append((m2, o2))
+            else:
+                t = imports.get(ref)
+                if t and t not in mod_rel and t.rsplit(".", 1)[0] in mod_rel:
+                    m2, o2 = t.rsplit(".", 1)
+                    stack.append((m2, o2))
+                elif ref in idx["defs"]:
+                    stack.append((mod, ref))
+    out = frozenset(seen)
+    _REACH_CACHE[key] = out
+    return out
+
+
+def file_last_change(repo: str, relpath: str) -> int:
+    """Unix time of the newest change to ``relpath``: the worktree mtime
+    when the file differs from HEAD (an uncommitted edit is the newest
+    possible change), else the last commit touching it. 0 when git is
+    unavailable — every file ties and the recency sort degrades to the
+    attestation-age tiebreak, never an exception."""
+    key = (repo, relpath)
+    if key not in _LAST_CHANGE_CACHE:
+        ts = 0
+        dirty = changed_since(repo, "HEAD")
+        if dirty is not None and relpath in dirty:
+            try:
+                ts = int(os.stat(os.path.join(repo, relpath)).st_mtime)
+            except OSError:
+                ts = 0
+        if not ts:
+            out = _git(repo, "log", "-n1", "--format=%ct", "--", relpath)
+            ts = int(out.strip()) if out and out.strip().isdigit() else 0
+        _LAST_CHANGE_CACHE[key] = ts
+    return _LAST_CHANGE_CACHE[key]
+
+
 def clear_caches() -> None:
     _ROUND_COMMIT_CACHE.clear()
     _CHANGED_CACHE.clear()
     _CLOSURE_CACHE.clear()
+    _LAST_CHANGE_CACHE.clear()
+    _MOD_INDEX_CACHE.clear()
+    _REACH_CACHE.clear()
 
 
 # ------------------------------------------------------------ the ordering
@@ -305,14 +484,105 @@ def rotation_order(
 
     changed = [n for n in seen if _is_changed(n)]
     unchanged = [n for n in seen if n not in set(changed)]
-    # Within both attested tiers: oracle-backed entries first (VERDICT
-    # r11 #3 — a rows-only re-sample can only ever return no_oracle, so
-    # spending a 50-entry driver-window slot on one buys nothing), then
-    # oldest attestation first.
-    changed.sort(
+
+    # Tier 4 refinement (VERDICT r12 ask #7): with rounds of edits
+    # accumulated, file-granular "changed since attestation" covers
+    # most of the registry (260 of 396 at r13 start), and the old
+    # oldest-attested-first order spent the whole 50-slot window on
+    # entries whose files last moved many rounds ago while the PRIOR
+    # round's ~40 rewrites — the highest-risk unattested code — waited
+    # at the back. Two discriminators fix that:
+    #
+    # - PRECISELY-changed (tier 4a): the entry's own defining
+    #   function's AST differs from the attestation-round tree, or a
+    #   non-defining dependency module (operator/helper) in its closure
+    #   changed — i.e. the entry's actual implementation moved, not
+    #   merely a sibling in the same registry module. Unparseable /
+    #   ambiguous lookups count as changed (conservative).
+    # - RECENCY: newest change first (the newest rewrites have gone the
+    #   longest relative to their risk without attestation); ties fall
+    #   back to oldest attestation, then registry order.
+    #
+    # Tier 4b (file changed, function didn't) and tier 5 keep
+    # oldest-attestation-first. Oracle-backed entries first throughout
+    # (VERDICT r11 #3 — a rows-only re-sample can only return
+    # no_oracle and wastes a window slot).
+    try:
+        _, pkg_files = _module_dep_closure()
+        mod_rel = {
+            m: os.path.relpath(p, repo)
+            for m, p in pkg_files.items()
+            if os.path.abspath(p).startswith(repo + os.sep)
+        }
+    except Exception:
+        mod_rel = {}
+    rel_mod = {v: k for k, v in mod_rel.items()}
+
+    def _diff_files(n: str) -> frozenset[str] | None:
+        """Relpaths holding reached defs that differ from the entry's
+        attestation-round tree; empty = implementation provably
+        unchanged; None = cannot analyze (conservative: changed)."""
+        rnd = latest[n].get("round")
+        commit = round_commit(repo, rnd) if rnd is not None else None
+        ch = changed_by_round.get(rnd)
+        if not commit or ch is None:
+            return None
+        target = queries.get(n)
+        while hasattr(target, "__wrapped__"):
+            target = target.__wrapped__
+        try:
+            path = os.path.abspath(target.__code__.co_filename)
+            fn = target.__name__
+        except AttributeError:
+            return None
+        relp = (
+            os.path.relpath(path, repo)
+            if path.startswith(repo + os.sep)
+            else None
+        )
+        mod = rel_mod.get(relp)
+        if not mod:
+            return None
+        widx0 = _module_index(repo, "WORKTREE", relp)
+        if not widx0 or fn not in widx0["defs"]:
+            # factory-made inner function — invisible to the top-level
+            # static index; cannot prove anything
+            return None
+        diffs: set[str] = set()
+        for m2, name2 in _reach(repo, mod, fn, mod_rel):
+            rel2 = mod_rel.get(m2)
+            if not rel2 or rel2 not in ch:
+                continue  # file identical since attestation
+            widx = _module_index(repo, "WORKTREE", rel2)
+            oidx = _module_index(repo, commit, rel2)
+            nd = (widx or {}).get("defs", {}).get(name2)
+            if nd is None:
+                continue  # reached name is not a top-level def anymore
+            od = (oidx or {}).get("defs", {}).get(name2)
+            if od is None or nd["dump"] == "" or od["dump"] != nd["dump"]:
+                diffs.add(rel2)
+        return frozenset(diffs)
+
+    def _recency(n: str, diffs: frozenset[str] | None) -> int:
+        pool = diffs if diffs else files.get(n, frozenset())
+        return max((file_last_change(repo, f) for f in pool), default=0)
+
+    entry_diffs = {n: _diff_files(n) for n in changed}
+    precise = [n for n in changed if entry_diffs[n] is None or entry_diffs[n]]
+    precise_set = set(precise)
+    file_only = [n for n in changed if n not in precise_set]
+    precise.sort(
+        key=lambda n: (
+            n not in oracles,
+            -_recency(n, entry_diffs[n]),
+            latest[n].get("round", 0),
+            idx[n],
+        )
+    )
+    file_only.sort(
         key=lambda n: (n not in oracles, latest[n].get("round", 0), idx[n])
     )
     unchanged.sort(
         key=lambda n: (n not in oracles, latest[n].get("round", 0), idx[n])
     )
-    return reattest + fresh_oracle + fresh_rows + changed + unchanged
+    return reattest + fresh_oracle + fresh_rows + precise + file_only + unchanged
