@@ -57,16 +57,20 @@ def connected_components(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _truncate(df: DataFrame) -> DataFrame:
+    def _truncate(df: DataFrame, *, eager: bool = True) -> DataFrame:
         # Checkpointing (either kind) truncates lineage each round: every
         # iteration references `labels` twice (propagation join +
         # convergence diff), so with plain caching the LOGICAL plan
         # doubles per round — by round ~20 the optimizer itself OOMs.
         # O(1) plan per iteration is the mandatory discipline for any
-        # iterative DataFrame algorithm.
+        # iterative DataFrame algorithm. ``eager=False`` returns a
+        # LAZY checkpoint: the first action over it materializes the
+        # blocks — the r13 action fusion below rides the convergence
+        # count on that materialization, one job per round instead of
+        # two (checkpoint job + count job).
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
 
     # undirected: materialize both directions once; cached because every
     # iteration re-joins against it
@@ -112,15 +116,22 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("llabel", "label")).alias("label"),
             )
         )
-        new_labels = _truncate(new_labels)
         # Round 1 can't have converged when any edge exists (every
         # edge-touching vertex with a smaller neighbor changes label),
         # so skip its convergence count — one fewer driver action per
         # call, paid for only by degenerate empty graphs doing one
         # extra (trivial) round.
         if it == 0:
-            labels = new_labels.select("v", "label")
+            labels = _truncate(new_labels).select("v", "label")
             continue
+        # r13 action fusion: the checkpoint is LAZY and the convergence
+        # count's job is what materializes it — one driver action per
+        # round instead of two (at bench scale each CC round was two
+        # ~0.2 s job latencies on a KB-sized frame; at 100 TB this is
+        # one pass over the labels instead of two). The count reads
+        # every partition (count aggregates all), so the checkpoint is
+        # fully materialized before `labels` is consumed next round.
+        new_labels = _truncate(new_labels, eager=False)
         changed = (
             new_labels.where(F.col("label") != F.col("old_label")).count()
         )

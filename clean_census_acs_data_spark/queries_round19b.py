@@ -154,48 +154,55 @@ def hodges_lehmann_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks; the single float is the final /2 display division.
 
     100-TB shape: the quadratic is partition-key-bounded (nation) —
-    the per-entity-bounded quadratic discipline. r12: the Walsh pair
-    MULTISET is generated IN-ROW from one collect_list per nation
-    (upper-triangle slice/transform) and the median selected by
-    array_sort + element_at — the (s, ia, ib) ROW_NUMBER tiebreak of
-    the join form only disambiguates EQUAL sums, so the k-th smallest
-    SUM is the same value under any such order and only the sum is
-    emitted. This replaces the per-nation pair self-join (n²/2 rows
-    shuffled into a per-nation window sort) with a group-count-sized
-    shuffle: one collect_list exchange of n rows, then 25 rows of
-    in-row compute. Past ~10⁵ rows per group, sample or switch to the
-    binary-search-on-value HL algorithm (O(n log n)) — document, don't
-    silently degrade (same switch point as the join form had). Scale
-    bound: pair sums ≤ 2·max cents, nowhere near int64; pair count
-    n(n+1)/2 per group wraps nothing (count only).
-
-    r13 adjudication of the driver-observed 4.17 s r12 reading
-    (VERDICT r12 #1): cold interleaved tree A/B vs dd273ca over 4
-    matched-warmup pairs is a WASH (+0.24/−1.01/+0.21/−1.23 s) — no
-    regression; the in-row form stays on its plan-shape win (the n²/2
-    pair shuffle is gone)."""
+    the per-entity-bounded quadratic discipline. r12 replaced the
+    per-nation pair self-join (n²/2 rows shuffled into a per-nation
+    window sort) with in-row JVM generation from one collect_list per
+    nation — the (s, ia, ib) ROW_NUMBER tiebreak of the join form only
+    disambiguates EQUAL sums, so the k-th smallest SUM is the same
+    value under any such order and only the sum is emitted. r13
+    adjudication of the driver-observed 4.17 s reading found that form
+    NO slower than r11 (4 matched-warmup cold tree pairs:
+    +0.24/−1.01/+0.21/−1.23 s) but profiling showed its cost was the
+    kernel itself: the nested transform/slice HOF built the ~180k pair
+    sums per nation at interpreted-expression speed — 3.2–3.8 s per
+    noop rep at sf0.1 for 25 rows of output (~17 µs/element). The
+    kernel is now a grouped-map pandas stage (guide §4.2 "hand whole
+    batches to vectorized native code"): per nation, numpy builds the
+    upper-triangle outer sum (np.add.outer + triu_indices, self-pairs
+    on the diagonal = the i ≤ j multiset) and np.partition selects the
+    lower median — 0.50–0.59 s per rep (−84%), output verified
+    element-identical to the JVM fold (test pins it). Group count is
+    |nations| (bounded), so the per-group Python call count is fixed,
+    not data-sized. Sums stay int64 end-to-end (cents ≤ ~10⁶; pair
+    sums ≤ 2·10⁶ — exact); the single float is the final /2 display
+    division, computed JVM-side as before. Past ~3×10⁴ rows per group
+    the n²/2 int64 pair buffer (>3.6 GB/task) demands the
+    binary-search-on-value HL algorithm (O(n log n)) — document,
+    don't silently degrade (tighter statement of the join form's old
+    ~10⁵ switch point)."""
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nk"),
-        F.col("c_custkey").alias("ck"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
     )
-    g = c.groupBy("nk").agg(F.collect_list("cents").alias("cs"))
-    n = F.size("cs")
-    walsh = F.flatten(
-        F.transform(
-            "cs",
-            lambda x, i: F.transform(
-                F.slice("cs", i + 1, n - i), lambda y: x + y
-            ),
+
+    def _hl_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        a = np.sort(pdf["cents"].to_numpy(np.int64))
+        sums = np.add.outer(a, a)[np.triu_indices(len(a))]
+        k = (len(sums) + 1) // 2
+        s = int(np.partition(sums, k - 1)[k - 1])
+        return pd.DataFrame(
+            {"nk": [int(pdf["nk"].iloc[0])], "np": [len(sums)], "s": [s]}
         )
-    )
-    np_ = (n.cast("long") * (n.cast("long") + 1) / 2).cast("long")
-    s = F.element_at(F.array_sort(walsh), ((np_ + 1) / 2).cast("int"))
+
+    g = c.groupBy("nk").applyInPandas(_hl_group, schema="nk int, np long, s long")
     return g.select(
         F.col("nk").alias("nation_key"),
-        np_.alias("n_walsh_pairs"),
-        s.cast("long").alias("hl_doubled_cents"),
-        (s.cast("double") / 2).alias("hl_location_cents"),
+        F.col("np").alias("n_walsh_pairs"),
+        F.col("s").alias("hl_doubled_cents"),
+        (F.col("s").cast("double") / 2).alias("hl_location_cents"),
     )
 
 
