@@ -197,28 +197,39 @@ def connected_components_two_phase(
     Spark shape per phase: one symmetrize (projection union), one
     groupBy(u).min (partial-agg shuffle on vertex id), one equi-join
     back to the symmetrized edges, one distinct — all whole-stage
-    codegen; the edge list is eagerly localCheckpoint-ed per phase
-    (O(1) plan depth, the iterative-DataFrame discipline). Convergence
-    is an edge-set signature (count + bit_xor of xxhash64) compare —
-    two driver-sized actions per round — CONFIRMED exactly by a
-    star-forest structure check when the signature matches (ADVICE r10:
-    hash collisions must not end the loop early), see _is_star_forest.
+    codegen; the edge list is localCheckpoint-ed per phase (O(1) plan
+    depth, the iterative-DataFrame discipline). Convergence is an
+    edge-set signature (count + bit_xor of xxhash64) compare —
+    CONFIRMED exactly by a star-forest structure check when the
+    signature matches (ADVICE r10: hash collisions must not end the
+    loop early), see _is_star_forest.
+
+    r13 action fusion (the connected_components device): the per-phase
+    checkpoints are LAZY and the per-round signature aggregate is the
+    job that materializes them — the signature's scan computes
+    small-star over large-star over the previous round's blocks, so
+    one driver action replaces three per round (two eager checkpoint
+    jobs + the signature collect). At 100 TB this is one pass over the
+    edge list per round instead of three.
     """
-    # canonical (lo, hi) undirected edge list, self-loops dropped
+    # canonical (lo, hi) undirected edge list, self-loops dropped;
+    # lazy — the initial _signature below materializes it
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # original vertex set — the output must cover every edge-touching
-    # vertex (roots stop appearing on the child side at convergence)
+    # vertex (roots stop appearing on the child side at convergence).
+    # Lazy: reads the INITIAL e checkpoint (materialized by the first
+    # signature), and is itself materialized by the final join's job.
     vertices = (
         e.select(F.col("lo").alias("doc_id"))
         .union(e.select(F.col("hi").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _signature(cur: DataFrame) -> tuple[int, int]:
@@ -253,9 +264,13 @@ def connected_components_two_phase(
                 )
             )
         # m = min(Γ(a) ∪ {a}) ≤ every emitted partner, so (m, x) is
-        # already canonical; x == m rows are self-loops — drop them
+        # already canonical; x == m rows are self-loops — drop them.
+        # Lazy checkpoint: materialized by the round's signature job
+        # (large-star's blocks by small-star's scan when that runs
+        # first — either way each phase's result is persisted exactly
+        # once, by the first job that reads it).
         return out.where(F.col("lo") != F.col("hi")).distinct().localCheckpoint(
-            eager=True
+            eager=False
         )
 
     sig = _signature(e)
